@@ -1,0 +1,167 @@
+"""Sampled cost model for per-chunk codec auto-selection.
+
+Generalizes the reference's stored-vs-compressed decision
+(``src/io/lib_bra_io_file_chunks.c:268-297``: compress to a tmpfile, and if
+``tmpfile_size >= data_size`` flip the entry to STORED and redo it) into a
+cost-BEFORE-commit rule over the whole codec suite:
+
+1. compute cheap chunk statistics — O(n) vectorized run count, min/max
+   range, distinct ratio estimated on a strided sample;
+2. estimate the encoded size of every candidate codec from the stats;
+3. encode once with the argmin candidate;
+4. if the actual encoded size is >= the PLAIN size, fall back to PLAIN —
+   the reference's invariant that no entry is ever stored bigger than raw.
+
+The estimate is allowed to be wrong (it is sampled); step 4 makes the
+final decision safe, exactly like the reference's redo path but without
+double-encoding in the common case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import bits_needed
+from .intcodecs import encode_int
+from .strcodecs import encode_str
+
+__all__ = ["choose_int_codec", "encode_int_auto", "encode_str_auto",
+           "int_chunk_stats"]
+
+_SAMPLE = 65536
+
+
+def int_chunk_stats(values: np.ndarray) -> dict:
+    n = len(values)
+    if n == 0:
+        return {"n": 0, "vmin": 0, "vmax": 0, "runs": 0, "distinct_est": 0,
+                "dmax": 0, "sorted": True}
+    d = np.diff(values)
+    runs = int(np.count_nonzero(d)) + 1
+    stride = max(1, n // _SAMPLE)
+    sample = values[::stride]
+    distinct_est = int(len(np.unique(sample)) * (n / len(sample)) ** 0.5) \
+        if stride > 1 else int(len(np.unique(sample)))
+    distinct_est = max(1, min(distinct_est, n))
+    return {
+        "n": n,
+        "vmin": int(values.min()),
+        "vmax": int(values.max()),
+        "runs": runs,
+        "distinct_est": distinct_est,
+        "dmax": int(np.abs(d).max()) if len(d) else 0,
+        "sorted": bool(len(d) == 0 or d.min() >= 0),
+    }
+
+
+def _estimates(st: dict) -> dict[str, float]:
+    n = st["n"]
+    if n == 0:
+        return {"plain": 0.0}
+    w_full = bits_needed(st["vmax"] - st["vmin"])
+    w_run = bits_needed(max(n // max(st["runs"], 1) * 8, 1))
+    d = st["distinct_est"]
+    w_code = bits_needed(max(d - 1, 0))
+    est = {
+        "plain": 4.0 * n,
+        "for": n * w_full / 8 + 16,
+        "rle": st["runs"] * (w_full + w_run) / 8 + 32,
+        "dict": d * (w_full / 8 + 0.5) + n * w_code / 8 + 32,
+        "dict_rle": d * (w_full / 8 + 0.5)
+        + st["runs"] * (w_code + w_run) / 8 + 48,
+    }
+    if st["sorted"]:
+        est["delta"] = n * bits_needed(st["dmax"]) / 8 + 24
+    return est
+
+
+def _trial_estimates(values: np.ndarray, st: dict,
+                     candidates: tuple[str, ...]) -> dict[str, float]:
+    """Trial-encode entropy codecs on a contiguous sample and scale.
+
+    DEFLATE-backed sizes have no closed form, so — like the reference,
+    which costs by actually encoding (``src/io/lib_bra_io_file_chunks.c:268``)
+    — we encode a bounded sample and extrapolate. The dictionary term is
+    re-scaled by the full-chunk distinct estimate.
+    """
+    n = st["n"]
+    if n == 0:
+        return {}
+    k = min(n, _SAMPLE)
+    start = (n - k) // 2
+    sample = values[start:start + k]
+    scale = n / k
+    out: dict[str, float] = {}
+    for c in candidates:
+        p, b = encode_int(c, sample)
+        size = len(p) + len(b)
+        if c == "dict_z":
+            d_sample = len(np.unique(sample))
+            dict_part = d_sample * 2.0
+            size = (size - dict_part) * scale + st["distinct_est"] * 2.0
+        else:
+            size = size * scale
+        out[c] = size
+    return out
+
+
+def choose_int_codec(values: np.ndarray,
+                     codecs: tuple[str, ...] | None = None) -> str:
+    st = int_chunk_stats(values)
+    est = _estimates(st)
+    if st["n"] >= 256:
+        trial = [c for c in ("dict_z", "zlib") if codecs is None or c in codecs]
+        est.update(_trial_estimates(values, st, tuple(trial)))
+    if codecs is not None:
+        est = {c: s for c, s in est.items() if c in codecs or c == "plain"}
+    return min(est, key=est.get)  # type: ignore[arg-type]
+
+
+def encode_int_auto(values: np.ndarray,
+                    codecs: tuple[str, ...] | None = None
+                    ) -> tuple[str, bytes, bytes]:
+    """Pick a codec by the cost model, encode, PLAIN-fallback if it loses."""
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    codec = choose_int_codec(values, codecs)
+    params, payload = encode_int(codec, values)
+    if codec != "plain":
+        plain_size = 4 * len(values)
+        if len(params) + len(payload) >= plain_size:
+            codec = "plain"
+            params, payload = encode_int("plain", values)
+    return codec, params, payload
+
+
+def encode_str_auto(blob: bytes, offsets: np.ndarray) -> tuple[str, bytes, bytes]:
+    """String codec selection by trial on a bounded sample.
+
+    Strings lack the clean algebraic size formulas of the int codecs, so
+    candidates are trial-encoded on a prefix sample (the reference costs
+    by fully encoding, ``src/io/lib_bra_io_file_chunks.c:268``; we bound
+    the pre-pass) and the winner encodes the full chunk, with the same
+    PLAIN fallback.
+    """
+    n = len(offsets) - 1
+    if n <= 0 or len(blob) == 0:
+        params, payload = encode_str("str_plain", blob, offsets)
+        return "str_plain", params, payload
+    # sample: first k strings covering <= 64 KiB
+    k = int(np.searchsorted(offsets, 65536))
+    k = max(1, min(k, n))
+    s_blob = blob[:int(offsets[k])]
+    s_off = offsets[:k + 1]
+    candidates = ["str_dict", "str_zlib", "fsst"]
+    sizes: dict[str, int] = {"str_plain": len(s_blob) + 8 * 2 + 30}
+    for c in candidates:
+        try:
+            p, b = encode_str(c, s_blob, s_off)
+            sizes[c] = len(p) + len(b)
+        except Exception:
+            continue
+    codec = min(sizes, key=sizes.get)  # type: ignore[arg-type]
+    params, payload = encode_str(codec, blob, offsets)
+    if codec != "str_plain":
+        pp, pb = encode_str("str_plain", blob, offsets)
+        if len(params) + len(payload) >= len(pp) + len(pb):
+            return "str_plain", pp, pb
+    return codec, params, payload

@@ -1,0 +1,119 @@
+"""Distributed decode: manifest DataFrame of chunks → original rows.
+
+The Spark re-expression of the reference's extract loop
+(``src/prog/unbra.cpp:179-183`` → ``bra_io_file_chunks_decompress_file``,
+``src/io/lib_bra_io_file_chunks.c:314-441``). Each chunk is
+self-contained, so decode is a pure per-row ``mapInArrow`` — no shuffle
+at all: the chunk manifest's parquet row-groups are the unit of
+parallelism, and Catalyst prunes both columns (reading only the
+``columns`` payload struct when values are needed — or only the stats
+columns for a list-style query, the reference's ``-l`` mode,
+``src/io/lib_bra_io_file_chunks.c:369-373``) and row-groups
+(``WHERE part_id ...`` — the reference's skip-without-decode,
+``src/io/lib_bra_io_file_ctx.c:596-602``).
+
+Checksums are verified on every chunk before reconstruction, matching
+the reference's trailing-CRC check on extract
+(``src/io/lib_bra_io_file_ctx.c:672-685``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+from ..integrity.crc import chunk_checksum
+from .chunk import decode_column
+
+__all__ = ["decode_table", "ChecksumError"]
+
+
+class ChecksumError(RuntimeError):
+    pass
+
+
+def _arrow_type(kind: str):
+    return {
+        "string": pa.string(),
+        "int_list": pa.list_(pa.int32()),
+        "int": pa.int64(),
+    }[kind]
+
+
+def _rebuild(kind: str, data, n_rows: int) -> pa.Array:
+    if kind == "string":
+        blob, offsets = data
+        return pa.Array.from_buffers(
+            pa.utf8(), n_rows,
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(blob)])
+    if kind == "int_list":
+        values, lengths = data
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(values.astype(np.int32), type=pa.int32()))
+    if kind == "int":
+        return pa.array(data, type=pa.int64())
+    raise ValueError(kind)
+
+
+def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
+                    verify_checksums: bool):
+    fields = [pa.field(name, _arrow_type(kind)) for name, kind in specs]
+    if with_n_tok:
+        fields.append(pa.field("n_tok", pa.int32()))
+    out_schema = pa.schema(fields)
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            rows = batch.to_pylist()  # manifest rows: one per CHUNK, few
+            for row in rows:
+                entries = {e["name"]: e for e in row["columns"]}
+                if verify_checksums:
+                    got = chunk_checksum(
+                        *[e["payload"] for e in row["columns"]])
+                    if got != row["checksum"]:
+                        raise ChecksumError(
+                            f"chunk {row['chunk_id']}: checksum mismatch "
+                            f"(stored {row['checksum']:#x}, got {got:#x})")
+                n = row["n_rows"]
+                arrays = []
+                lengths = None
+                for name, kind in specs:
+                    data = decode_column(entries[name])
+                    if kind == "int_list":
+                        lengths = data[1]
+                    arrays.append(_rebuild(kind, data, n))
+                if with_n_tok:
+                    arrays.append(pa.array(
+                        lengths.astype(np.int32), type=pa.int32()))
+                yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    return decode_fn
+
+
+def decode_table(encoded: DataFrame,
+                 specs: list[tuple[str, str]] | None = None,
+                 with_n_tok: bool = True,
+                 verify_checksums: bool = True) -> DataFrame:
+    """Reconstruct the original table from an encoded manifest DataFrame."""
+    from .encode import TOKEN_SPECS
+
+    specs = specs or TOKEN_SPECS
+    parts = []
+    for name, kind in specs:
+        spark_t = {"string": "string", "int_list": "array<int>",
+                   "int": "long"}[kind]
+        parts.append(f"{name} {spark_t}")
+    if with_n_tok:
+        parts.append("n_tok int")
+    out_spark_schema = ", ".join(parts)
+    fn = _make_decode_fn(specs, with_n_tok, verify_checksums)
+    cols = ["chunk_id", "n_rows", "checksum", "columns"]
+    return encoded.select(*cols).mapInArrow(fn, out_spark_schema)

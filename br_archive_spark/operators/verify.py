@@ -1,0 +1,75 @@
+"""Round-trip verification — the reference's ``unbra -t`` re-expressed.
+
+The reference's test mode decodes every chunk, recomputes checksums and
+compares against stored ones without writing output
+(``src/io/lib_bra_io_file_chunks.c:97-112``,
+``src/io/lib_bra_io_file_ctx.c:771-783``); its e2e tests byte-compare
+extracted files against the originals (``AreFilesContentEquals``,
+``test/test_bra.cpp:22-53``). Here both become DataFrame queries:
+
+* :func:`verify_roundtrip` — decode and equality-join against the source
+  on the key; any row whose token array differs (or missing/extra rows)
+  is a failure. Broadcast-free sort-merge join on the key; at 100 TB both
+  sides are key-partitioned so AQE keeps it shuffle-light.
+* :func:`compression_report` — the ``unbra -l`` listing
+  (``src/io/lib_bra_io_file_ctx.c:701-804``) as a pure manifest
+  aggregation: per-codec chunk counts, bytes, and ratios, computed
+  without touching payload bytes (column pruning does the skipping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decode import decode_table
+
+__all__ = ["verify_roundtrip", "compression_report"]
+
+
+def verify_roundtrip(source: DataFrame, encoded: DataFrame,
+                     key: str = "doc_id") -> dict:
+    """Decode ``encoded`` and compare with ``source`` row-by-row.
+
+    Returns a dict with row counts and mismatch counts; all-zero
+    mismatches == the reference's bit-identical invariant.
+    """
+    decoded = decode_table(encoded)
+    s = source.select(key, F.col("tokens").alias("_src_tokens"))
+    d = decoded.select(key, F.col("tokens").alias("_dec_tokens"))
+    joined = s.join(d, key, "full_outer")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("_src_tokens").isNull(), 1).otherwise(0))
+        .alias("extra_rows"),
+        F.sum(F.when(F.col("_dec_tokens").isNull(), 1).otherwise(0))
+        .alias("missing_rows"),
+        F.sum(F.when(
+            F.col("_src_tokens").isNotNull()
+            & F.col("_dec_tokens").isNotNull()
+            & (F.col("_src_tokens") != F.col("_dec_tokens")), 1)
+            .otherwise(0)).alias("mismatched_rows"),
+    ).collect()[0]
+    return {
+        "rows": agg["rows"],
+        "extra_rows": agg["extra_rows"] or 0,
+        "missing_rows": agg["missing_rows"] or 0,
+        "mismatched_rows": agg["mismatched_rows"] or 0,
+        "ok": not ((agg["extra_rows"] or 0) or (agg["missing_rows"] or 0)
+                   or (agg["mismatched_rows"] or 0)),
+    }
+
+
+def compression_report(encoded: DataFrame) -> DataFrame:
+    """Per-codec compression statistics from manifest columns only."""
+    cols = encoded.select(
+        "chunk_id", F.explode("columns").alias("c"))
+    return (cols
+            .groupBy(F.col("c.name").alias("column"),
+                     F.col("c.codec").alias("codec"))
+            .agg(F.count(F.lit(1)).alias("chunks"),
+                 F.sum("c.orig_bytes").alias("orig_bytes"),
+                 F.sum("c.enc_bytes").alias("enc_bytes"))
+            .withColumn("ratio",
+                        F.col("enc_bytes") / F.col("orig_bytes"))
+            .orderBy("column", "codec"))

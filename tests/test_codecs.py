@@ -1,0 +1,185 @@
+"""Codec unit tests — golden vectors + property round-trips.
+
+Transposes the reference's per-encoder golden tests
+(``test/test_bra_encoders.cpp``: RLE control bytes :23-114, BWT :134-150,
+MTF :152-170, Huffman :262-365, and the stacked round-trips :172-402)
+onto the new codec suite per FIXTURES.md F2.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from br_archive_spark.codecs import (INT_CODECS, STR_CODECS, bits_needed,
+                                     decode_int, decode_str, encode_int,
+                                     encode_int_auto, encode_str,
+                                     encode_str_auto, pack_uint, unpack_uint)
+from br_archive_spark.codecs.intcodecs import _runs
+
+
+# ---------------------------------------------------------------- bitpack
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 9, 15, 16, 17, 31, 32, 33, 63])
+def test_bitpack_roundtrip_widths(width):
+    rng = np.random.default_rng(42 + width)
+    hi = (1 << width) if width else 1
+    v = rng.integers(0, hi, 1000, dtype=np.uint64)
+    assert np.array_equal(unpack_uint(pack_uint(v, width), width, 1000), v)
+
+
+def test_bitpack_exact_bytes():
+    # 4 values at 3 bits: 101 110 011 000 → 10111001 1000_0000
+    v = np.array([0b101, 0b110, 0b011, 0b000], dtype=np.uint64)
+    assert pack_uint(v, 3) == bytes([0b10111001, 0b10000000])
+
+
+def test_bits_needed():
+    assert [bits_needed(x) for x in (0, 1, 2, 255, 256, 2**31 - 1)] == \
+        [0, 1, 2, 8, 9, 31]
+
+
+# ---------------------------------------------------------------- RLE
+
+def test_rle_runs_reference_vectors():
+    # the reference's 'A'*10 golden (test_bra_encoders.cpp:35-37) as tokens
+    vals, lens = _runs(np.full(10, ord("A"), dtype=np.int64))
+    assert list(vals) == [ord("A")] and list(lens) == [10]
+    # 'AAAAABBBCD' (test_bra_encoders.cpp:60-80)
+    arr = np.array([5, 5, 5, 5, 5, 9, 9, 9, 1, 2], dtype=np.int64)
+    vals, lens = _runs(arr)
+    assert list(vals) == [5, 9, 1, 2]
+    assert list(lens) == [5, 3, 1, 1]
+
+
+def test_rle_worstcase_encode_even_if_bigger():
+    # all-distinct input still encodes & round-trips
+    # (reference contract test_bra_encoders.cpp:92-114)
+    arr = np.arange(1, 9, dtype=np.int64)
+    p, b = encode_int("rle", arr)
+    assert np.array_equal(decode_int("rle", p, b), arr)
+    # ...but the cost model must not pick RLE for it
+    codec, p, b = encode_int_auto(arr)
+    assert codec != "rle"
+
+
+def test_rle_long_runs_no_cap():
+    # runs longer than the reference's 128 cap (BRA_RLE_MAX_RUNS)
+    arr = np.repeat([3, 4], [1000, 2000]).astype(np.int64)
+    p, b = encode_int("rle", arr)
+    assert np.array_equal(decode_int("rle", p, b), arr)
+    assert len(p) + len(b) < 64
+
+
+# ---------------------------------------------------------------- codecs
+
+CASES = {
+    "zipf": lambda rng: (rng.zipf(1.3, 20000) % 50000),
+    "runs": lambda rng: np.repeat(rng.integers(0, 100, 200),
+                                  rng.integers(1, 300, 200)),
+    "lowcard_17": lambda rng: rng.integers(0, 17, 10000),
+    "for_narrow": lambda rng: rng.integers(1_000_000, 1_000_256, 10000),
+    "sorted": lambda rng: np.sort(rng.integers(0, 2**31 - 1, 10000)),
+    "negatives": lambda rng: rng.integers(-(2**31), 2**31 - 1, 5000),
+    "bitpack_edges": lambda rng: np.array(
+        [0, 1, 127, 128, 255, 256, 511, 2**31 - 1, 0]),
+    "empty": lambda rng: np.array([], dtype=np.int64),
+    "single": lambda rng: np.array([7]),
+    "all_same": lambda rng: np.full(5000, 42),
+}
+
+
+@pytest.mark.parametrize("case", list(CASES))
+@pytest.mark.parametrize("codec", list(INT_CODECS))
+def test_int_codec_roundtrip(case, codec):
+    v = CASES[case](np.random.default_rng(42)).astype(np.int64)
+    p, b = encode_int(codec, v)
+    assert np.array_equal(decode_int(codec, p, b), v)
+
+
+@pytest.mark.parametrize("case", list(CASES))
+def test_int_auto_roundtrip_and_never_loses_to_plain(case):
+    v = CASES[case](np.random.default_rng(42)).astype(np.int64)
+    codec, p, b = encode_int_auto(v)
+    assert np.array_equal(decode_int(codec, p, b), v)
+    # cost-model invariant: chosen encoding never exceeds PLAIN
+    # (reference src/io/lib_bra_io_file_chunks.c:268-297)
+    pp, pb = encode_int("plain", v)
+    assert len(p) + len(b) <= max(len(pp) + len(pb), 5)
+
+
+def test_auto_selection_sensible():
+    rng = np.random.default_rng(42)
+    assert encode_int_auto(
+        np.repeat(rng.integers(0, 50, 100), 500).astype(np.int64))[0] == "rle"
+    # on sorted data the winner must be at least as small as DELTA
+    sorted_ids = np.arange(0, 10_000_000, 997, dtype=np.int64)
+    codec, p, b = encode_int_auto(sorted_ids)
+    dp, db = encode_int("delta", sorted_ids)
+    assert len(p) + len(b) <= len(dp) + len(db)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=300))
+def test_int_auto_property(xs):
+    v = np.array(xs, dtype=np.int64)
+    codec, p, b = encode_int_auto(v)
+    assert np.array_equal(decode_int(codec, p, b), v)
+
+
+# ---------------------------------------------------------------- strings
+
+def _str_buffers(strs):
+    import pyarrow as pa
+
+    from br_archive_spark.codecs import strings_from_arrow
+    return strings_from_arrow(pa.array(strs, type=pa.string()))
+
+
+STR_CASES = {
+    "doc_ids": [f"doc-{i:012d}" for i in range(2000)],
+    "lowcard": ["web", "books", "code", "wiki"] * 500,
+    "text": ["the quick brown fox jumps over the lazy dog " * (i % 7 + 1)
+             for i in range(200)],
+    "empty_strings": ["", "a", "", "bb", ""],
+    "unicode": ["héllo wörld ∑∫", "日本語テキスト", "emoji 🎉🎊"] * 50,
+    "single": ["x"],
+}
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+@pytest.mark.parametrize("codec", list(STR_CODECS))
+def test_str_codec_roundtrip(case, codec):
+    blob, off = _str_buffers(STR_CASES[case])
+    p, b = encode_str(codec, blob, off)
+    blob2, off2 = decode_str(codec, p, b)
+    assert blob2 == blob and np.array_equal(off2, off)
+
+
+@pytest.mark.parametrize("case", list(STR_CASES))
+def test_str_auto_roundtrip(case):
+    blob, off = _str_buffers(STR_CASES[case])
+    codec, p, b = encode_str_auto(blob, off)
+    blob2, off2 = decode_str(codec, p, b)
+    assert blob2 == blob and np.array_equal(off2, off)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=40), max_size=60))
+def test_str_auto_property(strs):
+    blob, off = _str_buffers(strs)
+    codec, p, b = encode_str_auto(blob, off)
+    blob2, off2 = decode_str(codec, p, b)
+    assert blob2 == blob and np.array_equal(off2, off)
+
+
+# ---------------------------------------------------------------- FSST
+
+def test_fsst_compresses_prefix_heavy():
+    from br_archive_spark.codecs import fsst_decode, fsst_encode, fsst_train
+
+    data = b"http://example.com/page/" * 400
+    symbols = fsst_train(data[:16384])
+    enc = fsst_encode(data, symbols)
+    assert fsst_decode(enc, symbols) == data
+    assert len(enc) < len(data) / 2
