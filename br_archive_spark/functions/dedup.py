@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is expressed so the expensive comparison is
+*bucketed* — candidate pairs come from an equality join on a hash/band
+key (shuffle on the bucket key, no cross join), which is the only
+formulation that survives 10^9+ documents. The exact-Jaccard pass runs
+only on candidate pairs.
+
+All shingling/hashing is JVM-side (``split``/``transform``/``xxhash64``
+inside whole-stage codegen); nothing drops to Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["exact_dedup", "char_shingles", "word_shingles",
+           "minhash_signature", "minhash_lsh_pairs", "simhash",
+           "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs"]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash (hash-groupBy; one shuffle).
+
+    Returns one row per distinct content with the kept (min) id and the
+    duplicate count — the reference's own dedupe test semantics
+    (``test/test_bra.cpp:271-309``: identical inputs collapse).
+    """
+    return (df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """All k-char shingles (JVM-side; duplicates preserved)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.length(c) - (k - 1), F.lit(0))
+    return F.transform(F.sequence(F.lit(1), n),
+                       lambda i: c.substr(i, F.lit(k)))
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(c), " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per hash function h_k, min over shingles of
+    murmur3(shingle, seed=k). array<int> of length num_hashes."""
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda k: F.array_min(
+            F.transform(shingles, lambda s: F.hash(s, k))))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 32,
+                      bands: int = 8, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    shingle → minhash → band → bucket-join → verify: candidate pairs
+    come from an equality self-join on (band_idx, band_hash) — a plain
+    shuffle join that scales; the estimated Jaccard (signature agreement
+    fraction) filters candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(char_shingles(text_col, shingle_k),
+                          num_hashes).alias("sig"))
+    banded = sig.select(
+        "id", "sig",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.hash(F.concat_ws(
+                    ",", F.slice("sig", b * rows_per_band + 1,
+                                 rows_per_band))).alias("bh"))
+        )).alias("bk"))
+    left = banded.select("id", "sig", "bk")
+    right = (banded.select(F.col("id").alias("id2"),
+                           F.col("sig").alias("sig2"),
+                           F.col("bk").alias("bk2")))
+    pairs = (left.join(right,
+                       (F.col("bk") == F.col("bk2"))
+                       & (F.col("id") < F.col("id2")))
+             .select("id", "id2", "sig", "sig2").distinct())
+    est = pairs.select(
+        "id", "id2",
+        (F.size(F.filter(
+            F.zip_with("sig", "sig2", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1)) / F.lit(num_hashes)).alias("est_jaccard"))
+    return est.where(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def simhash(text: Column | str, shingle_k: int = 5,
+            n_bits: int = 64) -> Column:
+    """n_bits-wide SimHash over character shingles, JVM-side.
+
+    Per bit b: sign of Σ over shingles of (±1 by xxhash64 bit b); packed
+    into a long.
+    """
+    sh = char_shingles(text, shingle_k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    def bit_sum_for(mask):
+        # closure (not default arg): Spark introspects lambda arity
+        return F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(mask) != 0,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long")))
+
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        # signed-long masks: bit 63 is the sign bit
+        mask = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(bit_sum_for(mask) > 0, mask)
+            .otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_hamming: int = 8,
+                  prefix_bits: int = 16) -> DataFrame:
+    """SimHash near-dup pairs bucketed by signature prefix.
+
+    Candidates share a prefix_bits prefix (equality join — scalable
+    first cut of the multi-table Hamming scheme), verified by exact
+    Hamming distance ≤ max_hamming via bit_count(xor).
+    """
+    sigs = df.select(F.col(id_col).alias("id"),
+                     simhash(text_col).alias("sig"))
+    sigs = sigs.withColumn(
+        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    right = sigs.select(F.col("id").alias("id2"),
+                        F.col("sig").alias("sig2"),
+                        F.col("bucket").alias("bucket2"))
+    return (sigs.join(right, (F.col("bucket") == F.col("bucket2"))
+                      & (F.col("id") < F.col("id2")))
+            .withColumn("hamming",
+                        F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id", "id2", "hamming"))
+
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", shingle_k: int = 3,
+                  threshold: float = 0.3,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Exact word n-gram Jaccard for candidate pairs.
+
+    With ``candidates`` (id, id2) the comparison is join-pruned; without
+    (small inputs only) it degrades to the bucketless quadratic form.
+    Set sizes are exact integers → engine-portable.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_k)).alias("sh"))
+    right = sets_df.select(F.col("id").alias("id2"),
+                           F.col("sh").alias("sh2"))
+    if candidates is not None:
+        pairs = (candidates.join(sets_df, "id").join(right, "id2"))
+    else:
+        pairs = sets_df.crossJoin(right).where(F.col("id") < F.col("id2"))
+    return (pairs
+            .withColumn("inter",
+                        F.size(F.array_intersect("sh", "sh2")))
+            .withColumn("uni", F.size(F.array_union("sh", "sh2")))
+            .withColumn("jaccard", F.col("inter") / F.col("uni"))
+            .where(F.col("jaccard") >= threshold)
+            .select("id", "id2", "inter", "uni", "jaccard"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force baseline).
+
+    The scale path is the LSH-bucketed variant in
+    :mod:`br_archive_spark.functions.similarity`; this exact form is
+    the verification oracle for it.
+    """
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda a, x: a + x * x))
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("v"),
+                      norm.alias("n"))
+    right = base.select(F.col("id").alias("id2"), F.col("v").alias("v2"),
+                        F.col("n").alias("n2"))
+    dot = F.aggregate(F.zip_with("v", "v2", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    return (base.crossJoin(right).where(F.col("id") < F.col("id2"))
+            .withColumn("cosine", dot / (F.col("n") * F.col("n2")))
+            .where(F.col("cosine") >= threshold)
+            .select("id", "id2", "cosine"))

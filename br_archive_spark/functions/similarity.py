@@ -1,0 +1,110 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_topk` — brute-force exact top-k, all JVM-side
+  (``zip_with``/``aggregate`` dot products + window rank). The
+  correctness baseline; O(n·m) — fine for a broadcast-able query set,
+  which is the common "find neighbors for these 1k probes in 10^9 docs"
+  shape: broadcast the probes, scan the corpus once.
+* :func:`lsh_topk` — random-hyperplane LSH bucketed variant: sign
+  sketch → bucket equality join → exact cosine only within buckets.
+  The 100 TB path: candidate generation is a shuffle join on the
+  sketch, never a cross join.
+
+Hyperplanes are derived deterministically from ``xxhash64(dim, plane)``
+so results are reproducible with no driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["with_norm", "cosine_topk", "lsh_topk"]
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "_norm", F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                                    lambda a, x: a + x * x)))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                broadcast_queries: bool = True) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine). Self-matches
+    excluded. Ties broken by neighbor id for determinism.
+    """
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (c.crossJoin(q)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+def _sketch(vec_col: str, planes: int):
+    """Sign sketch: bit b = sign(Σ_d v[d] · w(d, b)) with deterministic
+    pseudo-random ±1 weights derived from xxhash64(d, b)."""
+    def weight(d, b: int):
+        return F.when(
+            F.xxhash64(d.cast("string"), F.lit(str(b)))
+            .bitwiseAND(F.lit(1).cast("long")) == 1,
+            F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def proj_for(b: int):
+        # closure (not default arg): Spark introspects lambda arity
+        return F.aggregate(
+            F.zip_with(F.col(vec_col),
+                       F.sequence(F.lit(0), F.size(vec_col) - 1),
+                       lambda v, d: v * weight(d, b)),
+            F.lit(0.0), lambda a, x: a + x)
+
+    acc = F.lit(0).cast("long")
+    for b in range(planes):
+        acc = acc.bitwiseOR(
+            F.when(proj_for(b) > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return acc
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             planes: int = 12, dim: int = 64) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to same-LSH-bucket
+    candidates (single-probe). Recall < 1 by construction; compare with
+    :func:`cosine_topk` to measure."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        _sketch(vec_col, planes).alias("_bucket"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        _sketch(vec_col, planes).alias("_qbucket"))
+    scored = (c.join(q, F.col("_bucket") == F.col("_qbucket"))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine",
+                          _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))

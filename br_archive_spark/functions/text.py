@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path math is JVM-side ``pyspark.sql.functions`` expressions
+(whole-stage codegen, no Python) — these compose with the codec engine:
+score → filter → encode is one Spark plan with a single shuffle at the
+encode repartition.
+
+Cross-engine determinism: every operator here is built from exact
+integer/string primitives (``length``/``replace`` counting, ``split``)
+so a DuckDB oracle can reproduce results bit-for-bit — the property the
+driver's correctness gate needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["token_count", "occurrence_count", "punct_count",
+           "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (single-space separated corpora)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), " "))).cast("int")
+
+
+def occurrence_count(text: Column | str, needle: str) -> Column:
+    """Exact substring occurrence count via replace-length arithmetic —
+    identical semantics in every SQL engine (no regex dialects)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return ((F.length(c) - F.length(F.replace(c, F.lit(needle), F.lit(""))))
+            / len(needle)).cast("int")
+
+
+_PUNCT = [".", ",", "!", "?", ";", ":"]
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for p in _PUNCT:
+        total = total + (F.length(c) - F.length(F.replace(c, F.lit(p),
+                                                          F.lit(""))))
+    return total.cast("int")
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def quality_score(text: Column | str) -> Column:
+    """Integer-arithmetic quality heuristic in [0, 100]:
+    rewards stopword presence and moderate length, penalizes
+    punctuation excess. Deterministic across engines (all-int math)."""
+    c = F.col(text) if isinstance(text, str) else text
+    ntok = token_count(c)
+    stop = F.lit(0)
+    for w in _STOPWORDS:
+        stop = stop + occurrence_count(F.concat(F.lit(" "), c, F.lit(" ")),
+                                       f" {w} ")
+    # integer percentages: FLOOR explicitly — CAST-to-int truncates in
+    # Spark but rounds in DuckDB, so never cast an unfloored quotient
+    stop_pct = F.floor(
+        F.when(ntok > 0, (stop * 100) / ntok).otherwise(0)).cast("int")
+    len_score = F.when(ntok.between(20, 2000), 40).when(
+        ntok.between(5, 5000), 20).otherwise(0)
+    punct_pen = F.when(punct_count(c) * 10 > F.length(c), 20).otherwise(0)
+    raw = len_score + F.least(stop_pct * 2, F.lit(60)) - punct_pen
+    return F.greatest(F.least(raw, F.lit(100)), F.lit(0)).cast("int")
+
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "und", "nicht", "das"],
+    "fr": ["le", "et", "les", "des"],
+    "es": ["el", "y", "los", "las"],
+    "en": ["the", "and", "of", "to"],
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Marker-word language heuristic (n-gram-style language ID).
+
+    Counts marker-word hits per language on space-padded text and takes
+    the argmax with a fixed tie order (de→fr→es→en), defaulting to
+    'en'. Pure replace-count arithmetic so the identical rule runs as a
+    SQL oracle.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), c, F.lit(" "))
+    scores = {}
+    for lang, words in LANG_MARKERS.items():
+        s = F.lit(0)
+        for w in words:
+            s = s + occurrence_count(padded, f" {w} ")
+        scores[lang] = s
+    best = F.lit("en")
+    best_score = scores["en"]
+    for lang in ("es", "fr", "de"):  # later wins ties → de>fr>es>en priority
+        cond = scores[lang] >= best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return F.when(scores["de"] + scores["fr"] + scores["es"]
+                  + scores["en"] == 0, F.lit("unknown")).otherwise(best)
+
+
+def fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
+    """Order-sensitive document fingerprint (rolling polynomial hash).
+
+    ``hash = Σ (ascii(word_i) + len(word_i)) * 31^i  (mod M)`` over
+    whitespace tokens, computed JVM-side with ``aggregate`` — a
+    Rabin-Karp-style rolling fingerprint for near-dup prefiltering.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(c), " ")
+    return F.aggregate(
+        words,
+        F.struct(F.lit(0).cast("long").alias("h"),
+                 F.lit(1).cast("long").alias("p")),
+        lambda acc, w: F.struct(
+            ((acc["h"] + (F.ascii(w) + F.length(w)) * acc["p"])
+             % modulus).alias("h"),
+            ((acc["p"] * 31) % modulus).alias("p")),
+        lambda acc: acc["h"])
