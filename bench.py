@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR plus the
+encode-throughput / scaling-efficiency measurement from BASELINE.md.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "encode": {...}, "scaling": {...}}
+
+* ``queries``: per-query wall seconds at the given scale factor on
+  local[$SPARK_GRAFT_CPUS].
+* ``encode``: tokens/s + bytes/token on the deterministic synthetic
+  Zipf token table (the workload the reference baseline of
+  0.39 Mtok/s and 1.22 B/token was measured on — BASELINE.md).
+* ``scaling``: the same encode job at local[N/4] vs local[N] on the
+  identical parquet input (separate JVMs), standing in for N→4N
+  executors per the sandbox rule; efficiency = (t_small/t_big)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+# N for the N→4N scaling pair. Default 4 (→16): this host's 32 vCPUs
+# are 2-way SMT over ~16 physical cores — a pure-NumPy multiprocess
+# microbench tops out at ~0.53 per-core efficiency at 32 procs, so
+# 8→32 measures hyperthread contention, not the engine. 4→16 stays on
+# physical cores, which is what N→4N *executors* on a real cluster
+# (separate machines) corresponds to.
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+HEADLINE = [
+    "roundtrip_lineitem_tokens",
+    "compression_stats",
+    "pricing_summary",
+    "top_revenue_orders",
+    "events_hourly",
+    "dedup_exact",
+    "text_stats",
+    "minhash_pairs",
+    "knn_cosine",
+]
+
+
+def _run_worker(cpus: int, docs: int, input_path: str, output_path: str,
+                parts: int, generate_only: bool = False,
+                write: bool = False) -> dict:
+    cmd = [sys.executable, "-m", "br_archive_spark.bench_worker",
+           "--cpus", str(cpus), "--docs", str(docs),
+           "--input", input_path, "--output", output_path,
+           "--parts", str(parts)]
+    if generate_only:
+        cmd.append("--generate-only")
+    if write:
+        cmd.append("--write")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         cwd=REPO, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_encode_scaling() -> tuple[dict, dict]:
+    os.makedirs(CACHE, exist_ok=True)
+    input_path = os.path.join(CACHE, f"tokens_{BENCH_DOCS}.parquet")
+    out_big = os.path.join(CACHE, "enc_big.parquet")
+    out_small = os.path.join(CACHE, "enc_small.parquet")
+    parts = max(CPUS * 2, 16)
+
+    # generate once (deterministic regardless of parallelism)
+    if not os.path.exists(input_path):
+        _run_worker(CPUS, BENCH_DOCS, input_path, out_big, parts,
+                    generate_only=True)
+
+    small, big = SCALE_N, SCALE_N * 4
+    r_small = _run_worker(small, BENCH_DOCS, input_path, out_small, parts)
+    r_big = _run_worker(big, BENCH_DOCS, input_path, out_big, parts,
+                        write=True)
+
+    tokens = r_big["tokens"]
+    encode = {
+        "tokens": tokens,
+        "tokens_per_sec": round(tokens / r_big["t_encode"]),
+        "bytes_per_token": round(r_big["enc_bytes"] / tokens, 4),
+        "ratio": round(r_big["enc_bytes"] / r_big["orig_bytes"], 4),
+        "t_encode_sec": r_big["t_encode"],
+        "t_write_sec": r_big.get("t_write"),
+        "chunks": r_big["chunks"],
+        "cpus": big,
+    }
+    speedup = r_small["t_encode"] / r_big["t_encode"]
+    scaling = {
+        "cpus_small": small,
+        "cpus_big": big,
+        "t_small_sec": r_small["t_encode"],
+        "t_big_sec": r_big["t_encode"],
+        "tokens_per_sec_small": round(tokens / r_small["t_encode"]),
+        "tokens_per_sec_big": round(tokens / r_big["t_encode"]),
+        "speedup": round(speedup, 3),
+        "efficiency": round(speedup / (big / small), 3),
+    }
+    return encode, scaling
+
+
+def bench_queries() -> dict:
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    from br_archive_spark.plans import get_spark
+
+    spark = get_spark(f"local[{CPUS}]", app_name="bra-bench-queries",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qmap = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qmap[name](spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times
+
+
+def main() -> None:
+    encode, scaling = bench_encode_scaling()
+    queries = bench_queries()
+    total = round(sum(queries.values()) + encode["t_encode_sec"], 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries+encode wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "encode": encode,
+        "scaling": scaling,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Subprocess bench worker: one (master, job) measurement per JVM.
+
+Spark can't change ``master`` after the JVM starts, so each parallelism
+level runs in its own process; ``bench.py`` orchestrates and compares.
+
+Measurement discipline for the N→4N scaling evidence:
+
+* **Pinned split planning.** ``maxPartitionBytes`` ==
+  ``openCostInBytes`` pins ``maxSplitBytes`` to a constant — otherwise
+  Spark's ``bytesPerCore`` term makes splits (and thus chunk
+  boundaries and task counts) depend on core count, and the two runs
+  would encode different plans.
+* **Warm Python workers.** A no-op mapInArrow pass spawns and warms the
+  Arrow workers (imports, JIT) before the timer starts, so the measured
+  region is the encode computation, not process spawn.
+* **Compute-bound action.** The timed action is a manifest aggregation
+  (forces every chunk to encode); the single local disk would otherwise
+  serialize the sink and mask compute scaling. Sink throughput is
+  measured separately (``t_write``).
+
+Prints one JSON line with timings and manifest totals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+_SCAN_CONF = {
+    "spark.sql.files.maxPartitionBytes": "8m",
+    "spark.sql.files.openCostInBytes": "8m",
+    "spark.ui.enabled": "false",
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--docs", type=int, required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--parts", type=int, default=64)
+    ap.add_argument("--generate-only", action="store_true")
+    ap.add_argument("--write", action="store_true",
+                    help="also measure encode→parquet sink time")
+    ap.add_argument("--trials", type=int, default=2,
+                    help="warm trials after the cold pass")
+    args = ap.parse_args()
+
+    import pyarrow  # noqa: F401  (fail fast if missing)
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import encode_table
+    from br_archive_spark.plans import get_spark
+
+    spark = get_spark(f"local[{args.cpus}]",
+                      app_name=f"bra-bench-{args.cpus}",
+                      shuffle_partitions=args.parts,
+                      extra_conf=_SCAN_CONF)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    if not os.path.exists(args.input):
+        token_table(spark, args.docs).write.parquet(args.input)
+    t_gen = time.time() - t0
+    if args.generate_only:
+        print(json.dumps({"t_gen": round(t_gen, 3)}))
+        spark.stop()
+        return
+
+    # warm the Arrow Python workers (one per core) before timing
+    def _noop(it):
+        import numpy  # noqa: F401
+        for b in it:
+            yield b
+
+    (spark.range(0, args.cpus * 2, 1, args.cpus * 2)
+     .mapInArrow(_noop, "id long").count())
+
+    src = spark.read.parquet(args.input)
+
+    # 1 cold + N warm trials; report the warm median (local JVM JIT and
+    # OS page cache make the first pass unrepresentative of steady state)
+    trials = []
+    stats = None
+    for _ in range(1 + args.trials):
+        t1 = time.time()
+        enc = encode_table(src, mode="scan")
+        stats = enc.agg(F.sum("n_values"), F.sum("enc_bytes"),
+                        F.sum("orig_bytes"), F.count("*")).collect()[0]
+        trials.append(time.time() - t1)
+    warm = sorted(trials[1:])
+    t_encode = warm[len(warm) // 2]
+
+    result = {
+        "t_gen": round(t_gen, 3),
+        "t_encode": round(t_encode, 3),
+        "t_cold": round(trials[0], 3),
+        "trials": [round(t, 3) for t in trials],
+        "tokens": int(stats[0]),
+        "enc_bytes": int(stats[1]),
+        "orig_bytes": int(stats[2]),
+        "chunks": int(stats[3]),
+    }
+    if args.write:
+        shutil.rmtree(args.output, ignore_errors=True)
+        t2 = time.time()
+        encode_table(src, mode="scan").write.mode("overwrite") \
+            .parquet(args.output)
+        result["t_write"] = round(time.time() - t2, 3)
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

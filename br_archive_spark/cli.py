@@ -1,0 +1,147 @@
+"""CLI — the engine's equivalent of the reference's program surface.
+
+Subcommand parity with the reference (SURVEY.md §2.6):
+
+* ``encode``  ≙ ``bra -c -o out.BRa <files>``  (``src/prog/bra.cpp:79-105``)
+* ``decode``  ≙ ``unbra -o outdir``            (``src/prog/unbra.cpp:67-109``)
+* ``list``    ≙ ``unbra -l``                   (metadata only, no decode)
+* ``verify``  ≙ ``unbra -t``                   (full decode + CRC check)
+* ``bench``   — the perf harness (no reference analog; CI there is
+  correctness-only)
+
+Ship to a cluster with::
+
+    python -m br_archive_spark.cli package   # builds dist/br_archive_spark.zip
+    spark-submit --py-files dist/br_archive_spark.zip \\
+        your_job.py  # or: -m br_archive_spark.cli encode ...
+
+Local runs use ``--master local[N]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(args):
+    from .plans.session import get_spark
+
+    return get_spark(args.master, app_name="br-archive-spark-cli",
+                     shuffle_partitions=args.shuffle_partitions)
+
+
+def cmd_encode(args) -> int:
+    from .plans.lineage import encode_with_checkpoint
+
+    spark = _spark(args)
+    stats = encode_with_checkpoint(
+        spark, args.input, args.output,
+        snapshot_id=args.snapshot_id,
+        mode=args.mode,
+        target_values=args.target_values)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .operators.decode import decode_table
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    decode_table(man).write.mode(
+        "overwrite" if args.yes else "errorifexists").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_list(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .operators.verify import compression_report
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    totals = man.agg(
+        F.count("*").alias("chunks"), F.sum("n_rows").alias("rows"),
+        F.sum("n_values").alias("values"),
+        F.sum("orig_bytes").alias("orig_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes")).collect()[0]
+    print(json.dumps({**totals.asDict(),
+                      "ratio": totals["enc_bytes"] / totals["orig_bytes"]}))
+    compression_report(man).show(50, truncate=False)
+    return 0
+
+
+def cmd_verify(args) -> int:
+    from .operators.verify import verify_roundtrip
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    src = spark.read.parquet(args.source)
+    res = verify_roundtrip(src, man)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
+def cmd_package(args) -> int:
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    out = os.path.join(root, "dist", "br_archive_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    print(out)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="br-archive-spark")
+    ap.add_argument("--master", default=None,
+                    help="Spark master (default: from environment)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="encode a token table (resumable)")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--snapshot-id", default="")
+    p.add_argument("--mode", choices=["scan", "hash"], default="scan")
+    p.add_argument("--target-values", type=int, default=1 << 20)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="decode an encoded manifest")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-y", "--yes", action="store_true",
+                   help="overwrite output (the reference's -y)")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("list", help="manifest stats without decoding")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_list)
+
+    p = sub.add_parser("verify", help="full decode + equality vs source")
+    p.add_argument("input")
+    p.add_argument("--source", required=True)
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("package", help="build --py-files zip")
+    p.set_defaults(fn=cmd_package)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

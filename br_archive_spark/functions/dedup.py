@@ -50,13 +50,31 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: per hash function h_k, min over shingles of
-    murmur3(shingle, seed=k). array<int> of length num_hashes."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda k: F.array_min(
-            F.transform(shingles, lambda s: F.hash(s, k))))
+def _i64(x: int) -> int:
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+_MIX_M = _i64(0xBF58476D1CE4E5B9)   # splitmix64 constants
+_MIX_C = 0x9E3779B97F4A7C15
+
+
+def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from PRE-HASHED shingles (array<long>).
+
+    Each string shingle is hashed exactly once upstream
+    (``transform(shingles, xxhash64)``); the k hash families are derived
+    by splitmix-style integer mixing — pure long arithmetic in codegen,
+    so signature cost is O(shingles · k) long ops, not k string hashes
+    per shingle.
+    """
+    def mixed_min(k: int):
+        c = F.lit(_i64(_MIX_C * (k + 1))).cast("long")
+        return F.array_min(F.transform(
+            shingle_hashes,
+            lambda h: (h.bitwiseXOR(c) * F.lit(_MIX_M).cast("long"))))
+
+    return F.array(*[mixed_min(k) for k in range(num_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -71,10 +89,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     fraction) filters candidates.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    hashed = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(char_shingles(text_col, shingle_k),
-                          num_hashes).alias("sig"))
+        F.transform(char_shingles(text_col, shingle_k),
+                    lambda s: F.xxhash64(s)).alias("_sh"))
+    sig = hashed.select(
+        "id", minhash_signature(F.col("_sh"), num_hashes).alias("sig"))
     banded = sig.select(
         "id", "sig",
         F.explode(F.transform(

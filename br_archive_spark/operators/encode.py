@@ -11,20 +11,23 @@ archive file — disappears because every task writes its own output rows.
 
 Scale design (100 TB / 1000 executors):
 
-* **One shuffle, by design.** Rows are hash-partitioned once on
-  ``xxhash64(key)`` into an explicit ``_part`` id; everything downstream
-  (sort, chunking, encoding) is partition-local. The partition count is a
-  parameter — at 10^12 sequences you set it so a partition's token payload
-  (~rows × avg n_tok × 4 B) stays well under executor memory.
-* **Skew.** Hash partitioning spreads hot ``source`` values; a partition
-  holds thousands of docs so heavy-tailed doc lengths average out
-  (size-targeted chunking inside the partition bounds any residual skew —
-  a 50× doc just closes its chunk sooner). AQE handles the rest at join
-  time elsewhere.
-* **Determinism.** ``sortWithinPartitions(_part, key)`` makes chunk
-  contents and boundaries a pure function of the input — reruns and
-  resumed runs produce byte-identical chunks (the property the reference
-  gets trivially from sequential scanning).
+* **Zero shuffles on the bulk path (mode="scan", default).** Encoding is
+  embarrassingly parallel — hash-shuffling 100 TB just to group rows
+  would dominate the job. Scan mode chunks rows per *input split*:
+  Spark plans parquet splits by bytes (``files.maxPartitionBytes``),
+  independent of executor count, so chunk boundaries are deterministic
+  for a given input layout whether 8 or 1000 executors run the job.
+  ``part_id`` is the split index (``TaskContext.partitionId``), which is
+  also resume-stable.
+* **mode="hash": one explicit shuffle when the layout is adversarial**
+  (millions of tiny files, or a content-addressed partitioning is
+  needed): rows are hash-partitioned on ``xxhash64(key)`` into an
+  explicit ``_part`` id and sorted within partitions, making chunks a
+  pure function of table *content* rather than file layout.
+* **Skew.** Hash-salted partitioning spreads hot ``source`` values; in
+  both modes size-targeted chunking bounds residual doc-length skew —
+  a 50× doc just closes its chunk sooner, and a split's work is
+  proportional to its bytes, not its row count.
 * **Zero per-row Python.** ``mapInArrow`` hands the UDF Arrow record
   batches; list/string columns are consumed as flat buffers
   (values+offsets), never materialized as Python objects.
@@ -69,6 +72,7 @@ MANIFEST_SCHEMA = pa.schema([
     ("part_id", pa.int32()),
     ("chunk_idx", pa.int32()),
     ("snapshot_id", pa.string()),
+    ("input_file", pa.string()),
     ("n_rows", pa.int64()),
     ("n_values", pa.int64()),
     ("orig_bytes", pa.int64()),
@@ -80,6 +84,7 @@ MANIFEST_SCHEMA = pa.schema([
 
 MANIFEST_SPARK_SCHEMA = (
     "chunk_id string, part_id int, chunk_idx int, snapshot_id string, "
+    "input_file string, "
     "n_rows long, n_values long, orig_bytes long, enc_bytes long, "
     "checksum long, checksum_algo string, "
     "columns array<struct<name:string,kind:string,codec:string,"
@@ -117,27 +122,46 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
 
 
 def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
-                    snapshot_id: str, codecs: tuple[str, ...] | None):
+                    snapshot_id: str, codecs: tuple[str, ...] | None,
+                    part_from_task: bool = False,
+                    track_file: bool = False):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pending: dict[int, list[pa.Table]] = {}
-        pending_vals: dict[int, int] = {}
-        chunk_counters: dict[int, int] = {}
+        import zlib
 
-        def flush(part: int) -> pa.RecordBatch:
-            tbl = pa.concat_tables(pending.pop(part)).combine_chunks()
-            pending_vals.pop(part)
-            idx = chunk_counters.get(part, 0)
-            chunk_counters[part] = idx + 1
+        task_part = 0
+        if part_from_task:
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            task_part = ctx.partitionId() if ctx is not None else 0
+        # key = (part_id, input_file) — file is "" when not tracked
+        pending: dict[tuple[int, str], list[pa.Table]] = {}
+        pending_vals: dict[tuple[int, str], int] = {}
+        chunk_counters: dict[tuple[int, str], int] = {}
+
+        def flush(key: tuple[int, str]) -> pa.RecordBatch:
+            part, infile = key
+            tbl = pa.concat_tables(pending.pop(key)).combine_chunks()
+            pending_vals.pop(key)
+            idx = chunk_counters.get(key, 0)
+            chunk_counters[key] = idx + 1
             entries = [encode_column(name, kind, _extract(tbl, name, kind),
                                      codecs)
                        for name, kind in specs]
             checksum = chunk_checksum(*[e["payload"] for e in entries])
+            if infile:
+                # file-content-addressed id: stable across resumed runs
+                fhash = zlib.crc32(infile.encode()) & 0xFFFFFFFF
+                chunk_id = f"{fhash:08x}:{part:06d}:{idx:05d}"
+            else:
+                chunk_id = f"{part:08d}:{idx:06d}"
             row = {
-                "chunk_id": f"{part:08d}:{idx:06d}",
+                "chunk_id": chunk_id,
                 "part_id": part,
                 "chunk_idx": idx,
                 "snapshot_id": snapshot_id,
+                "input_file": infile,
                 "n_rows": tbl.num_rows,
                 "n_values": _n_values(tbl, specs),
                 "orig_bytes": sum(e["orig_bytes"] for e in entries),
@@ -148,24 +172,39 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             }
             return pa.RecordBatch.from_pylist([row], schema=MANIFEST_SCHEMA)
 
-        for batch in batches:
+        def batch_pieces(batch: pa.RecordBatch):
             tbl = pa.Table.from_batches([batch])
+            if part_from_task and not track_file:
+                return [((task_part, ""), tbl)]
+            if part_from_task:
+                files = batch.column("_file").to_pylist()
+                tbl = tbl.drop_columns(["_file"])
+                bounds = [0] + [i for i in range(1, len(files))
+                                if files[i] != files[i - 1]] + [len(files)]
+                return [((task_part, files[bounds[i]]),
+                         tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                        for i in range(len(bounds) - 1)]
             parts = batch.column("_part").to_numpy(zero_copy_only=False)
-            # rows arrive sorted by (_part, key): part runs are contiguous
+            # rows arrive sorted by (_part, key): runs are contiguous
             bounds = np.concatenate(
                 ([0], np.flatnonzero(np.diff(parts)) + 1, [len(parts)]))
-            for i in range(len(bounds) - 1):
-                lo, hi = int(bounds[i]), int(bounds[i + 1])
-                part = int(parts[lo])
-                piece = tbl.slice(lo, hi - lo).drop_columns(["_part"])
-                pending.setdefault(part, []).append(piece)
-                pending_vals[part] = pending_vals.get(part, 0) + \
+            return [
+                ((int(parts[int(bounds[i])]), ""),
+                 tbl.slice(int(bounds[i]),
+                           int(bounds[i + 1]) - int(bounds[i]))
+                 .drop_columns(["_part"]))
+                for i in range(len(bounds) - 1)]
+
+        for batch in batches:
+            for key, piece in batch_pieces(batch):
+                pending.setdefault(key, []).append(piece)
+                pending_vals[key] = pending_vals.get(key, 0) + \
                     _n_values(piece, specs)
-                if pending_vals[part] >= target_values:
+                if pending_vals[key] >= target_values:
                     # size-targeted cut: emit what has accumulated
-                    yield flush(part)
-        for part in sorted(pending):
-            yield flush(part)
+                    yield flush(key)
+        for key in sorted(pending):
+            yield flush(key)
 
     return encode_fn
 
@@ -176,21 +215,43 @@ def encode_table(df: DataFrame,
                  num_parts: int | None = None,
                  target_values: int = 1 << 20,
                  snapshot_id: str = "",
-                 codecs: tuple[str, ...] | None = None) -> DataFrame:
+                 codecs: tuple[str, ...] | None = None,
+                 mode: str = "scan",
+                 track_input_file: bool = False) -> DataFrame:
     """Encode ``df`` into a manifest DataFrame of compressed chunks.
 
-    ``num_parts`` is the explicit partitioning knob: at 100 TB set it so
-    each partition's flattened token payload fits executor memory
-    (e.g. total_tokens × 4 B / num_parts ≈ 256 MB). Defaults to the
-    session's shuffle parallelism.
+    ``mode="scan"`` (default): zero-shuffle — chunks follow input
+    splits; deterministic for a fixed input file layout and scan config
+    regardless of executor count. The 100 TB bulk path.
+
+    ``mode="hash"``: one explicit shuffle on ``xxhash64(key) % num_parts``
+    with a partition-local sort — chunks become a pure function of table
+    content (layout-independent); use for adversarial file layouts or
+    content-addressed resume. ``num_parts`` is the explicit knob: size it
+    so a partition's flattened token payload fits executor memory
+    (total_tokens × 4 B / num_parts ≲ 256 MB).
     """
     specs = specs or TOKEN_SPECS
+    cols = [name for name, _ in specs]
+    if mode == "scan":
+        sel = [F.col(c) for c in cols]
+        if track_input_file:
+            # lineage column: chunks carry their source file so resumed
+            # runs can skip already-encoded files (plans.lineage)
+            sel.append(F.input_file_name().alias("_file"))
+        prepared = df.select(*sel)
+        fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
+                             part_from_task=True,
+                             track_file=track_input_file)
+        return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
+    if mode != "hash":
+        raise ValueError(f"unknown encode mode {mode!r}")
     spark = df.sparkSession
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = F.pmod(F.xxhash64(F.col(key)), F.lit(num_parts)).cast("int")
     prepared = (df
-                .select(*[name for name, _ in specs], part.alias("_part"))
+                .select(*cols, part.alias("_part"))
                 .repartition(num_parts, "_part")
                 .sortWithinPartitions("_part", key))
     fn = _make_encode_fn(specs, target_values, snapshot_id, codecs)
