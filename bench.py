@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -28,12 +29,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
-# N for the N→4N scaling pair. Default 4 (→16): this host's 32 vCPUs
-# are 2-way SMT over ~16 physical cores — a pure-NumPy multiprocess
-# microbench tops out at ~0.53 per-core efficiency at 32 procs, so
-# 8→32 measures hyperthread contention, not the engine. 4→16 stays on
-# physical cores, which is what N→4N *executors* on a real cluster
-# (separate machines) corresponds to.
+# N for the N→4N scaling pair. Default 4 (→16): each local[N] run is
+# ALSO cpuset-pinned to N hardware threads (see _run_worker), so the
+# pair emulates two cluster sizes honestly; 4→16 leaves headroom for
+# the measuring host itself, while 8→32 would saturate every hardware
+# thread and measure the host's bandwidth ceiling (a pure-NumPy
+# microbench shows ~0.53 per-core efficiency at 32 procs), not the
+# engine's scaling.
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 CACHE = os.path.join(REPO, ".bench_cache")
 
@@ -52,11 +54,17 @@ HEADLINE = [
 
 def _run_worker(cpus: int, docs: int, input_path: str, output_path: str,
                 parts: int, generate_only: bool = False,
-                write: bool = False) -> dict:
+                write: bool = False, pin: bool = False) -> dict:
     cmd = [sys.executable, "-m", "br_archive_spark.bench_worker",
            "--cpus", str(cpus), "--docs", str(docs),
            "--input", input_path, "--output", output_path,
            "--parts", str(parts)]
+    if pin and shutil.which("taskset"):
+        # pin the WHOLE process tree (JVM + Python workers) to exactly
+        # `cpus` hardware threads: local[N] alone lets the JVM's scan/
+        # IPC threads overflow onto idle cores, which would let the
+        # small "cluster" borrow hardware a real N-core cluster lacks
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     if generate_only:
         cmd.append("--generate-only")
     if write:
@@ -80,9 +88,20 @@ def bench_encode_scaling() -> tuple[dict, dict]:
                     generate_only=True)
 
     small, big = SCALE_N, SCALE_N * 4
-    r_small = _run_worker(small, BENCH_DOCS, input_path, out_small, parts)
-    r_big = _run_worker(big, BENCH_DOCS, input_path, out_big, parts,
-                        write=True)
+    # interleave the two levels and keep the best wall per level: this
+    # host's effective clock drifts ~2x under sustained load (cloud
+    # turbo/credits), so single paired runs are noise-dominated
+    t_small_best, t_big_best = float("inf"), float("inf")
+    r_small = r_big = None
+    for _ in range(2):
+        r = _run_worker(small, BENCH_DOCS, input_path, out_small, parts,
+                        pin=True)
+        if r["t_encode"] < t_small_best:
+            t_small_best, r_small = r["t_encode"], r
+        r = _run_worker(big, BENCH_DOCS, input_path, out_big, parts,
+                        write=True, pin=True)
+        if r["t_encode"] < t_big_best:
+            t_big_best, r_big = r["t_encode"], r
 
     tokens = r_big["tokens"]
     encode = {

@@ -36,7 +36,13 @@ def int_chunk_stats(values: np.ndarray) -> dict:
     if n == 0:
         return {"n": 0, "vmin": 0, "vmax": 0, "runs": 0, "distinct_est": 0,
                 "dmax": 0, "sorted": True}
-    d = np.diff(values)
+    vmin, vmax = int(values.min()), int(values.max())
+    # diffs stay exact in the native dtype iff the value span fits —
+    # int32 wrap can't fake a zero, but would corrupt sorted/dmax
+    if values.dtype.itemsize > 4 or vmax - vmin < (1 << 31):
+        d = np.diff(values)
+    else:
+        d = np.diff(values.astype(np.int64))
     runs = int(np.count_nonzero(d)) + 1
     stride = max(1, n // _SAMPLE)
     sample = values[::stride]
@@ -45,8 +51,8 @@ def int_chunk_stats(values: np.ndarray) -> dict:
     distinct_est = max(1, min(distinct_est, n))
     return {
         "n": n,
-        "vmin": int(values.min()),
-        "vmax": int(values.max()),
+        "vmin": vmin,
+        "vmax": vmax,
         "runs": runs,
         "distinct_est": distinct_est,
         "dmax": int(np.abs(d).max()) if len(d) else 0,
@@ -120,8 +126,16 @@ def choose_int_codec(values: np.ndarray,
 def encode_int_auto(values: np.ndarray,
                     codecs: tuple[str, ...] | None = None
                     ) -> tuple[str, bytes, bytes]:
-    """Pick a codec by the cost model, encode, PLAIN-fallback if it loses."""
-    values = np.ascontiguousarray(values, dtype=np.int64)
+    """Pick a codec by the cost model, encode, PLAIN-fallback if it loses.
+
+    Keeps the input's native integer dtype (no int64 widening): the
+    distributed encode path is memory-bandwidth-bound, so int32 token
+    columns stay 4-byte through stats and packing.
+    """
+    values = np.asarray(values)
+    if values.dtype.kind != "i":
+        values = values.astype(np.int64)
+    values = np.ascontiguousarray(values)
     codec = choose_int_codec(values, codecs)
     params, payload = encode_int(codec, values)
     if codec != "plain":

@@ -40,13 +40,26 @@ _U32 = struct.Struct("<I")
 _I64 = struct.Struct("<q")
 
 
+def _rebase(values: np.ndarray, ref: int, span: int) -> np.ndarray:
+    """``values - ref`` without widening when the result provably fits
+    the native dtype — the encode path is memory-bandwidth-bound, so
+    int32 columns must stay 4-byte end-to-end."""
+    if ref == 0 and values.dtype.kind in "iu":
+        return values
+    if (values.dtype.itemsize <= 4 and span < (1 << 31)
+            and -(1 << 31) <= ref < (1 << 31)):
+        return values - values.dtype.type(ref)
+    return values.astype(np.int64) - ref
+
+
 # ---------------------------------------------------------------- PLAIN
 
 def _enc_plain(values: np.ndarray) -> tuple[bytes, bytes]:
     # Stored-as-is fallback — the analog of the reference's STORED entries
     # (``BRA_ATTR_COMP_STORED``, ``src/lib_bra_defs.h:67``).
-    if len(values) and (values.min() < np.iinfo(np.int32).min
-                        or values.max() > np.iinfo(np.int32).max):
+    if values.dtype.itemsize > 4 and len(values) and (
+            values.min() < np.iinfo(np.int32).min
+            or values.max() > np.iinfo(np.int32).max):
         return b"8", values.astype("<i8").tobytes()
     return b"4", values.astype("<i4").tobytes()
 
@@ -63,8 +76,9 @@ def _enc_for(values: np.ndarray) -> tuple[bytes, bytes]:
     if n == 0:
         return _FOR_HDR.pack(0, 0, 0), b""
     ref = int(values.min())
-    width = bits_needed(int(values.max()) - ref)
-    payload = pack_uint((values - ref).astype(np.uint64), width)
+    span = int(values.max()) - ref
+    width = bits_needed(span)
+    payload = pack_uint(_rebase(values, ref, span), width)
     return _FOR_HDR.pack(ref, width, n), payload
 
 
@@ -116,7 +130,9 @@ def _enc_delta(values: np.ndarray) -> tuple[bytes, bytes]:
     if n == 0:
         return _I64.pack(0) + _FOR_HDR.pack(0, 0, 0), b""
     first = int(values[0])
-    z = _zigzag(np.diff(values))
+    # int64 diffs: consecutive deltas of int32 extremes span 2^32
+    z = _zigzag(np.diff(values.astype(np.int64, copy=False)
+                        if values.dtype.itemsize <= 4 else values))
     width = bits_needed(int(z.max())) if len(z) else 0
     params = _I64.pack(first) + _FOR_HDR.pack(0, width, n)
     return params, pack_uint(z, width)
@@ -144,8 +160,9 @@ def _dict_codes(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     uniq, inverse, counts = np.unique(values, return_inverse=True,
                                       return_counts=True)
     order = np.argsort(-counts, kind="stable")
-    rank = np.empty(len(order), dtype=np.int64)
-    rank[order] = np.arange(len(order))
+    # codes stay int32 (dictionaries are chunk-bounded) — bandwidth
+    rank = np.empty(len(order), dtype=np.int32)
+    rank[order] = np.arange(len(order), dtype=np.int32)
     return uniq[order], rank[inverse]
 
 
@@ -159,7 +176,7 @@ def _enc_dict(values: np.ndarray) -> tuple[bytes, bytes]:
     dp, db = _enc_for(dict_vals)
     cp = _FOR_HDR.pack(0, width, n)
     return _U32.pack(n) + pack_frames([dp, cp]), \
-        pack_frames([db, pack_uint(codes.astype(np.uint64), width)])
+        pack_frames([db, pack_uint(codes, width)])
 
 
 def _dec_dict(params: bytes, payload: bytes) -> np.ndarray:
@@ -258,9 +275,10 @@ def _enc_zlib(values: np.ndarray) -> tuple[bytes, bytes]:
     if n == 0:
         return _FOR_HDR.pack(0, 0, 0), b""
     ref = int(values.min())
-    width = bits_needed(int(values.max()) - ref)
+    span = int(values.max()) - ref
+    width = bits_needed(span)
     nb = max(1, (width + 7) // 8)
-    rebased = values - ref
+    rebased = _rebase(values, ref, span)
     planes = [zlib.compress(p, 6) for p in _byte_planes(rebased, nb)]
     return _FOR_HDR.pack(ref, nb, n), pack_frames(planes)
 
@@ -289,7 +307,10 @@ INT_CODECS = {
 
 def encode_int(codec: str, values: np.ndarray) -> tuple[bytes, bytes]:
     enc, _ = INT_CODECS[codec]
-    return enc(np.ascontiguousarray(values, dtype=np.int64))
+    values = np.asarray(values)
+    if values.dtype.kind != "i":
+        values = values.astype(np.int64)
+    return enc(np.ascontiguousarray(values))
 
 
 def decode_int(codec: str, params: bytes, payload: bytes) -> np.ndarray:

@@ -50,29 +50,25 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
 
 
-def _i64(x: int) -> int:
-    x &= (1 << 64) - 1
-    return x - (1 << 64) if x >= (1 << 63) else x
-
-
-_MIX_M = _i64(0xBF58476D1CE4E5B9)   # splitmix64 constants
-_MIX_C = 0x9E3779B97F4A7C15
-
-
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     """MinHash signature from PRE-HASHED shingles (array<long>).
 
     Each string shingle is hashed exactly once upstream
     (``transform(shingles, xxhash64)``); the k hash families are derived
-    by splitmix-style integer mixing — pure long arithmetic in codegen,
+    by multiplicative integer mixing — pure long arithmetic in codegen,
     so signature cost is O(shingles · k) long ops, not k string hashes
-    per shingle.
+    per shingle. Constants are sized so every product stays < 2^63
+    (Spark 4 runs ANSI mode: wrap-around multiply would throw).
     """
     def mixed_min(k: int):
-        c = F.lit(_i64(_MIX_C * (k + 1))).cast("long")
+        # xor constant: 32-bit golden-ratio sequence; mul: odd 30-bit
+        c_xor = F.lit((0x9E3779B9 * (k + 1)) & 0xFFFFFFFF).cast("long")
+        c_mul = F.lit(((0x2545F491 * (2 * k + 1)) & 0x3FFFFFFF) | 1) \
+            .cast("long")
         return F.array_min(F.transform(
             shingle_hashes,
-            lambda h: (h.bitwiseXOR(c) * F.lit(_MIX_M).cast("long"))))
+            lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+            .bitwiseXOR(c_xor) * c_mul))
 
     return F.array(*[mixed_min(k) for k in range(num_hashes)])
 
@@ -93,10 +89,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         F.transform(char_shingles(text_col, shingle_k),
                     lambda s: F.xxhash64(s)).alias("_sh"))
+    # cache: signatures feed the self-join AND the verify join — without
+    # this Spark recomputes the shingle hashing once per reference
     sig = hashed.select(
-        "id", minhash_signature(F.col("_sh"), num_hashes).alias("sig"))
+        "id", minhash_signature(F.col("_sh"), num_hashes).alias("sig")) \
+        .cache()
     banded = sig.select(
-        "id", "sig",
+        "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
@@ -105,14 +104,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                     ",", F.slice("sig", b * rows_per_band + 1,
                                  rows_per_band))).alias("bh"))
         )).alias("bk"))
-    left = banded.select("id", "sig", "bk")
-    right = (banded.select(F.col("id").alias("id2"),
-                           F.col("sig").alias("sig2"),
-                           F.col("bk").alias("bk2")))
-    pairs = (left.join(right,
-                       (F.col("bk") == F.col("bk2"))
-                       & (F.col("id") < F.col("id2")))
-             .select("id", "id2", "sig", "sig2").distinct())
+    # candidates carry only (id, id2): the distinct stays narrow
+    cand = (banded.join(banded.select(F.col("id").alias("id2"),
+                                      F.col("bk").alias("bk2")),
+                        (F.col("bk") == F.col("bk2"))
+                        & (F.col("id") < F.col("id2")))
+            .select("id", "id2").distinct())
+    pairs = (cand
+             .join(sig, "id")
+             .join(sig.select(F.col("id").alias("id2"),
+                              F.col("sig").alias("sig2")), "id2"))
     est = pairs.select(
         "id", "id2",
         (F.size(F.filter(

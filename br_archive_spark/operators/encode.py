@@ -97,13 +97,15 @@ def _extract(tbl: pa.Table, name: str, kind: str):
     if kind == "string":
         return strings_from_arrow(col)
     if kind == "int_list":
-        arr = col.cast(pa.large_list(pa.int64()))
+        # keep the child's native width (int32 tokens stay 4-byte —
+        # the encode path is memory-bandwidth-bound)
+        arr = col.cast(pa.large_list(col.type.value_type))
         off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
         offsets = off[arr.offset:arr.offset + len(arr) + 1]
         values = arr.values.to_numpy(zero_copy_only=False)
         values = values[offsets[0]:offsets[-1]]
-        lengths = np.diff(offsets).astype(np.int64)
-        return np.ascontiguousarray(values, dtype=np.int64), lengths
+        lengths = np.diff(offsets)
+        return np.ascontiguousarray(values), lengths
     if kind == "int":
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
     raise ValueError(f"unknown kind {kind!r}")
