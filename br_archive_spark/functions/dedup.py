@@ -151,22 +151,44 @@ def simhash(text: Column | str, shingle_k: int = 5,
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
-                  prefix_bits: int = 16) -> DataFrame:
-    """SimHash near-dup pairs bucketed by signature prefix.
+                  prefix_bits: int = 16, tables: int = 4) -> DataFrame:
+    """SimHash near-dup pairs via multi-table prefix bucketing.
 
-    Candidates share a prefix_bits prefix (equality join — scalable
-    first cut of the multi-table Hamming scheme), verified by exact
-    Hamming distance ≤ max_hamming via bit_count(xor).
+    The classic Hamming-space trick: a pair within ``max_hamming`` bits
+    differs somewhere, so a single prefix bucket misses pairs whose
+    difference lands in the prefix. ``tables`` rotations of the
+    signature give each pair ``tables`` independent chances to share a
+    clean prefix; candidates come from equality joins on
+    (table, bucket) — still shuffle-join scalable — and are verified by
+    exact ``bit_count(xor)``.
     """
     sigs = df.select(F.col(id_col).alias("id"),
-                     simhash(text_col).alias("sig"))
-    sigs = sigs.withColumn(
-        "bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
-    right = sigs.select(F.col("id").alias("id2"),
-                        F.col("sig").alias("sig2"),
-                        F.col("bucket").alias("bucket2"))
-    return (sigs.join(right, (F.col("bucket") == F.col("bucket2"))
-                      & (F.col("id") < F.col("id2")))
+                     simhash(text_col).alias("sig")).cache()
+    step = 64 // tables
+
+    def rotated_bucket(t: int):
+        r = t * step
+        rot = F.col("sig") if r == 0 else (
+            F.shiftrightunsigned("sig", r)
+            .bitwiseOR(F.shiftleft("sig", 64 - r)))
+        return F.struct(F.lit(t).alias("t"),
+                        F.shiftrightunsigned(rot, 64 - prefix_bits)
+                        .alias("b"))
+
+    buckets = sigs.select(
+        "id", "sig",
+        F.explode(F.array(*[rotated_bucket(t)
+                            for t in range(tables)])).alias("tb"))
+    cand = (buckets.select("id", "tb")
+            .join(buckets.select(F.col("id").alias("id2"),
+                                 F.col("tb").alias("tb2")),
+                  (F.col("tb") == F.col("tb2"))
+                  & (F.col("id") < F.col("id2")))
+            .select("id", "id2").distinct())
+    return (cand
+            .join(sigs, "id")
+            .join(sigs.select(F.col("id").alias("id2"),
+                              F.col("sig").alias("sig2")), "id2")
             .withColumn("hamming",
                         F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2"))))
             .where(F.col("hamming") <= max_hamming)

@@ -1,0 +1,3 @@
+from .encode_stream import encode_stream, stream_ingest_stats
+
+__all__ = ["encode_stream", "stream_ingest_stats"]
