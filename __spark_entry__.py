@@ -87,9 +87,103 @@ def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_report(enc)
 
 
+def q_roundtrip_hash_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip through the mode='hash' (content-addressed
+    shuffle) encode path."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    enc = encode_table(tok, mode="hash", num_parts=8,
+                       target_values=1 << 18)
+    dec = decode_table(enc)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
+def q_roundtrip_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip with the FSST codec forced on string columns
+    (prefix-heavy doc ids are FSST's home turf)."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = (_read(spark, sf_dir, "documents")
+            .select(F.concat(F.lit("document-id-"),
+                             F.col("doc_id").cast("string"))
+                    .alias("doc_id"), "text"))
+    specs = [("doc_id", "string"), ("text", "string")]
+    enc = encode_table(docs, specs=specs, str_codecs=("fsst",))
+    return decode_table(enc, specs=specs, with_n_tok=False)
+
+
 # --------------------------------------------------------------------
 # relational coverage (scan/filter/agg/join/window/sort — SURVEY §2.5)
 # --------------------------------------------------------------------
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping over (status, priority) — grouping-sets surface."""
+    orders = _read(spark, sf_dir, "orders")
+    return (orders
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(_cents(F.col("o_totalprice")))
+                 .alias("total_cents"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n_orders", "total_cents"))
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers that never ordered, per market segment."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (cust.join(orders, cust["c_custkey"] == orders["o_custkey"],
+                      "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("c_mktsegment"))
+
+
+def q_heavy_parts_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: parts shipped in heavy quantity (>45) that were
+    NEVER discounted above 5% (EXCEPT)."""
+    li = _read(spark, sf_dir, "lineitem")
+    heavy = li.where(F.col("l_quantity") > 45).select("l_partkey")
+    discounted = li.where(F.col("l_discount") > 0.05).select("l_partkey")
+    # subtract == SQL EXCEPT (set semantics)
+    return (heavy.subtract(discounted)
+            .select(F.col("l_partkey").alias("partkey")))
+
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: orders above the global average price
+    (average as exact integer-cents floor)."""
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+    avg_cents = orders.agg(
+        F.floor(F.sum("cents") / F.count(F.lit(1))).alias("avg_cents"))
+    return (orders.crossJoin(F.broadcast(avg_cents))
+            .where(F.col("cents") > F.col("avg_cents"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_above"))
+            .orderBy("o_orderpriority"))
+
+
+def q_quality_filter_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: quality-score → filter → group (the
+    score→filter→encode shape of a curation pass)."""
+    from br_archive_spark.functions.text import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.withColumn("q", quality_score("text"))
+            .where(F.col("q") >= 40)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("q").alias("quality_sum"))
+            .orderBy("lang"))
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
@@ -315,7 +409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_lineitem_tokens": q_roundtrip_lineitem_tokens,
         "roundtrip_documents_text": q_roundtrip_documents_text,
+        "roundtrip_hash_mode": q_roundtrip_hash_mode,
+        "roundtrip_fsst": q_roundtrip_fsst,
         "compression_stats": q_compression_stats,
+        "orders_rollup": q_orders_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "heavy_parts_set_ops": q_heavy_parts_set_ops,
+        "above_avg_orders": q_above_avg_orders,
+        "quality_filter_by_lang": q_quality_filter_by_lang,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "order_rank_window": q_order_rank_window,
@@ -350,6 +451,102 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source
             FROM documents
+        """,
+        "roundtrip_hash_mode": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
+        """,
+        "roundtrip_fsst": """
+            SELECT 'document-id-' || CAST(doc_id AS VARCHAR) AS doc_id,
+                   text
+            FROM documents
+        """,
+        "orders_rollup": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS total_cents
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "customers_without_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "heavy_parts_set_ops": """
+            SELECT l_partkey AS partkey FROM lineitem
+            WHERE l_quantity > 45
+            EXCEPT
+            SELECT l_partkey AS partkey FROM lineitem
+            WHERE l_discount > 0.05
+        """,
+        "above_avg_orders": """
+            WITH o AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                  AS cents
+                       FROM orders),
+            a AS (SELECT CAST(FLOOR(SUM(cents) * 1.0 / COUNT(*))
+                              AS BIGINT) AS avg_cents FROM o)
+            SELECT o_orderpriority, COUNT(*) AS n_above
+            FROM o, a
+            WHERE cents > avg_cents
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "quality_filter_by_lang": """
+            WITH scored AS (
+                SELECT lang,
+                       CAST(GREATEST(LEAST(
+                           (CASE WHEN n_tokens_ BETWEEN 20 AND 2000 THEN 40
+                                 WHEN n_tokens_ BETWEEN 5 AND 5000 THEN 20
+                                 ELSE 0 END)
+                           + LEAST(CAST(FLOOR((stop_ * 100) / n_tokens_)
+                                        AS INT) * 2, 60)
+                           - (CASE WHEN punct_ * 10 > length(text) THEN 20
+                                   ELSE 0 END), 100), 0) AS INT) AS q
+                FROM (
+                    SELECT lang, text,
+                           CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE length(trim(text))
+                                     - length(replace(trim(text), ' ', ''))
+                                     + 1
+                           END AS n_tokens_,
+                           (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' the ', '')))/5
+                         + (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' a ', '')))/3
+                         + (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' and ', '')))/5
+                         + (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' of ', '')))/4
+                         + (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' to ', '')))/4
+                         + (length(' '||text||' ')
+                             - length(replace(' '||text||' ', ' in ', '')))/4
+                             AS stop_,
+                           (length(text) - length(replace(text, '.', '')))
+                         + (length(text) - length(replace(text, ',', '')))
+                         + (length(text) - length(replace(text, '!', '')))
+                         + (length(text) - length(replace(text, '?', '')))
+                         + (length(text) - length(replace(text, ';', '')))
+                         + (length(text) - length(replace(text, ':', '')))
+                             AS punct_
+                    FROM documents
+                )
+            )
+            SELECT lang, COUNT(*) AS n_docs, SUM(q) AS quality_sum
+            FROM scored WHERE q >= 40
+            GROUP BY lang ORDER BY lang
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -146,7 +146,9 @@ def encode_int_auto(values: np.ndarray,
     return codec, params, payload
 
 
-def encode_str_auto(blob: bytes, offsets: np.ndarray) -> tuple[str, bytes, bytes]:
+def encode_str_auto(blob: bytes, offsets: np.ndarray,
+                    codecs: tuple[str, ...] | None = None
+                    ) -> tuple[str, bytes, bytes]:
     """String codec selection by trial on a bounded sample.
 
     Strings lack the clean algebraic size formulas of the int codecs, so
@@ -165,6 +167,8 @@ def encode_str_auto(blob: bytes, offsets: np.ndarray) -> tuple[str, bytes, bytes
     s_blob = blob[:int(offsets[k])]
     s_off = offsets[:k + 1]
     candidates = ["str_dict", "str_zlib", "fsst"]
+    if codecs is not None:
+        candidates = [c for c in candidates if c in codecs]
     sizes: dict[str, int] = {"str_plain": len(s_blob) + 8 * 2 + 30}
     for c in candidates:
         try:

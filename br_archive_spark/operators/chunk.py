@@ -38,7 +38,8 @@ __all__ = ["encode_column", "decode_column"]
 
 
 def encode_column(name: str, kind: str, data,
-                  codecs: tuple[str, ...] | None = None) -> dict:
+                  codecs: tuple[str, ...] | None = None,
+                  str_codecs: tuple[str, ...] | None = None) -> dict:
     if kind == "int_list":
         values, lengths = data
         vcodec, vp, vb = encode_int_auto(values, codecs)
@@ -55,7 +56,7 @@ def encode_column(name: str, kind: str, data,
         lcodec = ""
     elif kind == "string":
         blob, offsets = data
-        codec, p, b = encode_str_auto(blob, offsets)
+        codec, p, b = encode_str_auto(blob, offsets, str_codecs)
         params = pack_frames([codec.encode(), p])
         payload = b
         orig = len(blob) + 4 * (len(offsets) - 1)

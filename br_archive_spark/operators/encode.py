@@ -126,7 +126,8 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
 def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     snapshot_id: str, codecs: tuple[str, ...] | None,
                     part_from_task: bool = False,
-                    track_file: bool = False):
+                    track_file: bool = False,
+                    str_codecs: tuple[str, ...] | None = None):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import zlib
@@ -149,7 +150,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             idx = chunk_counters.get(key, 0)
             chunk_counters[key] = idx + 1
             entries = [encode_column(name, kind, _extract(tbl, name, kind),
-                                     codecs)
+                                     codecs, str_codecs)
                        for name, kind in specs]
             checksum = chunk_checksum(*[e["payload"] for e in entries])
             if infile:
@@ -219,7 +220,8 @@ def encode_table(df: DataFrame,
                  snapshot_id: str = "",
                  codecs: tuple[str, ...] | None = None,
                  mode: str = "scan",
-                 track_input_file: bool = False) -> DataFrame:
+                 track_input_file: bool = False,
+                 str_codecs: tuple[str, ...] | None = None) -> DataFrame:
     """Encode ``df`` into a manifest DataFrame of compressed chunks.
 
     ``mode="scan"`` (default): zero-shuffle — chunks follow input
@@ -244,7 +246,8 @@ def encode_table(df: DataFrame,
         prepared = df.select(*sel)
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                              part_from_task=True,
-                             track_file=track_input_file)
+                             track_file=track_input_file,
+                             str_codecs=str_codecs)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
     if mode != "hash":
         raise ValueError(f"unknown encode mode {mode!r}")
@@ -256,5 +259,6 @@ def encode_table(df: DataFrame,
                 .select(*cols, part.alias("_part"))
                 .repartition(num_parts, "_part")
                 .sortWithinPartitions("_part", key))
-    fn = _make_encode_fn(specs, target_values, snapshot_id, codecs)
+    fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
+                         str_codecs=str_codecs)
     return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
