@@ -114,6 +114,15 @@ def main() -> None:
         encode_table(src, mode="scan").write.mode("overwrite") \
             .parquet(args.output)
         result["t_write"] = round(time.time() - t2, 3)
+        # decode throughput (reference baseline: 7.7 Mtok/s, unbra -t)
+        from br_archive_spark.operators import decode_table
+
+        man = spark.read.parquet(args.output)
+        t3 = time.time()
+        dec_tokens = decode_table(man).agg(
+            F.sum(F.size("tokens"))).collect()[0][0]
+        result["t_decode"] = round(time.time() - t3, 3)
+        result["decode_tokens"] = int(dec_tokens)
     print(json.dumps(result))
     spark.stop()
 

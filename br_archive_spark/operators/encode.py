@@ -80,6 +80,17 @@ MANIFEST_SCHEMA = pa.schema([
     ("checksum", pa.int64()),
     ("checksum_algo", pa.string()),
     ("columns", pa.list_(_COLUMN_STRUCT)),
+    # payload-free duplicate of the per-column stats: listing queries
+    # (the reference's `unbra -l`) must be answerable without the scan
+    # ever touching payload bytes — exploding `columns` defeats nested
+    # schema pruning, so the stats live in their own top-level column
+    ("column_stats", pa.list_(pa.struct([
+        ("name", pa.string()),
+        ("kind", pa.string()),
+        ("codec", pa.string()),
+        ("orig_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+    ]))),
 ])
 
 MANIFEST_SPARK_SCHEMA = (
@@ -88,7 +99,9 @@ MANIFEST_SPARK_SCHEMA = (
     "n_rows long, n_values long, orig_bytes long, enc_bytes long, "
     "checksum long, checksum_algo string, "
     "columns array<struct<name:string,kind:string,codec:string,"
-    "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>"
+    "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>, "
+    "column_stats array<struct<name:string,kind:string,codec:string,"
+    "orig_bytes:long,enc_bytes:long>>"
 )
 
 
@@ -172,6 +185,10 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 "checksum": checksum,
                 "checksum_algo": CHECKSUM_ALGO,
                 "columns": entries,
+                "column_stats": [
+                    {k: e[k] for k in ("name", "kind", "codec",
+                                       "orig_bytes", "enc_bytes")}
+                    for e in entries],
             }
             return pa.RecordBatch.from_pylist([row], schema=MANIFEST_SCHEMA)
 

@@ -62,8 +62,10 @@ def verify_roundtrip(source: DataFrame, encoded: DataFrame,
 
 def compression_report(encoded: DataFrame) -> DataFrame:
     """Per-codec compression statistics from manifest columns only."""
+    stats_col = ("column_stats" if "column_stats" in encoded.columns
+                 else "columns")
     cols = encoded.select(
-        "chunk_id", F.explode("columns").alias("c"))
+        "chunk_id", F.explode(stats_col).alias("c"))
     return (cols
             .groupBy(F.col("c.name").alias("column"),
                      F.col("c.codec").alias("codec"))
