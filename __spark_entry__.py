@@ -116,6 +116,48 @@ def q_roundtrip_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(enc, specs=specs, with_n_tok=False)
 
 
+def q_random_access_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups against the encoded table: zone-map chunk pruning +
+    decode of surviving chunks only (the reference's skip-without-decode
+    at cluster scale)."""
+    from br_archive_spark.operators import encode_table, lookup_docs
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    enc = encode_table(tok, mode="hash", num_parts=8,
+                       target_values=1 << 16)
+    wanted = [str(k) for k in (1, 7, 32, 33, 1000, 4711)]
+    out = lookup_docs(enc, wanted)
+    return (out.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    the batch formulation of the streaming session-window operator."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (ev.withColumn("prev_ts", F.lag("ts").over(w))
+            .withColumn("new_sess",
+                        F.when(F.col("prev_ts").isNull(), 1)
+                        .when(F.col("ts") - F.col("prev_ts")
+                              > F.expr("INTERVAL 1800 SECONDS"), 1)
+                        .otherwise(0)))
+    sess = gaps.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "sess_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(_cents(F.col("value"))).alias("value_cents"))
+            .groupBy("n_events")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("value_cents").alias("total_cents"))
+            .orderBy("n_events"))
+
+
 # --------------------------------------------------------------------
 # relational coverage (scan/filter/agg/join/window/sort — SURVEY §2.5)
 # --------------------------------------------------------------------
@@ -411,6 +453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_text": q_roundtrip_documents_text,
         "roundtrip_hash_mode": q_roundtrip_hash_mode,
         "roundtrip_fsst": q_roundtrip_fsst,
+        "random_access_lookup": q_random_access_lookup,
+        "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
         "orders_rollup": q_orders_rollup,
         "customers_without_orders": q_customers_without_orders,
@@ -465,6 +509,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'document-id-' || CAST(doc_id AS VARCHAR) AS doc_id,
                    text
             FROM documents
+        """,
+        "random_access_lookup": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
+            WHERE CAST(l_orderkey AS VARCHAR)
+                  IN ('1','7','32','33','1000','4711')
+        """,
+        "events_sessions": """
+            WITH gaps AS (
+                SELECT user_id, value, ts, event_id,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL THEN 1
+                            WHEN epoch(ts) - epoch(lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)) > 1800 THEN 1
+                            ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT user_id, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM gaps
+            ), per_sess AS (
+                SELECT user_id, sess_id, COUNT(*) AS n_events,
+                       SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+                FROM sess GROUP BY user_id, sess_id
+            )
+            SELECT CAST(n_events AS BIGINT) AS n_events,
+                   COUNT(*) AS n_sessions,
+                   CAST(SUM(value_cents) AS BIGINT) AS total_cents
+            FROM per_sess GROUP BY n_events ORDER BY n_events
         """,
         "orders_rollup": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS status,

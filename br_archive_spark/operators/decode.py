@@ -98,6 +98,31 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
     return decode_fn
 
 
+def lookup_docs(encoded: DataFrame, doc_ids: list[str],
+                specs: list[tuple[str, str]] | None = None,
+                key: str = "doc_id",
+                with_n_tok: bool = True) -> DataFrame:
+    """Random-access decode: fetch specific documents by key.
+
+    Two-level pruning, no full decode:
+    1. chunk pruning via the manifest zone map (``key_min``/``key_max``)
+       — a plain ``WHERE`` that parquet row-group stats satisfy without
+       reading payload bytes;
+    2. row filtering after decoding only the surviving chunks.
+
+    The cluster-scale analog of the reference's skip-without-decode
+    (``src/io/lib_bra_io_file_ctx.c:596-602``) plus FSST's
+    random-access promise (strings decodable without bulk context).
+    """
+    from pyspark.sql import functions as F
+
+    lo, hi = min(doc_ids), max(doc_ids)
+    pruned = encoded.where(
+        (F.col("key_min") <= hi) & (F.col("key_max") >= lo))
+    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok)
+    return dec.where(F.col(key).isin(doc_ids))
+
+
 def decode_table(encoded: DataFrame,
                  specs: list[tuple[str, str]] | None = None,
                  with_n_tok: bool = True,

@@ -91,6 +91,13 @@ MANIFEST_SCHEMA = pa.schema([
         ("orig_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
     ]))),
+    # zone map for the key column: chunk-level min/max lets point and
+    # range lookups prune chunks from the manifest scan (the reference's
+    # skip-without-decode, src/io/lib_bra_io_file_ctx.c:596-602, made
+    # cluster-scale: parquet row-group stats on these columns skip
+    # payload IO entirely)
+    ("key_min", pa.string()),
+    ("key_max", pa.string()),
 ])
 
 MANIFEST_SPARK_SCHEMA = (
@@ -101,7 +108,8 @@ MANIFEST_SPARK_SCHEMA = (
     "columns array<struct<name:string,kind:string,codec:string,"
     "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>, "
     "column_stats array<struct<name:string,kind:string,codec:string,"
-    "orig_bytes:long,enc_bytes:long>>"
+    "orig_bytes:long,enc_bytes:long>>, "
+    "key_min string, key_max string"
 )
 
 
@@ -136,6 +144,16 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
     return tbl.num_rows
 
 
+def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]]):
+    import pyarrow.compute as pc
+
+    for name, kind in specs:
+        if kind == "string":
+            mm = pc.min_max(tbl.column(name))
+            return (mm["min"].as_py() or "", mm["max"].as_py() or "")
+    return ("", "")
+
+
 def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     snapshot_id: str, codecs: tuple[str, ...] | None,
                     part_from_task: bool = False,
@@ -165,6 +183,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             entries = [encode_column(name, kind, _extract(tbl, name, kind),
                                      codecs, str_codecs)
                        for name, kind in specs]
+            key_bounds = _key_bounds(tbl, specs)
             checksum = chunk_checksum(*[e["payload"] for e in entries])
             if infile:
                 # file-content-addressed id: stable across resumed runs
@@ -189,6 +208,8 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     {k: e[k] for k in ("name", "kind", "codec",
                                        "orig_bytes", "enc_bytes")}
                     for e in entries],
+                "key_min": key_bounds[0],
+                "key_max": key_bounds[1],
             }
             return pa.RecordBatch.from_pylist([row], schema=MANIFEST_SCHEMA)
 

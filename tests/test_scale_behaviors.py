@@ -1,0 +1,83 @@
+"""Scale-behavior tests: skew handling, chunk pruning, size targeting —
+the properties that must hold at 1000× the data."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from br_archive_spark.operators import (decode_table, encode_table,
+                                        lookup_docs)
+
+
+def test_giant_doc_skew(spark):
+    """A 50× outlier doc must not blow chunk sizing: size-targeted
+    chunking closes chunks early and the giant doc round-trips."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [(f"d{i:05d}", [int(x) for x in rng.integers(0, 1000, 200)],
+             200, "web") for i in range(50)]
+    giant = [int(x) for x in rng.integers(0, 1000, 100_000)]
+    rows.append(("dgiant", giant, len(giant), "web"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = encode_table(df, target_values=20_000).cache()
+    # every chunk respects the size target within one doc's slack
+    mx = enc.agg(F.max("n_values")).collect()[0][0]
+    assert mx <= 20_000 + 100_000  # giant doc is atomic (row granularity)
+    assert enc.count() >= 3  # the input split into multiple chunks
+    out = {r["doc_id"]: r["tokens"] for r in decode_table(enc).collect()}
+    assert out["dgiant"] == giant
+    assert len(out) == 51
+
+
+def test_source_skew_hash_mode(spark):
+    """mode='hash' spreads a 90%-hot source across partitions."""
+    rows = [(f"d{i:05d}", [i % 7] * 20, 20,
+             "web" if i % 10 else "rare") for i in range(2000)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = encode_table(df, mode="hash", num_parts=8,
+                       target_values=5_000)
+    parts = enc.select("part_id").distinct().count()
+    assert parts == 8  # hot source didn't collapse partitions
+    rows_per_part = [r["s"] for r in
+                     enc.groupBy("part_id")
+                     .agg(F.sum("n_rows").alias("s")).collect()]
+    assert max(rows_per_part) < 2 * min(rows_per_part)  # balanced
+
+
+def test_zone_map_pruning_and_lookup(spark):
+    from br_archive_spark.datagen import token_table
+
+    df = token_table(spark, 5000).cache()
+    enc = encode_table(df, mode="hash", num_parts=8,
+                       target_values=50_000).cache()
+    total_chunks = enc.count()
+    wanted = ["doc-000000000042", "doc-000000004999"]
+    lo, hi = min(wanted), max(wanted)
+    surviving = enc.where((F.col("key_min") <= hi)
+                          & (F.col("key_max") >= lo)).count()
+    assert surviving <= total_chunks  # zone map defined
+    out = lookup_docs(enc, wanted).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(wanted)
+    src = {r["doc_id"]: r["tokens"] for r in
+           df.where(F.col("doc_id").isin(wanted)).collect()}
+    for r in out:
+        assert r["tokens"] == src[r["doc_id"]]
+
+
+def test_scan_mode_split_determinism(spark, tmp_path):
+    """Scan-mode chunk ids/checksums are identical across re-reads of
+    the same file layout (the cross-cluster-size determinism claim)."""
+    from br_archive_spark.datagen import token_table
+
+    path = str(tmp_path / "src.parquet")
+    token_table(spark, 6000).write.parquet(path)
+
+    def run():
+        man = encode_table(spark.read.parquet(path),
+                           track_input_file=True)
+        return {r["chunk_id"]: r["checksum"] for r in
+                man.select("chunk_id", "checksum").collect()}
+
+    assert run() == run()
