@@ -76,13 +76,23 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_bucket: int = 10_000) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
     shingle → minhash → band → bucket-join → verify: candidate pairs
     come from an equality self-join on (band_idx, band_hash) — a plain
     shuffle join that scales; the estimated Jaccard (signature agreement
     fraction) filters candidates.
+
+    ``max_bucket`` guards the O(b²) blow-up of degenerate buckets
+    (boilerplate/empty documents hashing identically): buckets larger
+    than the cap are dropped from candidate generation. Members of a
+    dropped bucket are near-certain duplicates of each other, so at
+    scale they are better handled by exact_dedup on the band hash than
+    by emitting b²/2 pairs. The size count is a window over the same
+    (band, bucket) key the self-join shuffles on, so AQE reuses the
+    exchange rather than adding one.
     """
     rows_per_band = num_hashes // bands
     hashed = df.select(
@@ -104,6 +114,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                     ",", F.slice("sig", b * rows_per_band + 1,
                                  rows_per_band))).alias("bh"))
         )).alias("bk"))
+    if max_bucket:
+        from pyspark.sql import Window
+
+        banded = (banded
+                  .withColumn("_bsz", F.count("*").over(
+                      Window.partitionBy("bk")))
+                  .where(F.col("_bsz") <= max_bucket)
+                  .drop("_bsz"))
     # candidates carry only (id, id2): the distinct stays narrow
     cand = (banded.join(banded.select(F.col("id").alias("id2"),
                                       F.col("bk").alias("bk2")),

@@ -46,6 +46,21 @@ def test_minhash_finds_planted_neardups(spark, docs):
     assert (0, 300) in found and (1, 301) in found
 
 
+def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
+    from br_archive_spark.functions.dedup import minhash_lsh_pairs
+
+    # 50 byte-identical docs: every band bucket has 50 members → 1225
+    # pairs uncapped. With max_bucket below 50 the degenerate bucket is
+    # dropped entirely (those belong to exact_dedup, not pair output).
+    rows = [(i, "same boilerplate text repeated everywhere")
+            for i in range(50)] + [(100, "a genuinely different document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(df, max_bucket=0).count()
+    capped = minhash_lsh_pairs(df, max_bucket=49).count()
+    assert uncapped == 50 * 49 // 2
+    assert capped == 0
+
+
 def test_simhash_hamming_separates(spark, docs):
     from br_archive_spark.functions.dedup import simhash_pairs
 

@@ -1,0 +1,120 @@
+"""Physical-plan regression tests.
+
+Correctness tests prove the queries return the right rows; these prove
+they return them with the right PLAN — the properties that decide
+whether the same query survives a 100 TB / 1000-executor scale-up:
+
+* predicate pushdown reaches the parquet scan (``PushedFilters``),
+* column pruning reaches the scan (``ReadSchema`` is minimal),
+* small dimension tables broadcast instead of shuffling the fact table,
+* top-k goes through ``TakeOrderedAndProject`` / ``WindowGroupLimit``
+  rather than a global sort,
+* the encode path contains NO shuffle (scan mode: Exchange-free).
+
+A refactor that silently regresses one of these still passes the value
+checks at sf0.01 but falls over at scale — this file is the guard.
+"""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present")
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, queries):
+    plan = _plan(queries["pricing_summary"](spark, SF_DIR))
+    # the shipdate predicate must reach the parquet reader
+    assert "PushedFilters" in plan
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: none of the untouched wide columns may be read
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_top_revenue_orders_broadcasts_dims(spark, queries):
+    plan = _plan(queries["top_revenue_orders"](spark, SF_DIR))
+    # customer + orders broadcast against the lineitem fact table: the
+    # big side must never shuffle for the join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # mktsegment filter pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # LIMIT k implemented as streaming top-k, not global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_topk_uses_window_group_limit(spark, queries):
+    plan = _plan(queries["knn_cosine"](spark, SF_DIR))
+    # probe set broadcast; corpus scanned once
+    assert "BroadcastExchange" in plan
+    # rank<=k pushed into WindowGroupLimit (partial top-k per partition
+    # before the shuffle) — without it every (probe, corpus) pair
+    # shuffles
+    assert "WindowGroupLimit" in plan
+
+
+def test_encode_scan_mode_is_shuffle_free(spark):
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import encode_table
+
+    src = token_table(spark, 200)
+    plan = _plan(encode_table(src, mode="scan"))
+    assert "Exchange" not in plan, (
+        "scan-mode encode must be embarrassingly parallel — one "
+        "mapInArrow over scan splits, no shuffle")
+    assert "MapInArrow" in plan
+
+
+def test_decode_is_shuffle_free(spark, tmp_path):
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import decode_table, encode_table
+
+    src = token_table(spark, 200)
+    path = str(tmp_path / "enc.parquet")
+    encode_table(src, mode="scan").write.parquet(path)
+    plan = _plan(decode_table(spark.read.parquet(path)))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_random_access_lookup_prunes_payloads(spark, queries):
+    plan = _plan(queries["random_access_lookup"](spark, SF_DIR))
+    # zone-map filter must run BEFORE the payload-decoding MapInArrow:
+    # the Filter on chunk min/max appears between the manifest scan and
+    # the decode stage
+    assert "MapInArrow" in plan
+    assert "Filter" in plan
+
+
+def test_dedup_exact_single_shuffle(spark, queries):
+    plan = _plan(queries["dedup_exact"](spark, SF_DIR))
+    # hash-groupBy dedup: exactly one exchange (by content hash), with
+    # map-side partial aggregation
+    import re
+
+    ops = re.findall(r"^\((\d+)\) (\w+)", plan, re.M)
+    names = [n for _, n in ops]
+    assert names.count("Exchange") == 1
+    assert names.count("HashAggregate") == 2
