@@ -305,6 +305,81 @@ def q_part_supplier_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("nation"))
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity. The per-part aggregate and the fact table share
+    the join key, so the aggregate's shuffle partitioning is reused for
+    the join (one exchange of the fact table total). Integer algebra:
+    qty < 0.2*avg ⟺ 5*qty*cnt < sum_qty — no float thresholds."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("long").alias("qty"),
+        _cents(F.col("l_extendedprice")).alias("price_cents"))
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+    return (li.join(per_part, "l_partkey")
+            .where(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+            .agg(F.count(F.lit(1)).alias("n_small"),
+                 F.sum("price_cents").alias("revenue_cents")))
+
+
+def q_heavy_suppliers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: suppliers that shipped any near-max-quantity item,
+    counted per nation. left_semi keeps the build side narrow (no
+    duplicate-row blow-up, no columns from the probe side shuffled)."""
+    supp = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    heavy = (_read(spark, sf_dir, "lineitem")
+             .where(F.col("l_quantity") >= 48).select("l_suppkey"))
+    return (supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"],
+                      "left_semi")
+            .join(F.broadcast(nation),
+                  supp["s_nationkey"] == nation["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_suppliers"))
+            .orderBy("nation"))
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per user-bucket value totals by event type. Pivot values
+    are listed explicitly — an unlisted pivot needs an extra distinct
+    pass over the data at scale."""
+    ev = _read(spark, sf_dir, "events")
+    return (ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+            .pivot("event_type",
+                   ["click", "error", "purchase", "signup", "view"])
+            .agg(F.sum(_cents(F.col("value"))))
+            .orderBy("bucket"))
+
+
+def q_events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window: 3-event moving value sum per user (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW), deterministic order by
+    (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(_cents(F.col("value"))).over(w).alias("moving_cents"))
+
+
+def q_order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (p50/p90) of order price per priority, over
+    integer cents. Reported in deci-cents: linear interpolation between
+    integer cents lands on exact tenths, so ROUND(q*10) is stable
+    across engines (Spark percentile ≡ DuckDB quantile_cont)."""
+    orders = _read(spark, sf_dir, "orders").withColumn(
+        "cents", _cents(F.col("o_totalprice")))
+    return (orders.groupBy("o_orderpriority")
+            .agg(F.round(F.percentile("cents", 0.5) * 10)
+                 .cast("long").alias("p50_e1"),
+                 F.round(F.percentile("cents", 0.9) * 10)
+                 .cast("long").alias("p90_e1"))
+            .orderBy("o_orderpriority"))
+
+
 # --------------------------------------------------------------------
 # training-pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------
@@ -466,6 +541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_rank_window": q_order_rank_window,
         "events_hourly": q_events_hourly,
         "part_supplier_agg": q_part_supplier_agg,
+        "small_qty_revenue": q_small_qty_revenue,
+        "heavy_suppliers_semi": q_heavy_suppliers_semi,
+        "events_pivot": q_events_pivot,
+        "events_moving_sum": q_events_moving_sum,
+        "order_price_percentiles": q_order_price_percentiles,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -693,6 +773,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
             ORDER BY n_name
+        """,
+        "small_qty_revenue": """
+            WITH li AS (
+                SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                       CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                           AS price_cents
+                FROM lineitem),
+            pp AS (SELECT l_partkey, SUM(qty) AS sum_qty,
+                          COUNT(*) AS cnt
+                   FROM li GROUP BY l_partkey)
+            SELECT COUNT(*) AS n_small,
+                   CAST(SUM(price_cents) AS BIGINT) AS revenue_cents
+            FROM li JOIN pp USING (l_partkey)
+            WHERE qty * 5 * cnt < sum_qty
+        """,
+        "heavy_suppliers_semi": """
+            SELECT n_name AS nation, COUNT(*) AS n_suppliers
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey
+                            AND l_quantity >= 48)
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "events_pivot": """
+            SELECT user_id % 10 AS bucket,
+                   SUM(CASE WHEN event_type='click' THEN cents END)
+                       AS click,
+                   SUM(CASE WHEN event_type='error' THEN cents END)
+                       AS error,
+                   SUM(CASE WHEN event_type='purchase' THEN cents END)
+                       AS purchase,
+                   SUM(CASE WHEN event_type='signup' THEN cents END)
+                       AS signup,
+                   SUM(CASE WHEN event_type='view' THEN cents END)
+                       AS view
+            FROM (SELECT user_id, event_type,
+                         CAST(ROUND(value*100) AS BIGINT) AS cents
+                  FROM events)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_moving_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS moving_cents
+            FROM events
+        """,
+        "order_price_percentiles": """
+            SELECT o_orderpriority,
+                   CAST(ROUND(quantile_cont(cents, 0.5) * 10) AS BIGINT)
+                       AS p50_e1,
+                   CAST(ROUND(quantile_cont(cents, 0.9) * 10) AS BIGINT)
+                       AS p90_e1
+            FROM (SELECT o_orderpriority,
+                         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                  FROM orders)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "dedup_exact": """
             SELECT md5(text) AS content_hash,
