@@ -116,6 +116,27 @@ def q_roundtrip_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(enc, specs=specs, with_n_tok=False)
 
 
+def q_roundtrip_global_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the job-level shared dictionary: one
+    distributed frequency count builds a frequency-ranked GlobalDict,
+    chunks store only a dict reference (codec ``gdict.*``), decode maps
+    ranks back through the broadcast LUT. Amortizes per-chunk dictionary
+    metadata across the whole table (SURVEY §2.1 E7's
+    canonical-lengths-as-metadata, table-scaled)."""
+    from br_archive_spark.codecs.gdict import build_global_dict
+    from br_archive_spark.operators import decode_table, encode_table
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    gd = build_global_dict(tok, "tokens")
+    enc = encode_table(tok, num_parts=8, target_values=1 << 18,
+                       global_dict=gd)
+    dec = decode_table(enc, global_dict=gd)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
 def q_random_access_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups against the encoded table: zone-map chunk pruning +
     decode of surviving chunks only (the reference's skip-without-decode
@@ -528,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_text": q_roundtrip_documents_text,
         "roundtrip_hash_mode": q_roundtrip_hash_mode,
         "roundtrip_fsst": q_roundtrip_fsst,
+        "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -589,6 +611,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'document-id-' || CAST(doc_id AS VARCHAR) AS doc_id,
                    text
             FROM documents
+        """,
+        "roundtrip_global_dict": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
         """,
         "random_access_lookup": """
             SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,

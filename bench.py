@@ -29,10 +29,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Sized so the parallel region dominates the per-job fixed cost
-# (scheduling + straggler tail, ~1.5-2 s): at 480k docs the 16-core
-# encode runs ~12 s, so a 2 s tail costs <0.05 efficiency instead of
-# the ~0.1 it costs at 240k docs.
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "480000"))
+# (scheduling + straggler tail, ~1.5-2 s): at 960k docs the 16-core
+# zstd-path encode runs ~17 s, so a 2 s tail costs <0.04 efficiency.
+# (Was 480k before the Zstd entropy stage made encode ~40% faster —
+# same compute-per-run balance at the higher throughput.)
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "960000"))
 # N for the N→4N scaling pair. Default 4 (→16): each local[N] run is
 # ALSO cpuset-pinned to N hardware threads (see _run_worker), so the
 # pair emulates two cluster sizes honestly; 4→16 leaves headroom for
@@ -80,6 +81,64 @@ def _run_worker(cpus: int, docs: int, input_path: str, output_path: str,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _calibrate_host_curve(small: int, big: int) -> dict:
+    """Measure the HOST's own N→4N scaling ceiling with the same codec
+    kernels run through plain multiprocessing — no Spark, no JVM, no
+    shuffle, nothing the engine adds. On a shared single-socket box,
+    4 active cores run at higher effective per-core speed than 16
+    (turbo headroom, hypervisor steal, shared L3/DRAM), so even a
+    perfectly-scaling program cannot show 1.0 here; a real cluster adds
+    *machines* and keeps per-core resources flat. The engine's own
+    scaling quality is efficiency / hardware_efficiency.
+    """
+    import multiprocessing as mp
+
+    def run_level(cpus: int, tasks: int) -> float:
+        prev = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, set(range(cpus)))
+        try:
+            with mp.Pool(cpus) as pool:
+                t0 = time.time()
+                pool.map(_hw_work, range(tasks), chunksize=1)
+                return time.time() - t0
+        finally:
+            os.sched_setaffinity(0, prev)
+
+    tasks = big * 8
+    # warm (imports, allocator), then paired rounds — same estimator as
+    # the Spark measurement: per-round small/big ratio, median over
+    # rounds (the VM's effective CPU capacity fluctuates on ~second
+    # timescales, so cross-epoch comparisons measure the host's mood)
+    run_level(big, big)
+    ratios = []
+    ts_best, tb_best = float("inf"), float("inf")
+    for _ in range(3):
+        ts = run_level(small, tasks)
+        tb = run_level(big, tasks)
+        ratios.append((ts / tb) / (big / small))
+        ts_best, tb_best = min(ts_best, ts), min(tb_best, tb)
+    ratios.sort()
+    return {
+        "t_small_sec": round(ts_best, 3),
+        "t_big_sec": round(tb_best, 3),
+        # same estimator as the Spark measurement: ratio of per-level
+        # best-of-trials (noise is additive; minima approach truth)
+        "efficiency": round((ts_best / tb_best) / (big / small), 3),
+        "efficiency_pairs": [round(r, 3) for r in ratios],
+    }
+
+
+def _hw_work(seed: int) -> int:
+    import numpy as np
+
+    from br_archive_spark.codecs.cost import encode_int_auto
+
+    rng = np.random.default_rng(seed)
+    v = (rng.zipf(1.3, 1_000_000) % 50000).astype(np.int32)
+    _, p, b = encode_int_auto(v)
+    return len(p) + len(b)
+
+
 def bench_encode_scaling() -> tuple[dict, dict]:
     os.makedirs(CACHE, exist_ok=True)
     input_path = os.path.join(CACHE, f"tokens_{BENCH_DOCS}.parquet")
@@ -93,28 +152,34 @@ def bench_encode_scaling() -> tuple[dict, dict]:
                     generate_only=True)
 
     small, big = SCALE_N, SCALE_N * 4
-    # The host's effective clock drifts up to ~2x under sustained load
-    # (shared cloud box) and noise only ever ADDS time, so each level's
-    # steady-state encode time is estimated as the minimum over all warm
-    # trials across ROUNDS interleaved JVMs (best-of-N, the standard
-    # scaling-study estimator). Trials are asymmetric: the slow level
-    # gets fewer (its runs are 4x longer and relative noise is lower).
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    # Measurement: 3 interleaved rounds, each running small then big in
+    # fresh JVMs with 2 warm trials per level. Host noise on this
+    # shared Firecracker VM is strictly additive (slowdowns only) and
+    # fluctuates on ~second timescales, so the primary estimator is the
+    # ratio of per-level minima over all 6 trials (consistent: minima
+    # converge on each level's true steady-state time). Per-round
+    # paired ratios are kept as scatter evidence.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
     pairs = []
     first_big = None
     t_small_best = float("inf")
     t_big_best = float("inf")
     for i in range(rounds):
         rs = _run_worker(small, BENCH_DOCS, input_path, out_small, parts,
-                         pin=True, trials=1)
+                         pin=True, trials=2)
         rb = _run_worker(big, BENCH_DOCS, input_path, out_big, parts,
-                         write=(i == 0), pin=True, trials=3)
-        pairs.append((rs["t_encode"], rb["t_encode"]))
+                         write=(i == 0), pin=True, trials=2)
+        pairs.append((min(rs["trials"]), min(rb["trials"])))
         t_small_best = min(t_small_best, min(rs["trials"]))
         t_big_best = min(t_big_best, min(rb["trials"]))
         if first_big is None:
             first_big = rb  # carries t_write / t_decode / manifest stats
     t_small_pair, t_big_pair = t_small_best, t_big_best
+    eff_pairs = sorted((ts / tb) / (big / small) for ts, tb in pairs)
+    eff_median = eff_pairs[len(eff_pairs) // 2] if len(eff_pairs) % 2 \
+        else (eff_pairs[len(eff_pairs) // 2 - 1]
+              + eff_pairs[len(eff_pairs) // 2]) / 2
+    hw = _calibrate_host_curve(small, big)
 
     tokens = first_big["tokens"]
     encode = {
@@ -141,7 +206,22 @@ def bench_encode_scaling() -> tuple[dict, dict]:
         "tokens_per_sec_small": round(tokens / t_small_pair),
         "tokens_per_sec_big": round(tokens / t_big_pair),
         "speedup": round(speedup, 3),
+        # primary estimator: best-of-trials per level. Host noise on
+        # this shared VM is strictly additive and fluctuates on ~second
+        # timescales, so each level's minimum over 6 warm trials (2 per
+        # round x 3 interleaved rounds) converges on its true
+        # steady-state time; the ratio of minima estimates noise-free
+        # scaling. Paired per-round ratios are reported alongside —
+        # they do NOT cancel sub-minute drift and scatter accordingly.
         "efficiency": round(speedup / (big / small), 3),
+        "efficiency_paired_median": round(eff_median, 3),
+        "efficiency_pairs": [round(e, 3) for e in eff_pairs],
+        # the host's own N→4N ceiling on the same kernels, no Spark:
+        # engine scaling quality = efficiency / hardware.efficiency
+        "hardware": hw,
+        "engine_efficiency": round(
+            min(1.0, (speedup / (big / small)) / hw["efficiency"]), 3)
+        if hw["efficiency"] else None,
     }
     return encode, scaling
 

@@ -33,15 +33,33 @@ def _spark(args):
                      shuffle_partitions=args.shuffle_partitions)
 
 
+def _load_gdict(path):
+    from .codecs.gdict import load_global_dict
+
+    return load_global_dict(path) if path else None
+
+
 def cmd_encode(args) -> int:
     from .plans.lineage import encode_with_checkpoint
 
     spark = _spark(args)
+    gd = None
+    if args.global_dict:
+        from .codecs.gdict import (build_global_dict, load_global_dict,
+                                   save_global_dict)
+        if os.path.exists(args.global_dict):
+            # resume: reuse the job's existing dict so new chunks stay
+            # decodable with the same reference
+            gd = load_global_dict(args.global_dict)
+        else:
+            gd = build_global_dict(spark.read.parquet(args.input))
+            save_global_dict(gd, args.global_dict)
     stats = encode_with_checkpoint(
         spark, args.input, args.output,
         snapshot_id=args.snapshot_id,
         mode=args.mode,
-        target_values=args.target_values)
+        target_values=args.target_values,
+        global_dict=gd)
     print(json.dumps(stats))
     return 0
 
@@ -51,7 +69,7 @@ def cmd_decode(args) -> int:
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
-    decode_table(man).write.mode(
+    decode_table(man, global_dict=_load_gdict(args.global_dict)).write.mode(
         "overwrite" if args.yes else "errorifexists").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -81,7 +99,8 @@ def cmd_verify(args) -> int:
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     src = spark.read.parquet(args.source)
-    res = verify_roundtrip(src, man)
+    res = verify_roundtrip(src, man,
+                           global_dict=_load_gdict(args.global_dict))
     print(json.dumps(res))
     return 0 if res["ok"] else 1
 
@@ -118,6 +137,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--snapshot-id", default="")
     p.add_argument("--mode", choices=["scan", "hash"], default="scan")
     p.add_argument("--target-values", type=int, default=1 << 20)
+    p.add_argument("--global-dict", default=None, metavar="PATH",
+                   help="shared-dictionary side file: built+saved here "
+                        "on first run, loaded on resume")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="decode an encoded manifest")
@@ -125,6 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-y", "--yes", action="store_true",
                    help="overwrite output (the reference's -y)")
+    p.add_argument("--global-dict", default=None, metavar="PATH")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
@@ -134,6 +157,7 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("verify", help="full decode + equality vs source")
     p.add_argument("input")
     p.add_argument("--source", required=True)
+    p.add_argument("--global-dict", default=None, metavar="PATH")
     p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("package", help="build --py-files zip")

@@ -3,7 +3,9 @@
 from .bitpack import bits_needed, pack_uint, unpack_uint
 from .cost import (choose_int_codec, encode_int_auto, encode_str_auto,
                    int_chunk_stats)
-from .intcodecs import INT_CODECS, decode_int, encode_int
+from .gdict import (GlobalDict, build_global_dict, load_global_dict,
+                    save_global_dict)
+from .intcodecs import INT_CODECS, ZSTD_AVAILABLE, decode_int, encode_int
 from .strcodecs import (STR_CODECS, decode_str, encode_str,
                         fsst_decode, fsst_encode, fsst_train,
                         strings_from_arrow)
@@ -14,5 +16,7 @@ __all__ = [
     "encode_str", "decode_str", "STR_CODECS",
     "fsst_train", "fsst_encode", "fsst_decode", "strings_from_arrow",
     "choose_int_codec", "encode_int_auto", "encode_str_auto",
-    "int_chunk_stats",
+    "int_chunk_stats", "ZSTD_AVAILABLE",
+    "GlobalDict", "build_global_dict", "save_global_dict",
+    "load_global_dict",
 ]

@@ -22,13 +22,20 @@ from __future__ import annotations
 import numpy as np
 
 from .bitpack import bits_needed
-from .intcodecs import encode_int
+from .intcodecs import ZSTD_AVAILABLE, encode_int
 from .strcodecs import encode_str
 
 __all__ = ["choose_int_codec", "encode_int_auto", "encode_str_auto",
            "int_chunk_stats"]
 
 _SAMPLE = 65536
+
+# entropy-codec candidates trialed by default: Zstd-backed when available
+# (3-10x faster encode at equal-or-better ratio than DEFLATE), DEFLATE
+# otherwise; explicit ``codecs=`` tuples can still trial the zlib family
+_ENTROPY_TRIAL = ("dict_zstd", "zstd") if ZSTD_AVAILABLE else \
+    ("dict_z", "zlib")
+_ENTROPY_ALL = ("dict_zstd", "zstd", "dict_z", "zlib")
 
 
 def int_chunk_stats(values: np.ndarray) -> dict:
@@ -101,7 +108,7 @@ def _trial_estimates(values: np.ndarray, st: dict,
     for c in candidates:
         p, b = encode_int(c, sample)
         size = len(p) + len(b)
-        if c == "dict_z":
+        if c in ("dict_z", "dict_zstd"):
             d_sample = len(np.unique(sample))
             dict_part = d_sample * 2.0
             size = (size - dict_part) * scale + st["distinct_est"] * 2.0
@@ -116,7 +123,8 @@ def choose_int_codec(values: np.ndarray,
     st = int_chunk_stats(values)
     est = _estimates(st)
     if st["n"] >= 256:
-        trial = [c for c in ("dict_z", "zlib") if codecs is None or c in codecs]
+        trial = [c for c in _ENTROPY_ALL
+                 if (c in _ENTROPY_TRIAL if codecs is None else c in codecs)]
         est.update(_trial_estimates(values, st, tuple(trial)))
     if codecs is not None:
         est = {c: s for c, s in est.items() if c in codecs or c == "plain"}
@@ -166,9 +174,13 @@ def encode_str_auto(blob: bytes, offsets: np.ndarray,
     k = max(1, min(k, n))
     s_blob = blob[:int(offsets[k])]
     s_off = offsets[:k + 1]
-    candidates = ["str_dict", "str_zlib", "fsst"]
     if codecs is not None:
-        candidates = [c for c in candidates if c in codecs]
+        candidates = [c for c in ("str_dict", "str_zstd", "str_zlib", "fsst")
+                      if c in codecs]
+    elif ZSTD_AVAILABLE:
+        candidates = ["str_dict", "str_zstd", "fsst"]
+    else:
+        candidates = ["str_dict", "str_zlib", "fsst"]
     sizes: dict[str, int] = {"str_plain": len(s_blob) + 8 * 2 + 30}
     for c in candidates:
         try:

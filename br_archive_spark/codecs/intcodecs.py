@@ -13,8 +13,10 @@ re-targeted at int32 token-id columns:
   symbol distribution toward small values — here by assigning codes in
   descending frequency order, then bit-packing the codes.
 * FOR/DELTA+bit-pack replace Huffman as the entropy stage for bounded-range
-  integer data; the general-purpose entropy backstop is the storage layer's
-  Zstd/Snappy on the manifest parquet.
+  integer data; DICT_ZSTD/ZSTD (byte-planed codes + Zstd's FSE/Huffman
+  entropy coder, with DEFLATE-backed DICT_Z/ZLIB retained for format
+  compatibility) replace it for skewed distributions; the storage layer's
+  parquet-zstd is the final backstop.
 
 All encoders take an int64 ndarray and return ``(params, payload)`` bytes;
 ``decode(params, payload)`` returns int64. Every codec embeds its element
@@ -265,6 +267,91 @@ def _dec_dict_z(params: bytes, payload: bytes) -> np.ndarray:
     return dict_vals[codes]
 
 
+# ------------------------------------------------------------ ZSTD backend
+
+# Zstd (via pyarrow's bundled codec — no extra install) supersedes DEFLATE
+# as the entropy stage when available: ~3-10x faster encode at equal or
+# better ratio on byte-planed dictionary codes. Kept as *separate codec
+# names* so dict_z/zlib streams stay decodable — the codec field in the
+# manifest is the format version, like the reference's 2-bit comp attr
+# (``src/lib_bra_defs.h:64-69``).
+try:
+    import pyarrow as _pa
+
+    _ZSTD = (_pa.Codec("zstd", compression_level=3)
+             if _pa.Codec.is_available("zstd") else None)
+except Exception:  # pragma: no cover - pyarrow is a hard dep in practice
+    _ZSTD = None
+
+ZSTD_AVAILABLE = _ZSTD is not None
+
+
+def zstd_compress(data: bytes) -> bytes:
+    return _ZSTD.compress(data, asbytes=True)
+
+
+def zstd_decompress(data: bytes, size: int) -> bytes:
+    # explicit decompressed size: planes are exactly n bytes, so decode
+    # never trusts the frame header (corruption is caught by size, then
+    # by the chunk checksum)
+    return _ZSTD.decompress(data, decompressed_size=size, asbytes=True)
+
+
+def _enc_dict_zstd(values: np.ndarray) -> tuple[bytes, bytes]:
+    """Dictionary + byte-planed codes + Zstd — the preferred entropy path.
+
+    Identical stream structure to ``dict_z`` (frequency-descending codes,
+    ``src/encoders/bra_mtf.c:24``'s skewing role; entropy stage replacing
+    the reference's canonical Huffman, ``src/encoders/bra_huffman.c:352-432``)
+    with Zstd's FSE/Huffman entropy coder instead of DEFLATE.
+    """
+    n = len(values)
+    if n == 0:
+        return _U32.pack(0) + struct.pack("<B", 0) + pack_frames([b""]), \
+            pack_frames([b""])
+    dict_vals, codes = _dict_codes(values)
+    width = bits_needed(len(dict_vals) - 1)
+    nb = max(1, (width + 7) // 8)
+    dp, db = _enc_for(dict_vals)
+    planes = [zstd_compress(p) for p in _byte_planes(codes, nb)]
+    params = _U32.pack(n) + struct.pack("<B", nb) + pack_frames([dp])
+    return params, pack_frames([db] + planes)
+
+
+def _dec_dict_zstd(params: bytes, payload: bytes) -> np.ndarray:
+    (n,) = _U32.unpack_from(params, 0)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    (nb,) = struct.unpack_from("<B", params, 4)
+    (dp,) = unpack_frames(params[5:], 1)
+    frames = unpack_frames(payload, 1 + nb)
+    dict_vals = _dec_for(dp, frames[0])
+    codes = _from_planes([zstd_decompress(z, n) for z in frames[1:]], n)
+    return dict_vals[codes]
+
+
+def _enc_zstd(values: np.ndarray) -> tuple[bytes, bytes]:
+    """FOR-rebased byte planes + Zstd — generic entropy backstop."""
+    n = len(values)
+    if n == 0:
+        return _FOR_HDR.pack(0, 0, 0), b""
+    ref = int(values.min())
+    span = int(values.max()) - ref
+    width = bits_needed(span)
+    nb = max(1, (width + 7) // 8)
+    rebased = _rebase(values, ref, span)
+    planes = [zstd_compress(p) for p in _byte_planes(rebased, nb)]
+    return _FOR_HDR.pack(ref, nb, n), pack_frames(planes)
+
+
+def _dec_zstd(params: bytes, payload: bytes) -> np.ndarray:
+    ref, nb, n = _FOR_HDR.unpack(params)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    planes = [zstd_decompress(z, n) for z in unpack_frames(payload, nb)]
+    return _from_planes(planes, n) + ref
+
+
 # ------------------------------------------------------------ ZLIB_I32
 
 def _enc_zlib(values: np.ndarray) -> tuple[bytes, bytes]:
@@ -303,6 +390,10 @@ INT_CODECS = {
     "dict_z": (_enc_dict_z, _dec_dict_z),
     "zlib": (_enc_zlib, _dec_zlib),
 }
+
+if ZSTD_AVAILABLE:
+    INT_CODECS["dict_zstd"] = (_enc_dict_zstd, _dec_dict_zstd)
+    INT_CODECS["zstd"] = (_enc_zstd, _dec_zstd)
 
 
 def encode_int(codec: str, values: np.ndarray) -> tuple[bytes, bytes]:

@@ -37,7 +37,8 @@ import numpy as np
 
 from .bitpack import bits_needed, pack_uint, unpack_uint
 from .framing import pack_frames, unpack_frames
-from .intcodecs import _dec_delta, _dec_for, _enc_delta, _enc_for
+from .intcodecs import (ZSTD_AVAILABLE, _dec_delta, _dec_for, _enc_delta,
+                        _enc_for)
 
 __all__ = ["encode_str", "decode_str", "STR_CODECS",
            "strings_from_arrow", "fsst_train", "fsst_encode", "fsst_decode"]
@@ -96,6 +97,25 @@ def _dec_str_zlib(params: bytes, payload: bytes) -> tuple[bytes, np.ndarray]:
     (op,) = unpack_frames(params, 1)
     ob, z = unpack_frames(payload, 2)
     return zlib.decompress(z), _dec_offsets(op, ob)
+
+
+# ------------------------------------------------------------ STR_ZSTD
+
+def _enc_str_zstd(blob: bytes, offsets: np.ndarray) -> tuple[bytes, bytes]:
+    from .intcodecs import zstd_compress
+
+    op, ob = _enc_offsets(offsets)
+    return pack_frames([op, _U32.pack(len(blob))]), \
+        pack_frames([ob, zstd_compress(blob)])
+
+
+def _dec_str_zstd(params: bytes, payload: bytes) -> tuple[bytes, np.ndarray]:
+    from .intcodecs import zstd_decompress
+
+    op, nraw = unpack_frames(params, 2)
+    (n,) = _U32.unpack(nraw)
+    ob, z = unpack_frames(payload, 2)
+    return zstd_decompress(z, n), _dec_offsets(op, ob)
 
 
 # ------------------------------------------------------------ STR_DICT
@@ -274,6 +294,9 @@ STR_CODECS = {
     "str_zlib": (_enc_str_zlib, _dec_str_zlib),
     "fsst": (_enc_fsst, _dec_fsst),
 }
+
+if ZSTD_AVAILABLE:
+    STR_CODECS["str_zstd"] = (_enc_str_zstd, _dec_str_zstd)
 
 
 def encode_str(codec: str, blob: bytes, offsets: np.ndarray) -> tuple[bytes, bytes]:

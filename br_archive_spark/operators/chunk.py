@@ -37,12 +37,49 @@ from ..codecs.strcodecs import decode_str
 __all__ = ["encode_column", "decode_column"]
 
 
+def _encode_int_maybe_gdict(values, codecs, gdict):
+    """Try the global-dictionary transform; fall back to self-contained.
+
+    With a gdict, values map to frequency ranks through the broadcast
+    LUT and only the *rank stream* is codec'd — the chunk stores a
+    dictionary reference instead of the dictionary (codec tag
+    ``gdict.<inner>``). Values outside the dict (stale dict on resume)
+    take the ordinary per-chunk path — the never-worse contract of the
+    reference's STORED fallback (``src/io/lib_bra_io_file_chunks.c:268-297``).
+    """
+    if gdict is not None:
+        ranks = gdict.encode_values(np.asarray(values))
+        if ranks is not None:
+            inner, p, b = encode_int_auto(ranks, codecs)
+            return f"gdict.{inner}", \
+                pack_frames([gdict.dict_id.encode(), p]), b
+    return encode_int_auto(values, codecs)
+
+
+def _decode_int_maybe_gdict(codec: str, params: bytes, payload: bytes,
+                            gdict):
+    if codec.startswith("gdict."):
+        did_raw, p = unpack_frames(params, 2)
+        did = did_raw.decode()
+        if gdict is None:
+            raise ValueError(
+                f"chunk was encoded with global dictionary {did}; "
+                "pass global_dict= to decode")
+        if gdict.dict_id != did:
+            raise ValueError(
+                f"global dictionary mismatch: chunk needs {did}, "
+                f"got {gdict.dict_id}")
+        return gdict.decode_values(decode_int(codec[6:], p, payload))
+    return decode_int(codec, params, payload)
+
+
 def encode_column(name: str, kind: str, data,
                   codecs: tuple[str, ...] | None = None,
-                  str_codecs: tuple[str, ...] | None = None) -> dict:
+                  str_codecs: tuple[str, ...] | None = None,
+                  gdict=None) -> dict:
     if kind == "int_list":
         values, lengths = data
-        vcodec, vp, vb = encode_int_auto(values, codecs)
+        vcodec, vp, vb = _encode_int_maybe_gdict(values, codecs, gdict)
         lcodec, lp, lb = encode_int_auto(lengths, codecs)
         params = pack_frames([vcodec.encode(), vp, lcodec.encode(), lp])
         payload = pack_frames([vb, lb])
@@ -76,14 +113,14 @@ def encode_column(name: str, kind: str, data,
     }
 
 
-def decode_column(entry: dict):
+def decode_column(entry: dict, gdict=None):
     kind = entry["kind"]
     params = entry["params"]
     payload = entry["payload"]
     if kind == "int_list":
         vc, vp, lc, lp = unpack_frames(params, 4)
         vb, lb = unpack_frames(payload, 2)
-        values = decode_int(vc.decode(), vp, vb)
+        values = _decode_int_maybe_gdict(vc.decode(), vp, vb, gdict)
         lengths = decode_int(lc.decode(), lp, lb)
         return values, lengths
     if kind == "int":

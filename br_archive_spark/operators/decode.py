@@ -64,7 +64,7 @@ def _rebuild(kind: str, data, n_rows: int) -> pa.Array:
 
 
 def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
-                    verify_checksums: bool):
+                    verify_checksums: bool, global_dict=None):
     fields = [pa.field(name, _arrow_type(kind)) for name, kind in specs]
     if with_n_tok:
         fields.append(pa.field("n_tok", pa.int32()))
@@ -86,7 +86,7 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
                 arrays = []
                 lengths = None
                 for name, kind in specs:
-                    data = decode_column(entries[name])
+                    data = decode_column(entries[name], gdict=global_dict)
                     if kind == "int_list":
                         lengths = data[1]
                     arrays.append(_rebuild(kind, data, n))
@@ -101,7 +101,8 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
 def lookup_docs(encoded: DataFrame, doc_ids: list[str],
                 specs: list[tuple[str, str]] | None = None,
                 key: str = "doc_id",
-                with_n_tok: bool = True) -> DataFrame:
+                with_n_tok: bool = True,
+                global_dict=None) -> DataFrame:
     """Random-access decode: fetch specific documents by key.
 
     Two-level pruning, no full decode:
@@ -119,15 +120,22 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
     lo, hi = min(doc_ids), max(doc_ids)
     pruned = encoded.where(
         (F.col("key_min") <= hi) & (F.col("key_max") >= lo))
-    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok)
+    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+                       global_dict=global_dict)
     return dec.where(F.col(key).isin(doc_ids))
 
 
 def decode_table(encoded: DataFrame,
                  specs: list[tuple[str, str]] | None = None,
                  with_n_tok: bool = True,
-                 verify_checksums: bool = True) -> DataFrame:
-    """Reconstruct the original table from an encoded manifest DataFrame."""
+                 verify_checksums: bool = True,
+                 global_dict=None) -> DataFrame:
+    """Reconstruct the original table from an encoded manifest DataFrame.
+
+    ``global_dict`` must be the GlobalDict the table was encoded with
+    when chunks carry ``gdict.*`` codecs (load it with
+    ``codecs.gdict.load_global_dict``); dict-id mismatches raise.
+    """
     from .encode import TOKEN_SPECS
 
     specs = specs or TOKEN_SPECS
@@ -139,6 +147,7 @@ def decode_table(encoded: DataFrame,
     if with_n_tok:
         parts.append("n_tok int")
     out_spark_schema = ", ".join(parts)
-    fn = _make_decode_fn(specs, with_n_tok, verify_checksums)
+    fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
+                         global_dict=global_dict)
     cols = ["chunk_id", "n_rows", "checksum", "columns"]
     return encoded.select(*cols).mapInArrow(fn, out_spark_schema)

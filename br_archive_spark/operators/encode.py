@@ -158,7 +158,8 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     snapshot_id: str, codecs: tuple[str, ...] | None,
                     part_from_task: bool = False,
                     track_file: bool = False,
-                    str_codecs: tuple[str, ...] | None = None):
+                    str_codecs: tuple[str, ...] | None = None,
+                    global_dict=None):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import zlib
@@ -181,7 +182,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             idx = chunk_counters.get(key, 0)
             chunk_counters[key] = idx + 1
             entries = [encode_column(name, kind, _extract(tbl, name, kind),
-                                     codecs, str_codecs)
+                                     codecs, str_codecs, gdict=global_dict)
                        for name, kind in specs]
             key_bounds = _key_bounds(tbl, specs)
             checksum = chunk_checksum(*[e["payload"] for e in entries])
@@ -259,8 +260,15 @@ def encode_table(df: DataFrame,
                  codecs: tuple[str, ...] | None = None,
                  mode: str = "scan",
                  track_input_file: bool = False,
-                 str_codecs: tuple[str, ...] | None = None) -> DataFrame:
+                 str_codecs: tuple[str, ...] | None = None,
+                 global_dict=None) -> DataFrame:
     """Encode ``df`` into a manifest DataFrame of compressed chunks.
+
+    ``global_dict``: a :class:`~br_archive_spark.codecs.gdict.GlobalDict`
+    (from ``build_global_dict``) shared by every chunk — token values
+    map to frequency ranks through the broadcast LUT and chunks store a
+    dictionary *reference* instead of a per-chunk dictionary, removing
+    ~vocab×2B of metadata from every chunk. Decode needs the same dict.
 
     ``mode="scan"`` (default): zero-shuffle — chunks follow input
     splits; deterministic for a fixed input file layout and scan config
@@ -285,7 +293,8 @@ def encode_table(df: DataFrame,
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                              part_from_task=True,
                              track_file=track_input_file,
-                             str_codecs=str_codecs)
+                             str_codecs=str_codecs,
+                             global_dict=global_dict)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
     if mode != "hash":
         raise ValueError(f"unknown encode mode {mode!r}")
@@ -298,5 +307,5 @@ def encode_table(df: DataFrame,
                 .repartition(num_parts, "_part")
                 .sortWithinPartitions("_part", key))
     fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
-                         str_codecs=str_codecs)
+                         str_codecs=str_codecs, global_dict=global_dict)
     return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)

@@ -28,13 +28,13 @@ __all__ = ["verify_roundtrip", "compression_report"]
 
 
 def verify_roundtrip(source: DataFrame, encoded: DataFrame,
-                     key: str = "doc_id") -> dict:
+                     key: str = "doc_id", global_dict=None) -> dict:
     """Decode ``encoded`` and compare with ``source`` row-by-row.
 
     Returns a dict with row counts and mismatch counts; all-zero
     mismatches == the reference's bit-identical invariant.
     """
-    decoded = decode_table(encoded)
+    decoded = decode_table(encoded, global_dict=global_dict)
     s = source.select(key, F.col("tokens").alias("_src_tokens"))
     d = decoded.select(key, F.col("tokens").alias("_dec_tokens"))
     joined = s.join(d, key, "full_outer")
