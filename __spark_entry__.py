@@ -116,6 +116,28 @@ def q_roundtrip_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(enc, specs=specs, with_n_tok=False)
 
 
+def q_roundtrip_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the bulk encode path (`encode_files`): Spark
+    parallelizes over (file, row-group) units packed into byte-budget
+    buckets and each task reads its parquet split in-process with
+    pyarrow — no JVM→Python relay of payload bytes. The 100 TB path."""
+    import tempfile
+
+    from br_archive_spark.operators import decode_table, encode_files
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    # encode_files reads parquet files: materialize the token table once
+    tmp = tempfile.mkdtemp(prefix="bra_direct_")
+    path = f"{tmp}/tok.parquet"
+    tok.write.mode("overwrite").parquet(path)
+    enc = encode_files(spark, path, target_values=1 << 18)
+    dec = decode_table(enc)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
 def q_roundtrip_global_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip through the job-level shared dictionary: one
     distributed frequency count builds a frequency-ranked GlobalDict,
@@ -549,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_documents_text": q_roundtrip_documents_text,
         "roundtrip_hash_mode": q_roundtrip_hash_mode,
         "roundtrip_fsst": q_roundtrip_fsst,
+        "roundtrip_direct": q_roundtrip_direct,
         "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
         "events_sessions": q_events_sessions,
@@ -611,6 +634,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'document-id-' || CAST(doc_id AS VARCHAR) AS doc_id,
                    text
             FROM documents
+        """,
+        "roundtrip_direct": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
         """,
         "roundtrip_global_dict": """
             SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,

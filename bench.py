@@ -29,11 +29,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Sized so the parallel region dominates the per-job fixed cost
-# (scheduling + straggler tail, ~1.5-2 s): at 960k docs the 16-core
-# zstd-path encode runs ~17 s, so a 2 s tail costs <0.04 efficiency.
-# (Was 480k before the Zstd entropy stage made encode ~40% faster —
-# same compute-per-run balance at the higher throughput.)
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "960000"))
+# (scheduling + job setup + straggler tail, ~1.7 s measured): at 3.84M
+# docs the 16-core direct-path encode runs ~16 s, so the fixed tail
+# costs <0.03 efficiency. Grew 480k→960k→3.84M as the encode got
+# 8x faster (Zstd entropy stage, bincount dictionaries, direct
+# parquet reads) — same compute-per-run balance at each step.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "3840000"))
 # N for the N→4N scaling pair. Default 4 (→16): each local[N] run is
 # ALSO cpuset-pinned to N hardware threads (see _run_worker), so the
 # pair emulates two cluster sizes honestly; 4→16 leaves headroom for
@@ -81,40 +82,48 @@ def _run_worker(cpus: int, docs: int, input_path: str, output_path: str,
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def _calibrate_host_curve(small: int, big: int) -> dict:
-    """Measure the HOST's own N→4N scaling ceiling with the same codec
-    kernels run through plain multiprocessing — no Spark, no JVM, no
-    shuffle, nothing the engine adds. On a shared single-socket box,
-    4 active cores run at higher effective per-core speed than 16
-    (turbo headroom, hypervisor steal, shared L3/DRAM), so even a
-    perfectly-scaling program cannot show 1.0 here; a real cluster adds
-    *machines* and keeps per-core resources flat. The engine's own
-    scaling quality is efficiency / hardware_efficiency.
+def _calibrate_host_curve(small: int, big: int, input_path: str) -> dict:
+    """Measure the HOST's own N→4N ceiling for the engine's EXACT
+    kernel — parquet read + chunk + codec over the same input files —
+    run through plain multiprocessing: no Spark, no JVM, no shuffle,
+    nothing the engine's orchestration adds. On a shared single-socket
+    VM, 4 active cores see more effective per-core capacity than 16
+    (hypervisor steal, turbo headroom, shared L3/DRAM bandwidth), so
+    even a perfectly-scaling program cannot show 1.0 here; a real
+    cluster adds *machines* and keeps per-core resources flat. The
+    engine's own orchestration quality is
+    efficiency / hardware_efficiency.
     """
     import multiprocessing as mp
 
-    def run_level(cpus: int, tasks: int) -> float:
+    files = sorted(
+        os.path.join(input_path, f) for f in os.listdir(input_path)
+        if f.endswith(".parquet"))
+    # half the input is plenty to time, and keeps calibration ~1 min
+    files = files[::2] if len(files) > 64 else files
+
+    def run_level(cpus: int) -> float:
         prev = os.sched_getaffinity(0)
         os.sched_setaffinity(0, set(range(cpus)))
         try:
             with mp.Pool(cpus) as pool:
                 t0 = time.time()
-                pool.map(_hw_work, range(tasks), chunksize=1)
+                pool.map(_hw_work, files, chunksize=1)
                 return time.time() - t0
         finally:
             os.sched_setaffinity(0, prev)
 
-    tasks = big * 8
-    # warm (imports, allocator), then paired rounds — same estimator as
-    # the Spark measurement: per-round small/big ratio, median over
-    # rounds (the VM's effective CPU capacity fluctuates on ~second
-    # timescales, so cross-epoch comparisons measure the host's mood)
-    run_level(big, big)
+    # warm (imports, allocator, page cache), then interleaved rounds
+    prev = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(big)))
+    with mp.Pool(big) as pool:
+        pool.map(_hw_work, files[:big], chunksize=1)
+    os.sched_setaffinity(0, prev)
     ratios = []
     ts_best, tb_best = float("inf"), float("inf")
     for _ in range(3):
-        ts = run_level(small, tasks)
-        tb = run_level(big, tasks)
+        ts = run_level(small)
+        tb = run_level(big)
         ratios.append((ts / tb) / (big / small))
         ts_best, tb_best = min(ts_best, ts), min(tb_best, tb)
     ratios.sort()
@@ -128,15 +137,31 @@ def _calibrate_host_curve(small: int, big: int) -> dict:
     }
 
 
-def _hw_work(seed: int) -> int:
+def _hw_work(path: str) -> int:
+    """One calibration task: read a parquet file and run the full
+    chunk/codec pipeline on it — the same work a Spark encode task does,
+    minus Spark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import numpy as np
 
-    from br_archive_spark.codecs.cost import encode_int_auto
+    from br_archive_spark.operators.encode import (TOKEN_SPECS,
+                                                   _make_encode_fn)
 
-    rng = np.random.default_rng(seed)
-    v = (rng.zipf(1.3, 1_000_000) % 50000).astype(np.int32)
-    _, p, b = encode_int_auto(v)
-    return len(p) + len(b)
+    fn = _make_encode_fn(TOKEN_SPECS, 1 << 20, "", None,
+                         part_from_task=False)
+    cols = [n for n, _ in TOKEN_SPECS]
+    pf = pq.ParquetFile(path)
+
+    def feed():
+        for rb in pf.iter_batches(batch_size=8192, columns=cols,
+                                  use_threads=False):
+            arrays = [rb.column(c) for c in cols]
+            part = pa.array(np.zeros(rb.num_rows, dtype=np.int32))
+            yield pa.RecordBatch.from_arrays(arrays + [part],
+                                             names=cols + ["_part"])
+
+    return sum(r.column("enc_bytes")[0].as_py() for r in fn(feed()))
 
 
 def bench_encode_scaling() -> tuple[dict, dict]:
@@ -173,13 +198,13 @@ def bench_encode_scaling() -> tuple[dict, dict]:
         t_small_best = min(t_small_best, min(rs["trials"]))
         t_big_best = min(t_big_best, min(rb["trials"]))
         if first_big is None:
-            first_big = rb  # carries t_write / t_decode / manifest stats
+            first_big = rb  # carries t_decode / manifest stats
     t_small_pair, t_big_pair = t_small_best, t_big_best
     eff_pairs = sorted((ts / tb) / (big / small) for ts, tb in pairs)
     eff_median = eff_pairs[len(eff_pairs) // 2] if len(eff_pairs) % 2 \
         else (eff_pairs[len(eff_pairs) // 2 - 1]
               + eff_pairs[len(eff_pairs) // 2]) / 2
-    hw = _calibrate_host_curve(small, big)
+    hw = _calibrate_host_curve(small, big, input_path)
 
     tokens = first_big["tokens"]
     encode = {
@@ -188,7 +213,6 @@ def bench_encode_scaling() -> tuple[dict, dict]:
         "bytes_per_token": round(first_big["enc_bytes"] / tokens, 4),
         "ratio": round(first_big["enc_bytes"] / first_big["orig_bytes"], 4),
         "t_encode_sec": t_big_best,
-        "t_write_sec": first_big.get("t_write"),
         "t_decode_sec": first_big.get("t_decode"),
         "decode_tokens_per_sec": (
             round(first_big["decode_tokens"] / first_big["t_decode"])

@@ -13,10 +13,10 @@ Measurement discipline for the N→4N scaling evidence:
 * **Warm Python workers.** A no-op mapInArrow pass spawns and warms the
   Arrow workers (imports, JIT) before the timer starts, so the measured
   region is the encode computation, not process spawn.
-* **Compute-bound action.** The timed action is a manifest aggregation
-  (forces every chunk to encode); the single local disk would otherwise
-  serialize the sink and mask compute scaling. Sink throughput is
-  measured separately (``t_write``).
+* **End-to-end job.** The timed job is encode + durable manifest write
+  (the in-process sink of ``encode_files``), the like-for-like analog
+  of the reference's ``bra -c`` which also persists its archive; the
+  driver-side action only aggregates payload-free stats rows.
 
 Prints one JSON line with timings and manifest totals.
 """
@@ -56,7 +56,6 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from br_archive_spark.datagen import token_table
-    from br_archive_spark.operators import encode_table
     from br_archive_spark.plans import get_spark
 
     spark = get_spark(f"local[{args.cpus}]",
@@ -83,16 +82,29 @@ def main() -> None:
     (spark.range(0, args.cpus * 2, 1, args.cpus * 2)
      .mapInArrow(_noop, "id long").count())
 
-    src = spark.read.parquet(args.input)
+    from br_archive_spark.operators import encode_files
 
     # 1 cold + N warm trials; report the BEST warm pass — the standard
     # scaling-study estimator, since local-mode noise (GC, page cache,
-    # background daemons) only ever adds time
+    # background daemons) only ever adds time. The timed job is the
+    # FULL bulk path: encode_files with an in-process sink — tasks read
+    # parquet splits with pyarrow, encode, and write their manifest
+    # shards directly, so payload bytes cross zero process boundaries
+    # end-to-end (the reference's `bra -c` also persists its archive —
+    # this is the like-for-like job). (path, row-group) work units and
+    # shard names are pure functions of the input layout, so both
+    # parallelism levels execute the identical unit list.
     trials = []
     stats = None
     for _ in range(1 + args.trials):
+        shutil.rmtree(args.output, ignore_errors=True)
         t1 = time.time()
-        enc = encode_table(src, mode="scan")
+        # explicit bucket budget: the auto target depends on core count
+        # (waves heuristic), and the two scaling levels must execute the
+        # IDENTICAL work-unit list
+        enc = encode_files(spark, args.input,
+                           target_unit_bytes=48 << 20,
+                           output_dir=args.output)
         stats = enc.agg(F.sum("n_values"), F.sum("enc_bytes"),
                         F.sum("orig_bytes"), F.count("*")).collect()[0]
         trials.append(time.time() - t1)
@@ -109,11 +121,6 @@ def main() -> None:
         "chunks": int(stats[3]),
     }
     if args.write:
-        shutil.rmtree(args.output, ignore_errors=True)
-        t2 = time.time()
-        encode_table(src, mode="scan").write.mode("overwrite") \
-            .parquet(args.output)
-        result["t_write"] = round(time.time() - t2, 3)
         # decode throughput (reference baseline: 7.7 Mtok/s, unbra -t)
         from br_archive_spark.operators import decode_table
 

@@ -174,13 +174,18 @@ def encode_str_auto(blob: bytes, offsets: np.ndarray,
     k = max(1, min(k, n))
     s_blob = blob[:int(offsets[k])]
     s_off = offsets[:k + 1]
+    # FSST is not a DEFAULT candidate: its per-byte greedy matcher runs
+    # in Python (~2 MB/s — ~0.5 s per chunk of doc ids, dwarfing every
+    # other stage), and str_zstd matches or beats its ratio on the
+    # prefix-heavy strings it targets. It stays available by explicit
+    # request (codecs=("fsst",...)) for random-access-focused layouts.
     if codecs is not None:
         candidates = [c for c in ("str_dict", "str_zstd", "str_zlib", "fsst")
                       if c in codecs]
     elif ZSTD_AVAILABLE:
-        candidates = ["str_dict", "str_zstd", "fsst"]
+        candidates = ["str_dict", "str_zstd"]
     else:
-        candidates = ["str_dict", "str_zlib", "fsst"]
+        candidates = ["str_dict", "str_zlib"]
     sizes: dict[str, int] = {"str_plain": len(s_blob) + 8 * 2 + 30}
     for c in candidates:
         try:

@@ -1,11 +1,13 @@
 from .chunk import decode_column, encode_column
 from .decode import ChecksumError, decode_table, lookup_docs
-from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_table)
+from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
+                     encode_table)
 from .verify import compression_report, verify_roundtrip
 
 __all__ = [
     "encode_column", "decode_column",
-    "encode_table", "decode_table", "lookup_docs", "ChecksumError",
+    "encode_table", "encode_files", "decode_table", "lookup_docs",
+    "ChecksumError",
     "verify_roundtrip", "compression_report",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",
 ]

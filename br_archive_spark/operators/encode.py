@@ -309,3 +309,255 @@ def encode_table(df: DataFrame,
     fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                          str_codecs=str_codecs, global_dict=global_dict)
     return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
+
+
+def encode_files(spark, input_path,
+                 specs: list[tuple[str, str]] | None = None,
+                 target_values: int = 1 << 20,
+                 snapshot_id: str = "",
+                 codecs: tuple[str, ...] | None = None,
+                 str_codecs: tuple[str, ...] | None = None,
+                 global_dict=None,
+                 skip_files: set[str] | frozenset[str] | None = None,
+                 target_unit_bytes: int | None = None,
+                 driver_enum_threshold: int = 2048,
+                 output_dir: str | None = None) -> DataFrame:
+    """Bulk-path encode: tasks read their parquet splits DIRECTLY.
+
+    ``mode="scan"`` ships every byte twice — the JVM reads parquet,
+    re-serializes to Arrow, and streams it to the Python worker over a
+    local socket. For a full-table encode (no predicate, no projection
+    beyond the encoded columns) that relay is pure overhead: roughly
+    half the task's cycles at 100 TB. Here Spark parallelizes over
+    (file, row-group) work units — a few bytes each — and the encode
+    UDF opens its parquet split with pyarrow in-process, so token bytes
+    cross no JVM boundary at all. Spark still owns scheduling, retries,
+    speculative execution, and the manifest is the same DataFrame.
+
+    Work units are (path, row_group): the parquet row group (~128 MB)
+    is the natural split, so one giant file does not pin one task (the
+    reference's implicit skew story — a huge file is many chunks,
+    ``src/io/lib_bra_io_file_chunks.c:199`` — kept at cluster scale).
+    Row-group enumeration is itself distributed (footer reads happen in
+    tasks, not on the driver — 100 k footers would serialize a driver).
+
+    Units are then packed into byte-budget BUCKETS of
+    ``target_unit_bytes`` (contiguous by (path, rg) via a running-sum
+    window over the tiny unit table) and one task processes one bucket:
+    a Python task costs ~0.3 s of fixed overhead, so task work must be
+    seconds-scale to amortize it — small files batch together, while a
+    128 MB row group is a healthy task on its own. Chunk ids stay
+    ``filecrc:rowgroup:index`` — a pure function of the input layout,
+    independent of bucketing, so resumes reproduce identical ids.
+
+    ``skip_files``: files already present in the output manifest
+    (lineage resume) — pruned before any footer is read.
+    Chunk ids are content-addressed as ``filecrc:rowgroup:index`` so a
+    resumed run reproduces identical ids.
+
+    ``output_dir``: when set, each task writes its manifest rows to its
+    OWN parquet shard in-process (tmp-name + atomic rename) and the
+    returned DataFrame carries only payload-free stats rows — so
+    encoded payload bytes never cross the Python→JVM boundary on the
+    way OUT either. This is the full bulk path: payload crosses zero
+    process boundaries end-to-end; Spark schedules, retries, and
+    collects lineage. Shard names derive from the first unit's content
+    address (layout-stable), so a resumed or retried task overwrites
+    its own shard idempotently rather than duplicating it.
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    specs = specs or TOKEN_SPECS
+
+    if isinstance(input_path, (list, tuple)):
+        paths = sorted(input_path)
+    else:
+        paths = sorted(spark.read.parquet(input_path).inputFiles())
+    if skip_files:
+        paths = [p for p in paths if p not in skip_files]
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+    if not paths:
+        return spark.createDataFrame([], MANIFEST_SPARK_SCHEMA)
+
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file:") else p
+
+    def enumerate_rgs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            out_paths, out_rgs, out_bytes = [], [], []
+            for p in batch.column("path").to_pylist():
+                meta = pq.ParquetFile(_local(p)).metadata
+                for i in range(meta.num_row_groups):
+                    out_paths.append(p)
+                    out_rgs.append(i)
+                    out_bytes.append(meta.row_group(i).total_byte_size)
+            if out_paths:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(out_paths, pa.string()),
+                     pa.array(out_rgs, pa.int32()),
+                     pa.array(out_bytes, pa.int64())],
+                    names=["path", "rg", "bytes"])
+
+    def encode_units(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
+                             part_from_task=False, track_file=False,
+                             str_codecs=str_codecs, global_dict=global_dict)
+        cols = [name for name, _ in specs]
+        open_path, open_pf = None, None
+        for batch in batches:
+            units = [(p, rg)
+                     for paths_a, rgs_a in zip(
+                         batch.column("paths").to_pylist(),
+                         batch.column("rgs").to_pylist())
+                     for p, rg in zip(paths_a, rgs_a)]
+            for path, rg in units:
+                if path != open_path:
+                    open_path = path
+                    open_pf = pq.ParquetFile(_local(path))
+                pf = open_pf
+                fhash = zlib.crc32(path.encode()) & 0xFFFFFFFF
+
+                def feed() -> Iterator[pa.RecordBatch]:
+                    # use_threads=False: every core already runs its own
+                    # task; per-task arrow thread pools (default = all
+                    # cores) would oversubscribe the executor 16x
+                    for rb in pf.iter_batches(batch_size=8192,
+                                              row_groups=[rg],
+                                              columns=cols,
+                                              use_threads=False):
+                        arrays = [rb.column(c) for c in cols]
+                        part = pa.array(
+                            np.zeros(rb.num_rows, dtype=np.int32))
+                        yield pa.RecordBatch.from_arrays(
+                            arrays + [part], names=cols + ["_part"])
+
+                unit_batches = []
+                for out in fn(feed()):
+                    idx = out.column("chunk_idx")[0].as_py()
+                    patched = {
+                        "chunk_id": pa.array(
+                            [f"{fhash:08x}:{rg:05d}:{idx:05d}"]),
+                        "part_id": pa.array([rg], pa.int32()),
+                        "input_file": pa.array([path]),
+                    }
+                    row = pa.RecordBatch.from_arrays(
+                        [patched.get(name) or out.column(name)
+                         for name in MANIFEST_SCHEMA.names],
+                        schema=MANIFEST_SCHEMA)
+                    if output_dir is None:
+                        yield row
+                    else:
+                        unit_batches.append(row)
+                if output_dir is not None and unit_batches:
+                    # in-process sink: one shard per (file, row-group),
+                    # named by content address → bucketing-independent,
+                    # idempotent under retry/resume (tmp + atomic rename)
+                    shard = os.path.join(
+                        output_dir, f"man-{fhash:08x}-{rg:05d}.parquet")
+                    tmp = f"{shard}.tmp-{os.getpid()}"
+                    pq.write_table(
+                        pa.Table.from_batches(unit_batches), tmp,
+                        compression="zstd")
+                    os.replace(tmp, shard)
+                    empty_cols = pa.array(
+                        [[] for _ in unit_batches],
+                        type=MANIFEST_SCHEMA.field("columns").type)
+                    stats = pa.Table.from_batches(unit_batches) \
+                        .set_column(
+                            MANIFEST_SCHEMA.get_field_index("columns"),
+                            "columns", empty_cols)
+                    yield from stats.to_batches()
+
+    def _bucket_target(total_bytes: int) -> tuple[int, int]:
+        # explicit budget → exact (buckets become a pure function of the
+        # input layout — e.g. the scaling bench must execute identical
+        # unit lists at both parallelism levels); None → auto: ~6 waves
+        # of tasks across the cluster (measured sweet spot — straggler
+        # absorption beats per-task overhead down to ~13 s/16-core on
+        # the bench workload), capped at 256 MB, never slivers <16 MB
+        if target_unit_bytes is not None:
+            target = max(int(target_unit_bytes), 1)
+        else:
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            target = int(min(256 << 20,
+                             max(16 << 20, total_bytes // (par * 6) + 1)))
+        return target, int(total_bytes // target) + 1
+
+    if len(paths) <= driver_enum_threshold:
+        # FAST PATH: enumerate footers on the driver (~1 ms each) and
+        # build the bucketed unit table in one createDataFrame — one
+        # Spark job, one metadata-sized shuffle. The distributed path
+        # below costs 2 extra jobs + a window stage (~2-3 s of fixed
+        # time), which at high core counts can rival the encode itself.
+        import pyarrow.parquet as pq
+
+        units: list[tuple[str, int, int]] = []
+        for p in paths:
+            meta = pq.ParquetFile(_local(p)).metadata
+            for i in range(meta.num_row_groups):
+                units.append((p, i, meta.row_group(i).total_byte_size))
+        total_bytes = sum(u[2] for u in units)
+        target, _ = _bucket_target(total_bytes)
+        buckets: dict[int, tuple[list, list]] = {}
+        cum = 0
+        for p, rg, nbytes in units:
+            b = buckets.setdefault(cum // target, ([], []))
+            b[0].append(p)
+            b[1].append(rg)
+            cum += nbytes
+        # ONE ROW PER BUCKET + round-robin repartition → exactly one
+        # bucket per task. (repartition(n, col) would HASH bucket ids:
+        # birthday collisions stack 2-4 buckets on some tasks and leave
+        # ~1/e of them empty — measured as a ~2x straggler tail at 16
+        # cores, invisible at 4 where 12 waves average it out.)
+        rows = [v for _, v in sorted(buckets.items())]
+        bucketed = (spark.createDataFrame(
+            rows, "paths array<string>, rgs array<int>")
+            .repartition(len(rows)))
+        return bucketed.mapInArrow(encode_units, MANIFEST_SPARK_SCHEMA)
+
+    from pyspark.sql import Window
+
+    # a footer read is ~1 ms but a Python task costs ~0.3 s — batch
+    # many footers per task; 2 waves across the cluster is plenty
+    enum_parallelism = max(1, min(
+        len(paths), spark.sparkContext.defaultParallelism * 2))
+    paths_df = spark.createDataFrame(
+        [(p,) for p in paths], "path string").repartition(enum_parallelism)
+    units_df = paths_df.mapInArrow(enumerate_rgs,
+                                   "path string, rg int, bytes long")
+    # pack units into byte-budget buckets: running sum over the unit
+    # table (tiny — one row per row group, no payload bytes move), then
+    # bucket = floor(cum/target). The single-reducer window sort is over
+    # metadata rows only (~1 row per 128 MB of data).
+    units_df = units_df.cache()
+    total_bytes = units_df.agg(F.sum("bytes")).collect()[0][0] or 0
+    target, n_buckets = _bucket_target(total_bytes)
+    w = (Window.orderBy("path", "rg")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    units_df = (units_df
+                .withColumn("_cum", F.sum("bytes").over(w))
+                .withColumn("_bucket", F.floor(
+                    (F.col("_cum") - F.col("bytes")) / F.lit(target))))
+    # one row per bucket, then round-robin with an EXPLICIT partition
+    # count (one bucket per task): hash-partitioning bucket ids would
+    # stack buckets by birthday collision, and AQE would coalesce the
+    # few-KB shuffle to one task — partition byte-size says nothing
+    # about the work a pointer row causes
+    bucketed = (units_df
+                .groupBy("_bucket")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("path", "rg"))).alias("u"))
+                .select(F.expr("transform(u, x -> x.path)").alias("paths"),
+                        F.expr("transform(u, x -> x.rg)").alias("rgs")))
+    bucketed = bucketed.repartition(max(n_buckets, 1))
+    return bucketed.mapInArrow(encode_units, MANIFEST_SPARK_SCHEMA)

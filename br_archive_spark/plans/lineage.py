@@ -56,9 +56,18 @@ def encode_with_checkpoint(spark: SparkSession, input_dir: str,
              "encoded_files": len(remaining), "chunks": 0}
     if not remaining:
         return stats
-    df = spark.read.parquet(*remaining)
-    enc = encode_table(df, snapshot_id=snapshot_id,
-                       track_input_file=True, **encode_kwargs)
+    if encode_kwargs.get("mode", "direct") == "direct":
+        # bulk path: tasks read their parquet splits directly (see
+        # operators.encode.encode_files); lineage comes built-in
+        from ..operators.encode import encode_files
+
+        encode_kwargs.pop("mode", None)
+        enc = encode_files(spark, remaining, snapshot_id=snapshot_id,
+                           **encode_kwargs)
+    else:
+        df = spark.read.parquet(*remaining)
+        enc = encode_table(df, snapshot_id=snapshot_id,
+                           track_input_file=True, **encode_kwargs)
     mode = "append" if os.path.exists(output_dir) else "overwrite"
     enc.write.mode(mode).parquet(output_dir)
     stats["chunks"] = (spark.read.parquet(output_dir)
