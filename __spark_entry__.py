@@ -117,21 +117,23 @@ def q_roundtrip_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_roundtrip_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-trip through the bulk encode path (`encode_files`): Spark
-    parallelizes over (file, row-group) units packed into byte-budget
-    buckets and each task reads its parquet split in-process with
-    pyarrow — no JVM→Python relay of payload bytes. The 100 TB path."""
+    """Round-trip through the full bulk path: `encode_files` reads
+    (file, row-group) units in-process and writes manifest shards
+    in-process (payload bytes cross zero process boundaries), then
+    `decode_files` reads the shards back the same way. The 100 TB
+    path end-to-end."""
     import tempfile
 
-    from br_archive_spark.operators import decode_table, encode_files
+    from br_archive_spark.operators import decode_files, encode_files
 
     tok = _lineitem_token_table(spark, sf_dir)
     # encode_files reads parquet files: materialize the token table once
     tmp = tempfile.mkdtemp(prefix="bra_direct_")
     path = f"{tmp}/tok.parquet"
     tok.write.mode("overwrite").parquet(path)
-    enc = encode_files(spark, path, target_values=1 << 18)
-    dec = decode_table(enc)
+    encode_files(spark, path, target_values=1 << 18,
+                 output_dir=f"{tmp}/man").collect()
+    dec = decode_files(spark, f"{tmp}/man")
     return (dec.select("doc_id", F.posexplode("tokens")
                        .alias("pos", "token"))
             .select("doc_id", F.col("pos").cast("int").alias("pos"),

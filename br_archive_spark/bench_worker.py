@@ -121,12 +121,13 @@ def main() -> None:
         "chunks": int(stats[3]),
     }
     if args.write:
-        # decode throughput (reference baseline: 7.7 Mtok/s, unbra -t)
-        from br_archive_spark.operators import decode_table
+        # decode throughput (reference baseline: 7.7 Mtok/s, unbra -t —
+        # full decode + checksum verify, no output written): bulk-path
+        # decode_files reads manifest shards in-process
+        from br_archive_spark.operators import decode_files
 
-        man = spark.read.parquet(args.output)
         t3 = time.time()
-        dec_tokens = decode_table(man).agg(
+        dec_tokens = decode_files(spark, args.output).agg(
             F.sum(F.size("tokens"))).collect()[0][0]
         result["t_decode"] = round(time.time() - t3, 3)
         result["decode_tokens"] = int(dec_tokens)

@@ -65,11 +65,25 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
+    spark = _spark(args)
+    gd = _load_gdict(args.global_dict)
+    if os.path.exists(args.output) and not args.yes:
+        print(json.dumps({"error": f"{args.output} exists (use -y)"}))
+        return 1
+    if args.mode == "direct":
+        # bulk path: tasks read manifest shards and write decoded
+        # shards in-process (operators.decode.decode_files)
+        from .operators.decode import decode_files
+
+        stats = decode_files(spark, args.input, global_dict=gd,
+                             output_dir=args.output).collect()
+        print(json.dumps({"rows": int(sum(r["n_rows"] for r in stats)),
+                          "shards": len(stats)}))
+        return 0
     from .operators.decode import decode_table
 
-    spark = _spark(args)
     man = spark.read.parquet(args.input)
-    decode_table(man, global_dict=_load_gdict(args.global_dict)).write.mode(
+    decode_table(man, global_dict=gd).write.mode(
         "overwrite" if args.yes else "errorifexists").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
@@ -152,6 +166,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-y", "--yes", action="store_true",
                    help="overwrite output (the reference's -y)")
     p.add_argument("--global-dict", default=None, metavar="PATH")
+    p.add_argument("--mode", choices=["direct", "spark"],
+                   default="direct",
+                   help="direct: tasks read/write shards in-process; "
+                        "spark: JVM scan + job-committed write")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("list", help="manifest stats without decoding")

@@ -1,12 +1,13 @@
 from .chunk import decode_column, encode_column
-from .decode import ChecksumError, decode_table, lookup_docs
+from .decode import ChecksumError, decode_files, decode_table, lookup_docs
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table)
 from .verify import compression_report, verify_roundtrip
 
 __all__ = [
     "encode_column", "decode_column",
-    "encode_table", "encode_files", "decode_table", "lookup_docs",
+    "encode_table", "encode_files", "decode_table", "decode_files",
+    "lookup_docs",
     "ChecksumError",
     "verify_roundtrip", "compression_report",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

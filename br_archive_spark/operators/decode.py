@@ -19,6 +19,7 @@ the reference's trailing-CRC check on extract
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,7 +30,7 @@ from pyspark.sql import DataFrame
 from ..integrity.crc import chunk_checksum
 from .chunk import decode_column
 
-__all__ = ["decode_table", "ChecksumError"]
+__all__ = ["decode_table", "decode_files", "ChecksumError"]
 
 
 class ChecksumError(RuntimeError):
@@ -125,6 +126,118 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
     return dec.where(F.col(key).isin(doc_ids))
 
 
+def _decoded_spark_schema(specs: list[tuple[str, str]],
+                          with_n_tok: bool) -> str:
+    parts = []
+    for name, kind in specs:
+        spark_t = {"string": "string", "int_list": "array<int>",
+                   "int": "long"}[kind]
+        parts.append(f"{name} {spark_t}")
+    if with_n_tok:
+        parts.append("n_tok int")
+    return ", ".join(parts)
+
+
+def decode_files(spark, manifest_path,
+                 specs: list[tuple[str, str]] | None = None,
+                 with_n_tok: bool = True,
+                 verify_checksums: bool = True,
+                 global_dict=None,
+                 output_dir: str | None = None,
+                 target_unit_bytes: int | None = None) -> DataFrame:
+    """Bulk-path decode: tasks read manifest shards DIRECTLY.
+
+    The mirror of ``encode.encode_files``: Spark distributes manifest
+    *files* packed into byte-budget buckets; each task opens its shards
+    with pyarrow in-process, decodes (checksum-verified, like the
+    reference's ``unbra -t``, ``src/io/lib_bra_io_file_ctx.c:672-685``)
+    and — with ``output_dir`` — writes the reconstructed rows to its own
+    parquet shard (tmp + atomic rename). With both bulk paths, payload
+    bytes cross zero process boundaries in either direction: encode
+    reads source parquet and writes manifest shards in-process; decode
+    reads manifest shards and writes decoded parquet in-process. Spark
+    remains the scheduler/retry/lineage layer.
+
+    Without ``output_dir`` the decoded rows are returned as a DataFrame
+    (they then cross into the JVM once, as any DataFrame result must).
+    With it, the returned DataFrame carries one stats row per written
+    shard: ``(shard, n_rows, n_values)``.
+    """
+    from .encode import TOKEN_SPECS
+
+    specs = specs or TOKEN_SPECS
+
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else \
+            p[5:] if p.startswith("file:") else p
+
+    paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
+        if isinstance(manifest_path, str) else sorted(manifest_path)
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+    if not paths:
+        schema = "shard string, n_rows long, n_values long" \
+            if output_dir is not None \
+            else _decoded_spark_schema(specs, with_n_tok)
+        return spark.createDataFrame([], schema)
+
+    sizes = [os.path.getsize(_local(p)) for p in paths]
+    total = sum(sizes)
+    if target_unit_bytes is not None:
+        target = max(int(target_unit_bytes), 1)
+    else:
+        par = max(spark.sparkContext.defaultParallelism, 1)
+        target = int(min(64 << 20, max(4 << 20, total // (par * 6) + 1)))
+    buckets: dict[int, list] = {}
+    cum = 0
+    for p, nbytes in zip(paths, sizes):
+        buckets.setdefault(cum // target, []).append(p)
+        cum += nbytes
+    rows = [(v,) for _, v in sorted(buckets.items())]
+
+    fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
+                         global_dict=global_dict)
+    man_cols = ["chunk_id", "n_rows", "n_values", "checksum", "columns"]
+
+    def decode_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for shard_paths in batch.column("paths").to_pylist():
+                for mp_ in shard_paths:
+                    tbl = pq.read_table(_local(mp_), columns=man_cols,
+                                        use_threads=False)
+                    n_values = sum(
+                        tbl.column("n_values").to_pylist())
+                    dec_batches = list(fn(iter(
+                        tbl.drop_columns(["n_values"]).to_batches())))
+                    if output_dir is None:
+                        yield from dec_batches
+                        continue
+                    base = os.path.basename(_local(mp_))
+                    shard = os.path.join(output_dir, f"dec-{base}")
+                    tmp = f"{shard}.tmp-{os.getpid()}"
+                    out_tbl = pa.Table.from_batches(dec_batches)
+                    # snappy: the decoded output is the user-facing
+                    # uncompressed table (the reference's extracted
+                    # files); zstd here would re-pay a full entropy
+                    # encode on data the caller asked to be decoded
+                    pq.write_table(out_tbl, tmp, compression="snappy")
+                    os.replace(tmp, shard)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([shard]),
+                         pa.array([out_tbl.num_rows], pa.int64()),
+                         pa.array([n_values], pa.int64())],
+                        names=["shard", "n_rows", "n_values"])
+
+    bucketed = (spark.createDataFrame(rows, "paths array<string>")
+                .repartition(len(rows)))
+    out_schema = "shard string, n_rows long, n_values long" \
+        if output_dir is not None \
+        else _decoded_spark_schema(specs, with_n_tok)
+    return bucketed.mapInArrow(decode_bucket, out_schema)
+
+
 def decode_table(encoded: DataFrame,
                  specs: list[tuple[str, str]] | None = None,
                  with_n_tok: bool = True,
@@ -139,14 +252,7 @@ def decode_table(encoded: DataFrame,
     from .encode import TOKEN_SPECS
 
     specs = specs or TOKEN_SPECS
-    parts = []
-    for name, kind in specs:
-        spark_t = {"string": "string", "int_list": "array<int>",
-                   "int": "long"}[kind]
-        parts.append(f"{name} {spark_t}")
-    if with_n_tok:
-        parts.append("n_tok int")
-    out_spark_schema = ", ".join(parts)
+    out_spark_schema = _decoded_spark_schema(specs, with_n_tok)
     fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
                          global_dict=global_dict)
     cols = ["chunk_id", "n_rows", "checksum", "columns"]

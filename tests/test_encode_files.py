@@ -106,6 +106,75 @@ def test_direct_inprocess_sink(spark, src_dir, tmp_path):
     assert man.count() == spark.read.parquet(out).count()
 
 
+def test_decode_files_roundtrip_both_modes(spark, src_dir, tmp_path):
+    """decode_files (bulk decode: tasks read manifest shards
+    in-process) must reconstruct the table exactly, both returning a
+    DataFrame and writing decoded shards in-process."""
+    from br_archive_spark.operators import decode_files
+
+    man_dir = str(tmp_path / "man")
+    encode_files(spark, src_dir, output_dir=man_dir).collect()
+    src = spark.read.parquet(src_dir)
+
+    dec = decode_files(spark, man_dir)
+    assert src.selectExpr("doc_id", "tokens t1").join(
+        dec.selectExpr("doc_id", "tokens t2"), "doc_id", "full_outer"
+    ).where("t1 IS DISTINCT FROM t2").count() == 0
+
+    out_dir = str(tmp_path / "dec")
+    stats = decode_files(spark, man_dir, output_dir=out_dir)
+    assert sum(r["n_rows"] for r in stats.collect()) == src.count()
+    dec2 = spark.read.parquet(out_dir)
+    assert src.selectExpr("doc_id", "tokens t1").join(
+        dec2.selectExpr("doc_id", "tokens t2"), "doc_id", "full_outer"
+    ).where("t1 IS DISTINCT FROM t2").count() == 0
+
+
+def test_decode_files_checksum_verified(spark, src_dir, tmp_path):
+    """A corrupted shard must fail the bulk decode loudly."""
+    import pyarrow.parquet as pq
+
+    from br_archive_spark.operators import decode_files
+
+    man_dir = str(tmp_path / "man")
+    encode_files(spark, src_dir, output_dir=man_dir).collect()
+    import os
+    import pyarrow as pa
+
+    shard = os.path.join(man_dir, sorted(os.listdir(man_dir))[0])
+    tbl = pq.read_table(shard)
+    idx = tbl.schema.get_field_index("checksum")
+    bad_col = pa.array(
+        [c + 1 for c in tbl.column("checksum").to_pylist()], pa.int64())
+    pq.write_table(tbl.set_column(idx, "checksum", bad_col), shard)
+    with pytest.raises(Exception, match="checksum mismatch"):
+        decode_files(spark, man_dir).count()
+
+
+def test_direct_giant_file_splits_by_row_group(spark, tmp_path):
+    """One huge input file must not pin one task: (path, row_group)
+    units let a multi-row-group file spread across buckets — the
+    reference's implicit skew story (a huge file is many chunks,
+    src/io/lib_bra_io_file_chunks.c:199) at cluster scale."""
+    import pyarrow.parquet as pq
+
+    from br_archive_spark.datagen import token_table
+
+    path = str(tmp_path / "giant.parquet")
+    pdf = token_table(spark, 4000).toPandas()
+    import pyarrow as pa
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                   path, row_group_size=400)  # 10 row groups
+    assert pq.ParquetFile(path).metadata.num_row_groups == 10
+
+    enc = encode_files(spark, [path], target_unit_bytes=1)
+    # every row group became its own unit (target=1 byte → 1 unit each)
+    assert enc.select("part_id").distinct().count() == 10
+    src = spark.read.parquet(path)
+    res = verify_roundtrip(src, enc)
+    assert res["ok"], res
+
+
 def test_direct_empty_input(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
