@@ -119,6 +119,20 @@ def cmd_verify(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_compact(args) -> int:
+    from .operators.compact import compact_manifest
+
+    spark = _spark(args)
+    stats = compact_manifest(spark, args.input, args.output,
+                             target_bytes=args.target_bytes).collect()
+    print(json.dumps({
+        "shards": len(stats),
+        "input_files": int(sum(r["input_files"] for r in stats)),
+        "chunks": int(sum(r["chunks"] for r in stats)),
+    }))
+    return 0
+
+
 def cmd_package(args) -> int:
     import zipfile
 
@@ -181,6 +195,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source", required=True)
     p.add_argument("--global-dict", default=None, metavar="PATH")
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("compact",
+                       help="merge small manifest shards (no re-encode)")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--target-bytes", type=int, default=128 << 20)
+    p.set_defaults(fn=cmd_compact)
 
     p = sub.add_parser("package", help="build --py-files zip")
     p.set_defaults(fn=cmd_package)

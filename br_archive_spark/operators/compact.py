@@ -1,0 +1,99 @@
+"""Manifest compaction: merge small manifest shards, no re-encode.
+
+The bulk encode path (``encode.encode_files``) writes one manifest
+shard per (input file, row group). With many small input files that
+yields many small shards — fine for correctness (chunk ids are
+content-addressed), but small files tax every later scan (one open +
+footer parse each; object-store request costs at 100 TB). The
+compactor rewrites a manifest directory into shards of
+``target_bytes``, copying chunk rows verbatim — payloads pass through
+untouched, so compaction cannot corrupt data, and chunk ids (and thus
+resume/lineage semantics) are preserved exactly.
+
+Same execution shape as the other bulk operators: shard files pack
+into byte-budget buckets, one bucket per task via round-robin
+``repartition(n)``, each task reads its inputs and writes its merged
+output with pyarrow in-process. The output shard is named from the
+crc32 of its sorted input list — deterministic for a given input set,
+so a retried task overwrites its own output (tmp + atomic rename).
+
+The analog in the reference is archive rewriting — it has none (an
+archive is written once, sequentially); this operator exists because a
+distributed encode produces many independent outputs by design.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+
+__all__ = ["compact_manifest"]
+
+
+def compact_manifest(spark, manifest_path, output_dir: str,
+                     target_bytes: int = 128 << 20) -> DataFrame:
+    """Merge manifest shards under ``manifest_path`` into
+    ``output_dir`` shards of roughly ``target_bytes`` (compressed).
+
+    Returns one stats row per written shard:
+    ``(shard, input_files, chunks, n_rows, enc_bytes)``.
+    """
+
+    def _local(p: str) -> str:
+        return p[7:] if p.startswith("file://") else \
+            p[5:] if p.startswith("file:") else p
+
+    paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
+        if isinstance(manifest_path, str) else sorted(manifest_path)
+    os.makedirs(output_dir, exist_ok=True)
+    if not paths:
+        return spark.createDataFrame(
+            [], "shard string, input_files int, chunks long, "
+                "n_rows long, enc_bytes long")
+
+    sizes = [os.path.getsize(_local(p)) for p in paths]
+    buckets: dict[int, list] = {}
+    cum = 0
+    for p, nbytes in zip(paths, sizes):
+        buckets.setdefault(cum // max(target_bytes, 1), []).append(p)
+        cum += nbytes
+    rows = [(v,) for _, v in sorted(buckets.items())]
+
+    def merge_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for shard_paths in batch.column("paths").to_pylist():
+                tables = [pq.read_table(_local(p), use_threads=False)
+                          for p in shard_paths]
+                merged = pa.concat_tables(tables)
+                name_src = "\n".join(sorted(shard_paths)).encode()
+                tag = zlib.crc32(name_src) & 0xFFFFFFFF
+                shard = os.path.join(output_dir,
+                                     f"cman-{tag:08x}.parquet")
+                tmp = f"{shard}.tmp-{os.getpid()}"
+                pq.write_table(merged, tmp, compression="zstd")
+                os.replace(tmp, shard)
+                enc_bytes = sum(merged.column("enc_bytes").to_pylist())
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([shard]),
+                     pa.array([len(shard_paths)], pa.int32()),
+                     pa.array([merged.num_rows], pa.int64()),
+                     pa.array([sum(merged.column("n_rows").to_pylist())],
+                              pa.int64()),
+                     pa.array([enc_bytes], pa.int64())],
+                    names=["shard", "input_files", "chunks", "n_rows",
+                           "enc_bytes"])
+
+    bucketed = (spark.createDataFrame(rows, "paths array<string>")
+                .repartition(len(rows)))
+    return bucketed.mapInArrow(
+        merge_bucket,
+        "shard string, input_files int, chunks long, n_rows long, "
+        "enc_bytes long")

@@ -175,6 +175,40 @@ def test_direct_giant_file_splits_by_row_group(spark, tmp_path):
     assert res["ok"], res
 
 
+def test_compact_manifest_preserves_everything(spark, src_dir, tmp_path):
+    """Compaction merges shards without touching payloads: fewer
+    files, identical chunk set, identical decoded table."""
+    import os
+
+    from br_archive_spark.operators import compact_manifest, decode_files
+
+    man_dir = str(tmp_path / "man")
+    # tiny buckets → one shard per (file, rg): the worst small-file case
+    encode_files(spark, src_dir, output_dir=man_dir,
+                 target_unit_bytes=1).collect()
+    n_before = len([f for f in os.listdir(man_dir)
+                    if f.endswith(".parquet")])
+    assert n_before >= 8
+
+    cdir = str(tmp_path / "cman")
+    stats = compact_manifest(spark, man_dir, cdir,
+                             target_bytes=64 << 20).collect()
+    n_after = len([f for f in os.listdir(cdir) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert sum(r["input_files"] for r in stats) == n_before
+
+    before = spark.read.parquet(man_dir)
+    after = spark.read.parquet(cdir)
+    assert sorted(r[0] for r in before.select("chunk_id").collect()) == \
+        sorted(r[0] for r in after.select("chunk_id").collect())
+
+    src = spark.read.parquet(src_dir)
+    res = verify_roundtrip(src, after)
+    assert res["ok"], res
+    dec = decode_files(spark, cdir)
+    assert dec.count() == src.count()
+
+
 def test_direct_empty_input(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
