@@ -121,7 +121,7 @@ def _calibrate_host_curve(small: int, big: int, input_path: str) -> dict:
     os.sched_setaffinity(0, prev)
     ratios = []
     ts_best, tb_best = float("inf"), float("inf")
-    for _ in range(3):
+    for _ in range(2):
         ts = run_level(small)
         tb = run_level(big)
         ratios.append((ts / tb) / (big / small))
@@ -177,7 +177,7 @@ def bench_encode_scaling() -> tuple[dict, dict]:
                     generate_only=True)
 
     small, big = SCALE_N, SCALE_N * 4
-    # Measurement: 3 interleaved rounds, each running small then big in
+    # Measurement: interleaved rounds (default 2), each running small then big in
     # fresh JVMs with 2 warm trials per level. Host noise on this
     # shared Firecracker VM is strictly additive (slowdowns only) and
     # fluctuates on ~second timescales, so the primary estimator is the
@@ -232,8 +232,8 @@ def bench_encode_scaling() -> tuple[dict, dict]:
         "speedup": round(speedup, 3),
         # primary estimator: best-of-trials per level. Host noise on
         # this shared VM is strictly additive and fluctuates on ~second
-        # timescales, so each level's minimum over 6 warm trials (2 per
-        # round x 3 interleaved rounds) converges on its true
+        # timescales, so each level's minimum over all warm trials (2 per
+        # round x the interleaved rounds) converges on its true
         # steady-state time; the ratio of minima estimates noise-free
         # scaling. Paired per-round ratios are reported alongside —
         # they do NOT cancel sub-minute drift and scatter accordingly.
