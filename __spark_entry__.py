@@ -770,7 +770,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents
                 )
             )
-            SELECT lang, COUNT(*) AS n_docs, SUM(q) AS quality_sum
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(q) AS BIGINT) AS quality_sum
             FROM scored WHERE q >= 40
             GROUP BY lang ORDER BY lang
         """,
@@ -864,15 +865,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_pivot": """
             SELECT user_id % 10 AS bucket,
-                   SUM(CASE WHEN event_type='click' THEN cents END)
+                   CAST(SUM(CASE WHEN event_type='click' THEN cents END) AS BIGINT)
                        AS click,
-                   SUM(CASE WHEN event_type='error' THEN cents END)
+                   CAST(SUM(CASE WHEN event_type='error' THEN cents END) AS BIGINT)
                        AS error,
-                   SUM(CASE WHEN event_type='purchase' THEN cents END)
+                   CAST(SUM(CASE WHEN event_type='purchase' THEN cents END) AS BIGINT)
                        AS purchase,
-                   SUM(CASE WHEN event_type='signup' THEN cents END)
+                   CAST(SUM(CASE WHEN event_type='signup' THEN cents END) AS BIGINT)
                        AS signup,
-                   SUM(CASE WHEN event_type='view' THEN cents END)
+                   CAST(SUM(CASE WHEN event_type='view' THEN cents END) AS BIGINT)
                        AS view
             FROM (SELECT user_id, event_type,
                          CAST(ROUND(value*100) AS BIGINT) AS cents
