@@ -75,6 +75,13 @@ def cmd_decode(args) -> int:
         # shards in-process (operators.decode.decode_files)
         from .operators.decode import decode_files
 
+        if args.yes and os.path.isdir(args.output):
+            # match spark-mode overwrite semantics: a previous decode's
+            # shards (possibly from a different manifest) must not stay
+            # mixed into the new dataset
+            import shutil
+            shutil.rmtree(args.output, ignore_errors=True)
+
         stats = decode_files(spark, args.input, global_dict=gd,
                              output_dir=args.output).collect()
         print(json.dumps({"rows": int(sum(r["n_rows"] for r in stats)),

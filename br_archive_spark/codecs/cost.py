@@ -123,8 +123,13 @@ def choose_int_codec(values: np.ndarray,
     st = int_chunk_stats(values)
     est = _estimates(st)
     if st["n"] >= 256:
+        # guard explicit requests against codecs unavailable on this
+        # host (zstd-backed entries are registered only when pyarrow
+        # ships the zstd codec), mirroring encode_str_auto's tolerance
+        from .intcodecs import INT_CODECS
         trial = [c for c in _ENTROPY_ALL
-                 if (c in _ENTROPY_TRIAL if codecs is None else c in codecs)]
+                 if (c in _ENTROPY_TRIAL if codecs is None else c in codecs)
+                 and c in INT_CODECS]
         est.update(_trial_estimates(values, st, tuple(trial)))
     if codecs is not None:
         est = {c: s for c, s in est.items() if c in codecs or c == "plain"}

@@ -13,9 +13,11 @@ resume/lineage semantics) are preserved exactly.
 Same execution shape as the other bulk operators: shard files pack
 into byte-budget buckets, one bucket per task via round-robin
 ``repartition(n)``, each task reads its inputs and writes its merged
-output with pyarrow in-process. The output shard is named from the
-crc32 of its sorted input list — deterministic for a given input set,
-so a retried task overwrites its own output (tmp + atomic rename).
+output with pyarrow in-process. The output shard is named from a
+64-bit sha256 prefix of its sorted input list — deterministic for a
+given input set, so a retried task overwrites its own output (tmp +
+atomic rename), and collision-resistant at 100k+ shard counts where a
+32-bit tag would birthday-collide.
 
 The analog in the reference is archive rewriting — it has none (an
 archive is written once, sequentially); this operator exists because a
@@ -31,6 +33,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from .fsutil import local_path, path_tag
+
 __all__ = ["compact_manifest"]
 
 
@@ -43,10 +47,6 @@ def compact_manifest(spark, manifest_path, output_dir: str,
     ``(shard, input_files, chunks, n_rows, enc_bytes)``.
     """
 
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file://") else \
-            p[5:] if p.startswith("file:") else p
-
     paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
         if isinstance(manifest_path, str) else sorted(manifest_path)
     os.makedirs(output_dir, exist_ok=True)
@@ -55,7 +55,7 @@ def compact_manifest(spark, manifest_path, output_dir: str,
             [], "shard string, input_files int, chunks long, "
                 "n_rows long, enc_bytes long")
 
-    sizes = [os.path.getsize(_local(p)) for p in paths]
+    sizes = [os.path.getsize(local_path(p)) for p in paths]
     buckets: dict[int, list] = {}
     cum = 0
     for p, nbytes in zip(paths, sizes):
@@ -64,19 +64,16 @@ def compact_manifest(spark, manifest_path, output_dir: str,
     rows = [(v,) for _, v in sorted(buckets.items())]
 
     def merge_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import zlib
-
         import pyarrow.parquet as pq
 
         for batch in batches:
             for shard_paths in batch.column("paths").to_pylist():
-                tables = [pq.read_table(_local(p), use_threads=False)
+                tables = [pq.read_table(local_path(p), use_threads=False)
                           for p in shard_paths]
                 merged = pa.concat_tables(tables)
-                name_src = "\n".join(sorted(shard_paths)).encode()
-                tag = zlib.crc32(name_src) & 0xFFFFFFFF
-                shard = os.path.join(output_dir,
-                                     f"cman-{tag:08x}.parquet")
+                name_src = "\n".join(sorted(shard_paths))
+                shard = os.path.join(
+                    output_dir, f"cman-{path_tag(name_src)}.parquet")
                 tmp = f"{shard}.tmp-{os.getpid()}"
                 pq.write_table(merged, tmp, compression="zstd")
                 os.replace(tmp, shard)

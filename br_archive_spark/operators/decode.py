@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 
 from ..integrity.crc import chunk_checksum
 from .chunk import decode_column
+from .fsutil import local_path, path_tag
 
 __all__ = ["decode_table", "decode_files", "ChecksumError"]
 
@@ -167,10 +168,6 @@ def decode_files(spark, manifest_path,
 
     specs = specs or TOKEN_SPECS
 
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file://") else \
-            p[5:] if p.startswith("file:") else p
-
     paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
         if isinstance(manifest_path, str) else sorted(manifest_path)
     if output_dir is not None:
@@ -181,7 +178,7 @@ def decode_files(spark, manifest_path,
             else _decoded_spark_schema(specs, with_n_tok)
         return spark.createDataFrame([], schema)
 
-    sizes = [os.path.getsize(_local(p)) for p in paths]
+    sizes = [os.path.getsize(local_path(p)) for p in paths]
     total = sum(sizes)
     if target_unit_bytes is not None:
         target = max(int(target_unit_bytes), 1)
@@ -205,7 +202,7 @@ def decode_files(spark, manifest_path,
         for batch in batches:
             for shard_paths in batch.column("paths").to_pylist():
                 for mp_ in shard_paths:
-                    tbl = pq.read_table(_local(mp_), columns=man_cols,
+                    tbl = pq.read_table(local_path(mp_), columns=man_cols,
                                         use_threads=False)
                     n_values = sum(
                         tbl.column("n_values").to_pylist())
@@ -214,8 +211,11 @@ def decode_files(spark, manifest_path,
                     if output_dir is None:
                         yield from dec_batches
                         continue
-                    base = os.path.basename(_local(mp_))
-                    shard = os.path.join(output_dir, f"dec-{base}")
+                    # tag by full path: basenames alone can repeat
+                    # across manifest dirs feeding one decode
+                    base = os.path.basename(local_path(mp_))
+                    shard = os.path.join(
+                        output_dir, f"dec-{path_tag(mp_)}-{base}")
                     tmp = f"{shard}.tmp-{os.getpid()}"
                     out_tbl = pa.Table.from_batches(dec_batches)
                     # snappy: the decoded output is the user-facing

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum
 from ..codecs.strcodecs import strings_from_arrow
 from .chunk import encode_column
+from .fsutil import local_path, path_tag
 
 __all__ = ["encode_table", "MANIFEST_SCHEMA", "MANIFEST_SPARK_SCHEMA",
            "TOKEN_SPECS"]
@@ -162,8 +163,6 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     global_dict=None):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import zlib
-
         task_part = 0
         if part_from_task:
             from pyspark import TaskContext
@@ -187,9 +186,11 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             key_bounds = _key_bounds(tbl, specs)
             checksum = chunk_checksum(*[e["payload"] for e in entries])
             if infile:
-                # file-content-addressed id: stable across resumed runs
-                fhash = zlib.crc32(infile.encode()) & 0xFFFFFFFF
-                chunk_id = f"{fhash:08x}:{part:06d}:{idx:05d}"
+                # file-content-addressed id: stable across resumed runs.
+                # 64-bit sha256 prefix: a 32-bit hash birthday-collides
+                # with ~50% probability at ~77k files, silently merging
+                # two files' chunk namespaces.
+                chunk_id = f"{path_tag(infile)}:{part:06d}:{idx:05d}"
             else:
                 chunk_id = f"{part:08d}:{idx:06d}"
             row = {
@@ -382,16 +383,13 @@ def encode_files(spark, input_path,
     if not paths:
         return spark.createDataFrame([], MANIFEST_SPARK_SCHEMA)
 
-    def _local(p: str) -> str:
-        return p[7:] if p.startswith("file:") else p
-
     def enumerate_rgs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         for batch in batches:
             out_paths, out_rgs, out_bytes = [], [], []
             for p in batch.column("path").to_pylist():
-                meta = pq.ParquetFile(_local(p)).metadata
+                meta = pq.ParquetFile(local_path(p)).metadata
                 for i in range(meta.num_row_groups):
                     out_paths.append(p)
                     out_rgs.append(i)
@@ -404,8 +402,6 @@ def encode_files(spark, input_path,
                     names=["path", "rg", "bytes"])
 
     def encode_units(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import zlib
-
         import pyarrow.parquet as pq
 
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
@@ -422,9 +418,9 @@ def encode_files(spark, input_path,
             for path, rg in units:
                 if path != open_path:
                     open_path = path
-                    open_pf = pq.ParquetFile(_local(path))
+                    open_pf = pq.ParquetFile(local_path(path))
                 pf = open_pf
-                fhash = zlib.crc32(path.encode()) & 0xFFFFFFFF
+                ftag = path_tag(path)
 
                 def feed() -> Iterator[pa.RecordBatch]:
                     # use_threads=False: every core already runs its own
@@ -445,7 +441,7 @@ def encode_files(spark, input_path,
                     idx = out.column("chunk_idx")[0].as_py()
                     patched = {
                         "chunk_id": pa.array(
-                            [f"{fhash:08x}:{rg:05d}:{idx:05d}"]),
+                            [f"{ftag}:{rg:05d}:{idx:05d}"]),
                         "part_id": pa.array([rg], pa.int32()),
                         "input_file": pa.array([path]),
                     }
@@ -462,7 +458,7 @@ def encode_files(spark, input_path,
                     # named by content address → bucketing-independent,
                     # idempotent under retry/resume (tmp + atomic rename)
                     shard = os.path.join(
-                        output_dir, f"man-{fhash:08x}-{rg:05d}.parquet")
+                        output_dir, f"man-{ftag}-{rg:05d}.parquet")
                     tmp = f"{shard}.tmp-{os.getpid()}"
                     pq.write_table(
                         pa.Table.from_batches(unit_batches), tmp,
@@ -502,7 +498,7 @@ def encode_files(spark, input_path,
 
         units: list[tuple[str, int, int]] = []
         for p in paths:
-            meta = pq.ParquetFile(_local(p)).metadata
+            meta = pq.ParquetFile(local_path(p)).metadata
             for i in range(meta.num_row_groups):
                 units.append((p, i, meta.row_group(i).total_byte_size))
         total_bytes = sum(u[2] for u in units)
