@@ -76,6 +76,47 @@ def q_roundtrip_documents_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_table(enc, specs=specs, with_n_tok=False)
 
 
+def q_roundtrip_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-carrying round trip: row nulls in a string column, row AND
+    element nulls in the token list column. Exercises the entry-level
+    ``nv.`` validity wrapper (operators/chunk.py) end-to-end; the
+    reference has no null concept (raw byte streams), so this is an
+    obligation unique to the columnar re-expression."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = _read(spark, sf_dir, "documents")
+    src = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(F.col("doc_id") % 11 == 0, None).otherwise(
+            F.transform(
+                F.sequence(F.lit(1),
+                           (F.col("n_chars") % 13 + 1).cast("int")),
+                lambda x: F.when(x % 5 == 0, None)
+                .otherwise((x + F.col("doc_id") % 97).cast("int")))
+        ).alias("tokens"),
+        F.when(F.col("n_chars") % 7 == 0, None)
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(F.col("n_chars") % 3 == 0, None)
+        .otherwise(F.col("source")).alias("source"))
+    specs = [("doc_id", "string"), ("tokens", "int_list"),
+             ("lang", "string"), ("source", "string")]
+    enc = encode_table(src, specs=specs, num_parts=4)
+    dec = decode_table(enc, specs=specs, with_n_tok=False)
+    # normalize nulls to sentinels AFTER decode (cross-engine hash
+    # safety: pandas renders in-list nulls as np.ma.masked from DuckDB
+    # but None from Spark). Nulls still flow through encode/decode; a
+    # null dropped or moved by the engine changes this output.
+    return dec.select(
+        "doc_id",
+        F.when(F.col("tokens").isNull(),
+               F.array(F.lit(-999).cast("int")))
+        .otherwise(F.transform(
+            "tokens", lambda x: F.coalesce(x, F.lit(-1).cast("int"))))
+        .alias("tokens"),
+        F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("<null>")).alias("source"))
+
+
 def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest listing (the reference's `unbra -l`,
     src/io/lib_bra_io_file_ctx.c:701-804) — per-column codec totals.
@@ -571,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "roundtrip_lineitem_tokens": q_roundtrip_lineitem_tokens,
         "roundtrip_documents_text": q_roundtrip_documents_text,
+        "roundtrip_nulls": q_roundtrip_nulls,
         "roundtrip_hash_mode": q_roundtrip_hash_mode,
         "roundtrip_fsst": q_roundtrip_fsst,
         "roundtrip_direct": q_roundtrip_direct,
@@ -618,6 +660,21 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS pos,
                    CAST(l_partkey AS BIGINT) AS token
             FROM lineitem
+        """,
+        "roundtrip_nulls": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 11 = 0
+                        THEN [CAST(-999 AS INT)] ELSE
+                       list_transform(
+                           range(1, CAST(n_chars % 13 + 2 AS INT)),
+                           x -> CASE WHEN x % 5 = 0 THEN CAST(-1 AS INT)
+                                ELSE CAST(x + doc_id % 97 AS INT) END)
+                   END AS tokens,
+                   CASE WHEN n_chars % 7 = 0 THEN '<null>' ELSE lang END
+                       AS lang,
+                   CASE WHEN n_chars % 3 = 0 THEN '<null>' ELSE source
+                       END AS source
+            FROM documents
         """,
         "roundtrip_documents_text": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, lang, source

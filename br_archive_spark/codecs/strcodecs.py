@@ -51,11 +51,18 @@ _ESCAPE = 255  # code 255 = escape: next byte is a literal
 # ------------------------------------------------------------ helpers
 
 def strings_from_arrow(arr) -> tuple[bytes, np.ndarray]:
-    """Zero-copy (blob, offsets) from a pyarrow String/LargeString array."""
+    """Zero-copy (blob, offsets) from a pyarrow String/LargeString array.
+
+    Nulls are normalized to empty strings — validity is an entry-level
+    concern (``operators.chunk`` stores the bitmap alongside the codec
+    stream; ``operators.encode._extract`` captures it before calling
+    here), not a codec-level one.
+    """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if arr.null_count:
-        raise ValueError("null strings not supported by string codecs")
+        arr = pc.fill_null(arr, "")
     combined = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     la = combined.cast(pa.large_string())
     buf_offsets = np.frombuffer(la.buffers()[1], dtype=np.int64)

@@ -23,6 +23,16 @@ with kinds:
 The codec field records the chosen codec(s), like the reference's 2-bit
 STORED/COMPRESSED attr (``src/lib_bra_defs.h:64-69``) generalized to a
 codec name.
+
+Null handling: columns with nulls are wrapped at the entry level — the
+codec tag gains an ``nv.`` prefix and ``params`` grows two LSB-ordered
+validity bitmaps (row-level, and element-level for ``int_list``
+children), 1 bit per slot via ``np.packbits``. The inner codecs never
+see nulls (null slots are normalized to zero/empty before encoding, so
+chunk bytes stay deterministic for content addressing); decode
+re-applies the masks as Arrow validity buffers. The reference, which
+compresses raw byte streams, has no null concept — this is a new
+obligation of the columnar re-expression.
 """
 
 from __future__ import annotations
@@ -35,6 +45,21 @@ from ..codecs.intcodecs import decode_int
 from ..codecs.strcodecs import decode_str
 
 __all__ = ["encode_column", "decode_column"]
+
+
+def _pack_mask(valid) -> bytes:
+    """bool validity array -> Arrow-compatible LSB-first bitmap bytes."""
+    if valid is None:
+        return b""
+    return np.packbits(np.asarray(valid, dtype=bool),
+                       bitorder="little").tobytes()
+
+
+def _unpack_mask(raw: bytes, n: int):
+    if not raw:
+        return None
+    return np.unpackbits(np.frombuffer(raw, np.uint8), count=n,
+                         bitorder="little").astype(bool)
 
 
 def _encode_int_maybe_gdict(values, codecs, gdict):
@@ -76,7 +101,9 @@ def _decode_int_maybe_gdict(codec: str, params: bytes, payload: bytes,
 def encode_column(name: str, kind: str, data,
                   codecs: tuple[str, ...] | None = None,
                   str_codecs: tuple[str, ...] | None = None,
-                  gdict=None) -> dict:
+                  gdict=None, validity=None) -> dict:
+    """Encode one column chunk; ``validity`` is None (no nulls) or a
+    ``(row_valid, elem_valid)`` pair of bool arrays / None."""
     if kind == "int_list":
         values, lengths = data
         vcodec, vp, vb = _encode_int_maybe_gdict(values, codecs, gdict)
@@ -102,6 +129,11 @@ def encode_column(name: str, kind: str, data,
     else:
         raise ValueError(f"unknown column kind {kind!r}")
     codec_tag = f"{vcodec}+{lcodec}" if kind == "int_list" else vcodec
+    if validity is not None and any(v is not None for v in validity):
+        row_valid, elem_valid = validity
+        codec_tag = f"nv.{codec_tag}"
+        params = pack_frames([_pack_mask(row_valid),
+                              _pack_mask(elem_valid), params])
     return {
         "name": name,
         "kind": kind,
@@ -114,19 +146,36 @@ def encode_column(name: str, kind: str, data,
 
 
 def decode_column(entry: dict, gdict=None):
+    """Decode one column entry -> ``(data, validity)`` where validity
+    is None or ``(row_valid, elem_valid)`` (each a bool array or None)."""
     kind = entry["kind"]
     params = entry["params"]
     payload = entry["payload"]
+    row_raw = elem_raw = b""
+    if entry["codec"].startswith("nv."):
+        row_raw, elem_raw, params = unpack_frames(params, 3)
     if kind == "int_list":
         vc, vp, lc, lp = unpack_frames(params, 4)
         vb, lb = unpack_frames(payload, 2)
         values = _decode_int_maybe_gdict(vc.decode(), vp, vb, gdict)
         lengths = decode_int(lc.decode(), lp, lb)
-        return values, lengths
+        validity = _wrap_validity(row_raw, len(lengths),
+                                  elem_raw, len(values))
+        return (values, lengths), validity
     if kind == "int":
         c, p = unpack_frames(params, 2)
-        return decode_int(c.decode(), p, payload)
+        values = decode_int(c.decode(), p, payload)
+        return values, _wrap_validity(row_raw, len(values), b"", 0)
     if kind == "string":
         c, p = unpack_frames(params, 2)
-        return decode_str(c.decode(), p, payload)
+        blob, offsets = decode_str(c.decode(), p, payload)
+        return (blob, offsets), \
+            _wrap_validity(row_raw, len(offsets) - 1, b"", 0)
     raise ValueError(f"unknown column kind {kind!r}")
+
+
+def _wrap_validity(row_raw: bytes, n_rows: int,
+                   elem_raw: bytes, n_elems: int):
+    if not row_raw and not elem_raw:
+        return None
+    return (_unpack_mask(row_raw, n_rows), _unpack_mask(elem_raw, n_elems))

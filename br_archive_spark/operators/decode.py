@@ -46,21 +46,42 @@ def _arrow_type(kind: str):
     }[kind]
 
 
-def _rebuild(kind: str, data, n_rows: int) -> pa.Array:
+def _mask_buf(valid):
+    """bool validity array -> (arrow bitmap buffer | None, null_count)."""
+    if valid is None:
+        return None, 0
+    nc = int(len(valid) - valid.sum())
+    if nc == 0:
+        return None, 0
+    return pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()), nc
+
+
+def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
+    row_valid, elem_valid = validity if validity is not None else (None, None)
+    vbuf, vnc = _mask_buf(row_valid)
     if kind == "string":
         blob, offsets = data
         return pa.Array.from_buffers(
             pa.utf8(), n_rows,
-            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()),
-             pa.py_buffer(blob)])
+            [vbuf, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+             pa.py_buffer(blob)], null_count=vnc if vbuf else 0)
     if kind == "int_list":
         values, lengths = data
         offsets = np.zeros(n_rows + 1, dtype=np.int32)
         np.cumsum(lengths, out=offsets[1:])
-        return pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(values.astype(np.int32), type=pa.int32()))
+        ebuf, enc_ = _mask_buf(elem_valid)
+        child = pa.Array.from_buffers(
+            pa.int32(), len(values),
+            [ebuf, pa.py_buffer(values.astype(np.int32).tobytes())],
+            null_count=enc_ if ebuf else 0)
+        return pa.Array.from_buffers(
+            pa.list_(pa.int32()), n_rows,
+            [vbuf, pa.py_buffer(offsets.tobytes())],
+            null_count=vnc if vbuf else 0, children=[child])
     if kind == "int":
+        if vbuf is not None:
+            return pa.array(np.asarray(data), type=pa.int64(),
+                            mask=~row_valid)
         return pa.array(data, type=pa.int64())
     raise ValueError(kind)
 
@@ -79,7 +100,8 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
                 entries = {e["name"]: e for e in row["columns"]}
                 if verify_checksums:
                     got = chunk_checksum(
-                        *[e["payload"] for e in row["columns"]])
+                        *[b for e in row["columns"]
+                          for b in (e["params"], e["payload"])])
                     if got != row["checksum"]:
                         raise ChecksumError(
                             f"chunk {row['chunk_id']}: checksum mismatch "
@@ -88,10 +110,11 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
                 arrays = []
                 lengths = None
                 for name, kind in specs:
-                    data = decode_column(entries[name], gdict=global_dict)
+                    data, validity = decode_column(entries[name],
+                                                   gdict=global_dict)
                     if kind == "int_list":
                         lengths = data[1]
-                    arrays.append(_rebuild(kind, data, n))
+                    arrays.append(_rebuild(kind, data, n, validity))
                 if with_n_tok:
                     arrays.append(pa.array(
                         lengths.astype(np.int32), type=pa.int32()))

@@ -115,21 +115,53 @@ MANIFEST_SPARK_SCHEMA = (
 
 
 def _extract(tbl: pa.Table, name: str, kind: str):
+    """Column chunk -> ``(data, validity)``.
+
+    ``validity`` is None when the chunk has no nulls (the hot path —
+    fully zero-copy), else ``(row_valid, elem_valid)`` bool arrays for
+    ``encode_column``. Null slots are normalized (empty string / zero /
+    empty list) before encoding so chunk payload bytes are a pure
+    function of content — Arrow leaves bytes under null slots
+    undefined, which would break content-addressed chunk ids.
+    """
+    import pyarrow.compute as pc
+
     col = tbl.column(name).combine_chunks()
     if kind == "string":
-        return strings_from_arrow(col)
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, "")
+        data = strings_from_arrow(col)
+        return data, (None if row_valid is None else (row_valid, None))
     if kind == "int_list":
         # keep the child's native width (int32 tokens stay 4-byte —
         # the encode path is memory-bandwidth-bound)
         arr = col.cast(pa.large_list(col.type.value_type))
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
-        offsets = off[arr.offset:arr.offset + len(arr) + 1]
-        values = arr.values.to_numpy(zero_copy_only=False)
-        values = values[offsets[0]:offsets[-1]]
-        lengths = np.diff(offsets)
-        return np.ascontiguousarray(values), lengths
+        flat = pc.list_flatten(arr)  # excludes null slots' regions
+        if arr.null_count == 0 and flat.null_count == 0:
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+            offsets = off[arr.offset:arr.offset + len(arr) + 1]
+            values = arr.values.to_numpy(zero_copy_only=False)
+            values = values[offsets[0]:offsets[-1]]
+            lengths = np.diff(offsets)
+            return (np.ascontiguousarray(values), lengths), None
+        row_valid = np.asarray(pc.is_valid(arr)) \
+            if arr.null_count else None
+        elem_valid = np.asarray(pc.is_valid(flat)) \
+            if flat.null_count else None
+        lengths = np.asarray(
+            pc.fill_null(pc.list_value_length(arr), 0)).astype(np.int64)
+        values = np.asarray(pc.fill_null(flat, 0))
+        return (np.ascontiguousarray(values), lengths), \
+            (row_valid, elem_valid)
     if kind == "int":
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, 0)
+        data = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return data, (None if row_valid is None else (row_valid, None))
     raise ValueError(f"unknown kind {kind!r}")
 
 
@@ -180,11 +212,18 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             pending_vals.pop(key)
             idx = chunk_counters.get(key, 0)
             chunk_counters[key] = idx + 1
-            entries = [encode_column(name, kind, _extract(tbl, name, kind),
-                                     codecs, str_codecs, gdict=global_dict)
-                       for name, kind in specs]
+            entries = []
+            for name, kind in specs:
+                data, validity = _extract(tbl, name, kind)
+                entries.append(encode_column(
+                    name, kind, data, codecs, str_codecs,
+                    gdict=global_dict, validity=validity))
             key_bounds = _key_bounds(tbl, specs)
-            checksum = chunk_checksum(*[e["payload"] for e in entries])
+            # cover params too: codec tags, offsets streams, and the
+            # null-validity bitmaps all live there — a flipped mask bit
+            # must fail verification just like a flipped payload byte
+            checksum = chunk_checksum(
+                *[b for e in entries for b in (e["params"], e["payload"])])
             if infile:
                 # file-content-addressed id: stable across resumed runs.
                 # 64-bit sha256 prefix: a 32-bit hash birthday-collides

@@ -86,7 +86,7 @@ def test_gdict_removes_per_chunk_dict_overhead():
     without = encode_column("tokens", "int_list", (v, lens),
                             ("dict_zstd", "dict_z"), None)
     assert with_gd["enc_bytes"] < without["enc_bytes"]
-    dv, dl = decode_column(with_gd, gdict=gd)
+    (dv, dl), _ = decode_column(with_gd, gdict=gd)
     assert np.array_equal(dv, v.astype(np.int64))
     assert np.array_equal(dl, lens)
 
