@@ -117,6 +117,41 @@ def q_roundtrip_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("source"), F.lit("<null>")).alias("source"))
 
 
+def q_roundtrip_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float_list round trip over the embeddings table — bit-exact IEEE
+    floats through the float codec suite (byte-shuffle/zstd trial with
+    plain fallback; codecs/floatcodecs.py). The reference has no typed
+    float path; this covers the embedding columns a training-data
+    pipeline stores next to tokens."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        F.col("label").cast("long").alias("label"))
+    specs = [("doc_id", "string"), ("embedding", "float_list"),
+             ("label", "int")]
+    enc = encode_table(emb, specs=specs, num_parts=4)
+    return decode_table(enc, specs=specs, with_n_tok=False)
+
+
+def q_roundtrip_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary-kind round trip: opaque byte payloads (the reference's
+    actual data model — raw byte streams,
+    src/io/lib_bra_io_file_chunks.c:169) through the same entry format.
+    This is the path multimodal payload columns take."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        "source")
+    specs = [("doc_id", "string"), ("payload", "binary"),
+             ("source", "string")]
+    enc = encode_table(docs, specs=specs, num_parts=4)
+    return decode_table(enc, specs=specs, with_n_tok=False)
+
+
 def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest listing (the reference's `unbra -l`,
     src/io/lib_bra_io_file_ctx.c:701-804) — per-column codec totals.
@@ -613,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_lineitem_tokens": q_roundtrip_lineitem_tokens,
         "roundtrip_documents_text": q_roundtrip_documents_text,
         "roundtrip_nulls": q_roundtrip_nulls,
+        "roundtrip_embeddings": q_roundtrip_embeddings,
+        "roundtrip_binary": q_roundtrip_binary,
         "roundtrip_hash_mode": q_roundtrip_hash_mode,
         "roundtrip_fsst": q_roundtrip_fsst,
         "roundtrip_direct": q_roundtrip_direct,
@@ -674,6 +711,16 @@ def oracle_sql() -> dict[str, str]:
                        AS lang,
                    CASE WHEN n_chars % 3 = 0 THEN '<null>' ELSE source
                        END AS source
+            FROM documents
+        """,
+        "roundtrip_embeddings": """
+            SELECT CAST(vec_id AS VARCHAR) AS doc_id, embedding,
+                   CAST(label AS BIGINT) AS label
+            FROM embeddings
+        """,
+        "roundtrip_binary": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   encode(text) AS payload, source
             FROM documents
         """,
         "roundtrip_documents_text": """

@@ -19,6 +19,14 @@ with kinds:
 * ``int``       — a flat integer column.
 * ``string``    — ``(blob: bytes, offsets: int64[])`` (Arrow string
   buffers).
+* ``binary``    — same layout as ``string`` but opaque bytes (the
+  reference's actual data model — raw byte streams,
+  ``src/io/lib_bra_io_file_chunks.c:169``): multimodal payloads,
+  serialized blobs.
+* ``float_list`` / ``double_list`` — ``(values: float[], lengths)``
+  (embedding vectors); values go through the float suite
+  (byte-shuffle + zstd), bit-exact.
+* ``float``     — a flat float64 column.
 
 The codec field records the chosen codec(s), like the reference's 2-bit
 STORED/COMPRESSED attr (``src/lib_bra_defs.h:64-69``) generalized to a
@@ -40,6 +48,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..codecs.cost import encode_int_auto, encode_str_auto
+from ..codecs.floatcodecs import decode_float, encode_float_auto
 from ..codecs.framing import pack_frames, unpack_frames
 from ..codecs.intcodecs import decode_int
 from ..codecs.strcodecs import decode_str
@@ -118,7 +127,7 @@ def encode_column(name: str, kind: str, data,
         orig = 4 * len(data)
         vcodec = codec
         lcodec = ""
-    elif kind == "string":
+    elif kind in ("string", "binary"):
         blob, offsets = data
         codec, p, b = encode_str_auto(blob, offsets, str_codecs)
         params = pack_frames([codec.encode(), p])
@@ -126,9 +135,24 @@ def encode_column(name: str, kind: str, data,
         orig = len(blob) + 4 * (len(offsets) - 1)
         vcodec = codec
         lcodec = ""
+    elif kind in ("float_list", "double_list"):
+        values, lengths = data
+        vcodec, vp, vb = encode_float_auto(values, codecs)
+        lcodec, lp, lb = encode_int_auto(lengths, None)
+        params = pack_frames([vcodec.encode(), vp, lcodec.encode(), lp])
+        payload = pack_frames([vb, lb])
+        orig = values.nbytes + 4 * len(lengths)
+    elif kind == "float":
+        codec, p, b = encode_float_auto(data, codecs)
+        params = pack_frames([codec.encode(), p])
+        payload = b
+        orig = np.asarray(data).nbytes
+        vcodec = codec
+        lcodec = ""
     else:
         raise ValueError(f"unknown column kind {kind!r}")
-    codec_tag = f"{vcodec}+{lcodec}" if kind == "int_list" else vcodec
+    codec_tag = f"{vcodec}+{lcodec}" \
+        if kind in ("int_list", "float_list", "double_list") else vcodec
     if validity is not None and any(v is not None for v in validity):
         row_valid, elem_valid = validity
         codec_tag = f"nv.{codec_tag}"
@@ -166,11 +190,23 @@ def decode_column(entry: dict, gdict=None):
         c, p = unpack_frames(params, 2)
         values = decode_int(c.decode(), p, payload)
         return values, _wrap_validity(row_raw, len(values), b"", 0)
-    if kind == "string":
+    if kind in ("string", "binary"):
         c, p = unpack_frames(params, 2)
         blob, offsets = decode_str(c.decode(), p, payload)
         return (blob, offsets), \
             _wrap_validity(row_raw, len(offsets) - 1, b"", 0)
+    if kind in ("float_list", "double_list"):
+        vc, vp, lc, lp = unpack_frames(params, 4)
+        vb, lb = unpack_frames(payload, 2)
+        values = decode_float(vc.decode(), vp, vb)
+        lengths = decode_int(lc.decode(), lp, lb)
+        validity = _wrap_validity(row_raw, len(lengths),
+                                  elem_raw, len(values))
+        return (values, lengths), validity
+    if kind == "float":
+        c, p = unpack_frames(params, 2)
+        values = decode_float(c.decode(), p, payload)
+        return values, _wrap_validity(row_raw, len(values), b"", 0)
     raise ValueError(f"unknown column kind {kind!r}")
 
 

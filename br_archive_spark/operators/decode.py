@@ -43,6 +43,10 @@ def _arrow_type(kind: str):
         "string": pa.string(),
         "int_list": pa.list_(pa.int32()),
         "int": pa.int64(),
+        "binary": pa.binary(),
+        "float_list": pa.list_(pa.float32()),
+        "double_list": pa.list_(pa.float64()),
+        "float": pa.float64(),
     }[kind]
 
 
@@ -59,10 +63,11 @@ def _mask_buf(valid):
 def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
     row_valid, elem_valid = validity if validity is not None else (None, None)
     vbuf, vnc = _mask_buf(row_valid)
-    if kind == "string":
+    if kind in ("string", "binary"):
         blob, offsets = data
+        atype = pa.utf8() if kind == "string" else pa.binary()
         return pa.Array.from_buffers(
-            pa.utf8(), n_rows,
+            atype, n_rows,
             [vbuf, pa.py_buffer(offsets.astype(np.int32).tobytes()),
              pa.py_buffer(blob)], null_count=vnc if vbuf else 0)
     if kind == "int_list":
@@ -78,11 +83,32 @@ def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
             pa.list_(pa.int32()), n_rows,
             [vbuf, pa.py_buffer(offsets.tobytes())],
             null_count=vnc if vbuf else 0, children=[child])
+    if kind in ("float_list", "double_list"):
+        values, lengths = data
+        vt = pa.float32() if kind == "float_list" else pa.float64()
+        npt = np.float32 if kind == "float_list" else np.float64
+        offsets = np.zeros(n_rows + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        ebuf, enc_ = _mask_buf(elem_valid)
+        child = pa.Array.from_buffers(
+            vt, len(values),
+            [ebuf, pa.py_buffer(np.ascontiguousarray(
+                values.astype(npt, copy=False)).tobytes())],
+            null_count=enc_ if ebuf else 0)
+        return pa.Array.from_buffers(
+            pa.list_(vt), n_rows,
+            [vbuf, pa.py_buffer(offsets.tobytes())],
+            null_count=vnc if vbuf else 0, children=[child])
     if kind == "int":
         if vbuf is not None:
             return pa.array(np.asarray(data), type=pa.int64(),
                             mask=~row_valid)
         return pa.array(data, type=pa.int64())
+    if kind == "float":
+        if vbuf is not None:
+            return pa.array(np.asarray(data), type=pa.float64(),
+                            mask=~row_valid)
+        return pa.array(np.asarray(data), type=pa.float64())
     raise ValueError(kind)
 
 
@@ -155,7 +181,10 @@ def _decoded_spark_schema(specs: list[tuple[str, str]],
     parts = []
     for name, kind in specs:
         spark_t = {"string": "string", "int_list": "array<int>",
-                   "int": "long"}[kind]
+                   "int": "long", "binary": "binary",
+                   "float_list": "array<float>",
+                   "double_list": "array<double>",
+                   "float": "double"}[kind]
         parts.append(f"{name} {spark_t}")
     if with_n_tok:
         parts.append("n_tok int")

@@ -134,6 +134,46 @@ def _extract(tbl: pa.Table, name: str, kind: str):
             col = pc.fill_null(col, "")
         data = strings_from_arrow(col)
         return data, (None if row_valid is None else (row_valid, None))
+    if kind == "binary":
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, b"")
+        la = col.cast(pa.large_binary())
+        off = np.frombuffer(la.buffers()[1], dtype=np.int64)
+        offsets = off[la.offset:la.offset + len(la) + 1]
+        buf = la.buffers()[2]
+        blob = buf.to_pybytes()[offsets[0]:offsets[-1]] \
+            if buf is not None else b""
+        return (blob, (offsets - offsets[0]).astype(np.int64)), \
+            (None if row_valid is None else (row_valid, None))
+    if kind in ("float_list", "double_list"):
+        vt = pa.float32() if kind == "float_list" else pa.float64()
+        arr = col.cast(pa.large_list(vt))
+        flat = pc.list_flatten(arr)
+        if arr.null_count == 0 and flat.null_count == 0:
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+            offsets = off[arr.offset:arr.offset + len(arr) + 1]
+            values = arr.values.to_numpy(zero_copy_only=False)
+            values = values[offsets[0]:offsets[-1]]
+            lengths = np.diff(offsets)
+            return (np.ascontiguousarray(values), lengths), None
+        row_valid = np.asarray(pc.is_valid(arr)) \
+            if arr.null_count else None
+        elem_valid = np.asarray(pc.is_valid(flat)) \
+            if flat.null_count else None
+        lengths = np.asarray(
+            pc.fill_null(pc.list_value_length(arr), 0)).astype(np.int64)
+        values = np.asarray(pc.fill_null(flat, 0.0))
+        return (np.ascontiguousarray(values), lengths), \
+            (row_valid, elem_valid)
+    if kind == "float":
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, 0.0)
+        data = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return data, (None if row_valid is None else (row_valid, None))
     if kind == "int_list":
         # keep the child's native width (int32 tokens stay 4-byte —
         # the encode path is memory-bandwidth-bound)
@@ -169,7 +209,7 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
     import pyarrow.compute as pc
 
     for name, kind in specs:
-        if kind == "int_list":
+        if kind in ("int_list", "float_list", "double_list"):
             # list_value_length respects slice offsets (ListArray.values
             # would not — it exposes the full underlying buffer)
             lens = pc.list_value_length(tbl.column(name))
