@@ -179,11 +179,12 @@ def encode_str_auto(blob: bytes, offsets: np.ndarray,
     k = max(1, min(k, n))
     s_blob = blob[:int(offsets[k])]
     s_off = offsets[:k + 1]
-    # FSST is not a DEFAULT candidate: its per-byte greedy matcher runs
-    # in Python (~2 MB/s — ~0.5 s per chunk of doc ids, dwarfing every
-    # other stage), and str_zstd matches or beats its ratio on the
-    # prefix-heavy strings it targets. It stays available by explicit
-    # request (codecs=("fsst",...)) for random-access-focused layouts.
+    # FSST is not a DEFAULT candidate: even vectorized (~8 MB/s NumPy
+    # vs zstd's GB/s) it trades encode speed for per-string random
+    # access, and str_zstd matches or beats its ratio on concatenated
+    # blobs. It stays available by explicit request
+    # (codecs=("fsst",...)) when the layout wants point lookups that
+    # decode single strings (lookup_docs over an fsst column).
     if codecs is not None:
         candidates = [c for c in ("str_dict", "str_zstd", "str_zlib", "fsst")
                       if c in codecs]

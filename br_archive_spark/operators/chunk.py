@@ -53,7 +53,7 @@ from ..codecs.framing import pack_frames, unpack_frames
 from ..codecs.intcodecs import decode_int
 from ..codecs.strcodecs import decode_str
 
-__all__ = ["encode_column", "decode_column"]
+__all__ = ["encode_column", "decode_column", "decode_column_rows"]
 
 
 def _pack_mask(valid) -> bytes:
@@ -208,6 +208,54 @@ def decode_column(entry: dict, gdict=None):
         values = decode_float(c.decode(), p, payload)
         return values, _wrap_validity(row_raw, len(values), b"", 0)
     raise ValueError(f"unknown column kind {kind!r}")
+
+
+def decode_column_rows(entry: dict, rows, gdict=None) -> list:
+    """Random-access decode of selected ``rows`` from a string/binary
+    entry.
+
+    For ``fsst`` entries this is TRUE random access — only the selected
+    strings' encoded segments are parsed
+    (``codecs.strcodecs.fsst_rows_from_entry``), the chunk's other
+    strings are never decoded; the cluster-scale analog of the
+    reference's skip-without-decode (``src/io/lib_bra_io_file_ctx.c:596-602``)
+    taken down to row granularity, per the FSST paper's promise. Other
+    codecs decode the chunk and slice.
+
+    Returns a list of ``bytes | None`` (None for null rows; decoded
+    UTF-8 is not re-decoded to str — callers own the text semantics).
+    """
+    import numpy as np
+
+    from ..codecs.strcodecs import fsst_rows_from_entry
+
+    kind = entry["kind"]
+    if kind not in ("string", "binary"):
+        raise ValueError(f"row access is for string/binary, got {kind!r}")
+    rows = np.asarray(rows, np.int64)
+    params = entry["params"]
+    codec = entry["codec"]
+    row_valid = None
+    if codec.startswith("nv."):
+        row_raw, _elem_raw, params = unpack_frames(params, 3)
+        codec = codec[3:]
+        if row_raw:
+            # need only the selected rows' validity; unpack to the max
+            # selected index
+            hi = int(rows.max()) + 1 if len(rows) else 0
+            row_valid = _unpack_mask(row_raw, hi)
+    c_raw, inner = unpack_frames(params, 2)
+    if c_raw.decode() == "fsst":
+        vals = fsst_rows_from_entry(inner, entry["payload"], rows)
+    else:
+        blob, offsets = decode_str(c_raw.decode(), inner,
+                                   entry["payload"])
+        mv = memoryview(blob)
+        vals = [bytes(mv[offsets[r]:offsets[r + 1]]) for r in rows]
+    if row_valid is not None:
+        vals = [v if row_valid[r] else None
+                for v, r in zip(vals, rows)]
+    return vals
 
 
 def _wrap_validity(row_raw: bytes, n_rows: int,
