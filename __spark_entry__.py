@@ -563,7 +563,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
-    return simhash_pairs(docs, max_hamming=12, prefix_bits=8)
+    return simhash_pairs(docs, max_hamming=12)
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +587,23 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.transform("embedding", lambda x: x.cast("double")))
     pairs = embedding_neardup_pairs(emb, threshold=0.2)
+    return pairs.select(
+        "id", "id2",
+        F.round(F.col("cosine") * 10000).cast("long").alias("cos_bp"))
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the 100 TB scale path
+    (candidates from a (table, bucket) equality self-join, never a
+    cross join). Rows-only: the hyperplane family is xxhash64-derived
+    (engine-specific); recall >=0.9 vs the exact oracle is asserted in
+    tests/test_functions.py::test_embedding_lsh_recall_vs_exact."""
+    from br_archive_spark.functions.dedup import embedding_neardup_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    pairs = embedding_neardup_lsh(emb, threshold=0.2, planes=6, tables=4)
     return pairs.select(
         "id", "id2",
         F.round(F.col("cosine") * 10000).cast("long").alias("cos_bp"))
@@ -680,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "multimodal_features": q_multimodal_features,

@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["exact_dedup", "char_shingles", "word_shingles",
            "minhash_signature", "minhash_lsh_pairs", "simhash",
-           "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs"]
+           "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs",
+           "embedding_neardup_lsh"]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -140,6 +141,69 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     return est.where(F.col("est_jaccard") >= jaccard_threshold)
 
 
+def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.95,
+                          planes: int = 6, tables: int = 4,
+                          max_bucket: int = 5_000) -> DataFrame:
+    """Embedding near-duplicate pairs, LSH-bucketed — the scale path.
+
+    Multi-table random-hyperplane LSH: each vector gets ``tables``
+    sign sketches from independent hyperplane families
+    (``similarity._sketch`` with per-table salt); candidates come from
+    an equality self-join on (table, bucket) — never a cross join —
+    then the exact cosine filter keeps true pairs. With cos θ ≥ 0.95
+    (θ ≤ 18.2°, per-bit agreement ≈ 0.9), recall ≈
+    1-(1-0.9^planes)^tables ≈ 0.95 at the defaults; measured against
+    the brute-force oracle :func:`embedding_neardup_pairs` in
+    tests/test_functions.py.
+
+    Scale shape: one corpus scan computes all table sketches, explode
+    fans out tables-per-row (narrow), the join shuffles on the bucket
+    key, and ``max_bucket`` drops degenerate buckets (same rationale as
+    :func:`minhash_lsh_pairs`). Pairs found by several tables dedupe on
+    the narrow (id, id2) before the exact-cosine join.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _sketch, with_norm
+
+    base = with_norm(emb, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col("_norm").alias("n"),
+        F.array(*[
+            _sketch(vec_col, planes, salt=t) for t in range(tables)
+        ]).alias("_sk")).cache()
+    buck = base.select(
+        "id",
+        F.explode(F.arrays_zip(
+            F.sequence(F.lit(0), F.lit(tables - 1)).alias("tab"),
+            F.col("_sk").alias("bucket"))).alias("tb"))         .select("id", F.col("tb.tab").alias("tab"),
+                F.col("tb.bucket").alias("bucket"))
+    if max_bucket:
+        buck = (buck.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("tab", "bucket")))
+            .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    cand = (buck
+            .join(buck.select(F.col("id").alias("id2"),
+                              F.col("tab").alias("tab2"),
+                              F.col("bucket").alias("bucket2")),
+                  (F.col("bucket") == F.col("bucket2"))
+                  & (F.col("tab") == F.col("tab2"))
+                  & (F.col("id") < F.col("id2")))
+            .select("id", "id2").distinct())
+    dot = F.aggregate(F.zip_with("v", "v2", lambda a, b: a * b),
+                      F.lit(0.0), lambda a, x: a + x)
+    return (cand
+            .join(base.select("id", "v", "n"), "id")
+            .join(base.select(F.col("id").alias("id2"),
+                              F.col("v").alias("v2"),
+                              F.col("n").alias("n2")), "id2")
+            .withColumn("cosine", dot / (F.col("n") * F.col("n2")))
+            .where(F.col("cosine") >= threshold)
+            .select("id", "id2", "cosine"))
+
+
 def simhash(text: Column | str, shingle_k: int = 5,
             n_bits: int = 64) -> Column:
     """n_bits-wide SimHash over character shingles, JVM-side.
@@ -169,34 +233,41 @@ def simhash(text: Column | str, shingle_k: int = 5,
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
-                  prefix_bits: int = 16, tables: int = 4) -> DataFrame:
-    """SimHash near-dup pairs via multi-table prefix bucketing.
+                  blocks: int = 8,
+                  max_bucket: int = 10_000) -> DataFrame:
+    """SimHash near-dup pairs via block-pair bucketing (Manku/Jain/
+    Sarma, WWW'07 — the web-dedup scheme; see PAPERS.md).
 
-    The classic Hamming-space trick: a pair within ``max_hamming`` bits
-    differs somewhere, so a single prefix bucket misses pairs whose
-    difference lands in the prefix. ``tables`` rotations of the
-    signature give each pair ``tables`` independent chances to share a
-    clean prefix; candidates come from equality joins on
-    (table, bucket) — still shuffle-join scalable — and are verified by
-    exact ``bit_count(xor)``.
+    The 64-bit signature splits into ``blocks`` disjoint 8-bit blocks;
+    each doc emits one bucket key per UNORDERED PAIR of blocks —
+    C(blocks,2) keys of 2*(64/blocks) bits. A pair of docs collides
+    iff both blocks of some key are difference-free, so by pigeonhole
+    every pair with hamming <= blocks-2 is GUARANTEED to be caught
+    (the old rotated-quarters scheme could miss hamming-5 pairs ~23%
+    of the time). Above blocks-2 it degrades gracefully. Candidates
+    still come from equality joins on the key — shuffle-join scalable,
+    never all-pairs — and are verified by exact ``bit_count(xor)``.
     """
     sigs = df.select(F.col(id_col).alias("id"),
                      simhash(text_col).alias("sig")).cache()
-    step = 64 // tables
+    bw = 64 // blocks  # block width in bits
 
-    def rotated_bucket(t: int):
-        r = t * step
-        rot = F.col("sig") if r == 0 else (
-            F.shiftrightunsigned("sig", r)
-            .bitwiseOR(F.shiftleft("sig", 64 - r)))
-        return F.struct(F.lit(t).alias("t"),
-                        F.shiftrightunsigned(rot, 64 - prefix_bits)
-                        .alias("b"))
+    def block(i: int):
+        return F.shiftrightunsigned("sig", i * bw).bitwiseAND(
+            F.lit((1 << bw) - 1).cast("long"))
 
+    keys = [F.struct(F.lit(i * blocks + j).alias("t"),
+                     block(i).bitwiseOR(
+                         F.shiftleft(block(j), bw)).alias("b"))
+            for i in range(blocks) for j in range(i + 1, blocks)]
     buckets = sigs.select(
-        "id", "sig",
-        F.explode(F.array(*[rotated_bucket(t)
-                            for t in range(tables)])).alias("tb"))
+        "id", "sig", F.explode(F.array(*keys)).alias("tb"))
+    if max_bucket:
+        from pyspark.sql import Window
+
+        buckets = (buckets.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("tb")))
+            .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
     cand = (buckets.select("id", "tb")
             .join(buckets.select(F.col("id").alias("id2"),
                                  F.col("tb").alias("tb2")),

@@ -60,12 +60,14 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
-def _sketch(vec_col: str, planes: int):
+def _sketch(vec_col: str, planes: int, salt: int | None = None):
     """Sign sketch: bit b = sign(Σ_d v[d] · w(d, b)) with deterministic
-    pseudo-random ±1 weights derived from xxhash64(d, b)."""
+    pseudo-random ±1 weights derived from xxhash64(d, b). ``salt``
+    yields an independent hyperplane family per LSH table."""
     def weight(d, b: int):
+        label = str(b) if salt is None else f"{salt}:{b}"
         return F.when(
-            F.xxhash64(d.cast("string"), F.lit(str(b)))
+            F.xxhash64(d.cast("string"), F.lit(label))
             .bitwiseAND(F.lit(1).cast("long")) == 1,
             F.lit(1.0)).otherwise(F.lit(-1.0))
 

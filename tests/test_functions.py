@@ -64,11 +64,13 @@ def test_minhash_bucket_cap_drops_degenerate_buckets(spark):
 def test_simhash_hamming_separates(spark, docs):
     from br_archive_spark.functions.dedup import simhash_pairs
 
-    pairs = simhash_pairs(docs, max_hamming=10, prefix_bits=8, tables=4)
+    pairs = simhash_pairs(docs, max_hamming=10)
     found = {(r["id"], r["id2"]): r["hamming"] for r in pairs.collect()}
     assert found.get((0, 300)) == 0  # identical text → identical sig
-    hits = sum((j, 200 + j) in found for j in range(5))
-    assert hits >= 4  # multi-table probing catches the planted dups
+    # planted pairs sit at hamming 2-7; block-pair bucketing guarantees
+    # recall through blocks-2=6 and found all of these in practice
+    for j in range(5):
+        assert (j, 200 + j) in found, f"planted near-dup {j} missed"
 
 
 def test_jaccard_exact_values(spark, docs):
@@ -141,3 +143,79 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         from br_archive_spark.functions.multimodal import decode_image
         decode_image(b"xx")
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    """80 random unit vectors + a planted near-dup for every 4th."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 32)).astype(np.float32)
+    rows, vid = [], 0
+    for i in range(80):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((vid, v.tolist()))
+        vid += 1
+        if i % 4 == 0:
+            w = v + rng.standard_normal(32).astype(np.float32) * 0.04
+            w = (w / np.linalg.norm(w)).astype(np.float32)
+            rows.append((vid, w.tolist()))
+            vid += 1
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    return spark.createDataFrame(rows, schema).cache()
+
+
+def test_embedding_lsh_recall_vs_exact(spark, emb_corpus):
+    """The bucketed pair miner must recover >=0.9 of the brute-force
+    oracle's pairs (VERDICT r1 next-step #5); precision is 1.0 by
+    construction (exact cosine verification)."""
+    from br_archive_spark.functions.dedup import (embedding_neardup_lsh,
+                                                  embedding_neardup_pairs)
+
+    exact = {(r["id"], r["id2"]) for r in
+             embedding_neardup_pairs(emb_corpus, threshold=0.95).collect()}
+    lsh_rows = embedding_neardup_lsh(emb_corpus, threshold=0.95).collect()
+    lsh = {(r["id"], r["id2"]) for r in lsh_rows}
+    assert len(exact) >= 15  # the plant worked
+    assert len(exact & lsh) / len(exact) >= 0.9
+    assert lsh <= exact  # exact-cosine verify => no false positives
+
+
+def test_minhash_recall_precision_vs_exact_jaccard(spark, docs):
+    """Quantified recall/precision against the exact n-gram Jaccard
+    oracle (VERDICT r1 next-step #10), not just planted-pair spot
+    checks."""
+    from br_archive_spark.functions.dedup import (jaccard_pairs,
+                                                  minhash_lsh_pairs)
+
+    exact = {(r["id"], r["id2"]) for r in
+             jaccard_pairs(docs, shingle_k=3, threshold=0.5).collect()}
+    est = {(r["id"], r["id2"]) for r in
+           minhash_lsh_pairs(docs, jaccard_threshold=0.35).collect()}
+    assert len(exact) >= 7  # 5 near-dup + 2 exact-dup plants
+    recall = len(exact & est) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
+    # precision against a relaxed exact threshold: estimated-Jaccard
+    # noise may pull in borderline pairs, but nothing truly dissimilar
+    loose = {(r["id"], r["id2"]) for r in
+             jaccard_pairs(docs, shingle_k=3, threshold=0.2).collect()}
+    precision = len(loose & est) / max(len(est), 1)
+    assert precision >= 0.9, f"precision {precision:.2f}"
+
+
+def test_simhash_recall_vs_exact_jaccard(spark, docs):
+    from br_archive_spark.functions.dedup import (jaccard_pairs,
+                                                  simhash_pairs)
+
+    exact = {(r["id"], r["id2"]) for r in
+             jaccard_pairs(docs, shingle_k=3, threshold=0.5).collect()}
+    sim = {(r["id"], r["id2"]) for r in
+           simhash_pairs(docs, max_hamming=12).collect()}
+    assert len(exact) >= 7
+    recall = len(exact & sim) / len(exact)
+    assert recall >= 0.9, f"recall {recall:.2f}"
