@@ -26,20 +26,21 @@ distributed encode produces many independent outputs by design.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from .fsutil import local_path, path_tag
+from .fsutil import (ensure_dir, file_size, join_path, path_tag,
+                     read_parquet, write_parquet_atomic)
 
 __all__ = ["compact_manifest"]
 
 
 def compact_manifest(spark, manifest_path, output_dir: str,
-                     target_bytes: int = 128 << 20) -> DataFrame:
+                     target_bytes: int = 128 << 20,
+                     filesystem=None) -> DataFrame:
     """Merge manifest shards under ``manifest_path`` into
     ``output_dir`` shards of roughly ``target_bytes`` (compressed).
 
@@ -49,13 +50,13 @@ def compact_manifest(spark, manifest_path, output_dir: str,
 
     paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
         if isinstance(manifest_path, str) else sorted(manifest_path)
-    os.makedirs(output_dir, exist_ok=True)
+    ensure_dir(output_dir, filesystem)
     if not paths:
         return spark.createDataFrame(
             [], "shard string, input_files int, chunks long, "
                 "n_rows long, enc_bytes long")
 
-    sizes = [os.path.getsize(local_path(p)) for p in paths]
+    sizes = [file_size(p, filesystem) for p in paths]
     buckets: dict[int, list] = {}
     cum = 0
     for p, nbytes in zip(paths, sizes):
@@ -64,19 +65,15 @@ def compact_manifest(spark, manifest_path, output_dir: str,
     rows = [(v,) for _, v in sorted(buckets.items())]
 
     def merge_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         for batch in batches:
             for shard_paths in batch.column("paths").to_pylist():
-                tables = [pq.read_table(local_path(p), use_threads=False)
+                tables = [read_parquet(p, filesystem, use_threads=False)
                           for p in shard_paths]
                 merged = pa.concat_tables(tables)
                 name_src = "\n".join(sorted(shard_paths))
-                shard = os.path.join(
-                    output_dir, f"cman-{path_tag(name_src)}.parquet")
-                tmp = f"{shard}.tmp-{os.getpid()}"
-                pq.write_table(merged, tmp, compression="zstd")
-                os.replace(tmp, shard)
+                shard = join_path(output_dir,
+                                  f"cman-{path_tag(name_src)}.parquet")
+                write_parquet_atomic(merged, shard, filesystem)
                 enc_bytes = sum(merged.column("enc_bytes").to_pylist())
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([shard]),

@@ -19,7 +19,6 @@ the reference's trailing-CRC check on extract
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,7 +28,8 @@ from pyspark.sql import DataFrame
 
 from ..integrity.crc import chunk_checksum
 from .chunk import decode_column
-from .fsutil import local_path, path_tag
+from .fsutil import (ensure_dir, file_size, join_path, path_tag,
+                     read_parquet, write_parquet_atomic)
 
 __all__ = ["decode_table", "decode_files", "ChecksumError"]
 
@@ -197,7 +197,8 @@ def decode_files(spark, manifest_path,
                  verify_checksums: bool = True,
                  global_dict=None,
                  output_dir: str | None = None,
-                 target_unit_bytes: int | None = None) -> DataFrame:
+                 target_unit_bytes: int | None = None,
+                 filesystem=None) -> DataFrame:
     """Bulk-path decode: tasks read manifest shards DIRECTLY.
 
     The mirror of ``encode.encode_files``: Spark distributes manifest
@@ -223,14 +224,14 @@ def decode_files(spark, manifest_path,
     paths = sorted(spark.read.parquet(manifest_path).inputFiles()) \
         if isinstance(manifest_path, str) else sorted(manifest_path)
     if output_dir is not None:
-        os.makedirs(output_dir, exist_ok=True)
+        ensure_dir(output_dir, filesystem)
     if not paths:
         schema = "shard string, n_rows long, n_values long" \
             if output_dir is not None \
             else _decoded_spark_schema(specs, with_n_tok)
         return spark.createDataFrame([], schema)
 
-    sizes = [os.path.getsize(local_path(p)) for p in paths]
+    sizes = [file_size(p, filesystem) for p in paths]
     total = sum(sizes)
     if target_unit_bytes is not None:
         target = max(int(target_unit_bytes), 1)
@@ -249,13 +250,11 @@ def decode_files(spark, manifest_path,
     man_cols = ["chunk_id", "n_rows", "n_values", "checksum", "columns"]
 
     def decode_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         for batch in batches:
             for shard_paths in batch.column("paths").to_pylist():
                 for mp_ in shard_paths:
-                    tbl = pq.read_table(local_path(mp_), columns=man_cols,
-                                        use_threads=False)
+                    tbl = read_parquet(mp_, filesystem, columns=man_cols,
+                                       use_threads=False)
                     n_values = sum(
                         tbl.column("n_values").to_pylist())
                     dec_batches = list(fn(iter(
@@ -265,17 +264,16 @@ def decode_files(spark, manifest_path,
                         continue
                     # tag by full path: basenames alone can repeat
                     # across manifest dirs feeding one decode
-                    base = os.path.basename(local_path(mp_))
-                    shard = os.path.join(
-                        output_dir, f"dec-{path_tag(mp_)}-{base}")
-                    tmp = f"{shard}.tmp-{os.getpid()}"
+                    base = mp_.rstrip("/").rsplit("/", 1)[-1]
+                    shard = join_path(output_dir,
+                                      f"dec-{path_tag(mp_)}-{base}")
                     out_tbl = pa.Table.from_batches(dec_batches)
                     # snappy: the decoded output is the user-facing
                     # uncompressed table (the reference's extracted
                     # files); zstd here would re-pay a full entropy
                     # encode on data the caller asked to be decoded
-                    pq.write_table(out_tbl, tmp, compression="snappy")
-                    os.replace(tmp, shard)
+                    write_parquet_atomic(out_tbl, shard, filesystem,
+                                         compression="snappy")
                     yield pa.RecordBatch.from_arrays(
                         [pa.array([shard]),
                          pa.array([out_tbl.num_rows], pa.int64()),

@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum
 from ..codecs.strcodecs import strings_from_arrow
 from .chunk import encode_column
-from .fsutil import local_path, path_tag
+from .fsutil import (ensure_dir, join_path, open_parquet, path_tag,
+                     write_parquet_atomic)
 
 __all__ = ["encode_table", "MANIFEST_SCHEMA", "MANIFEST_SPARK_SCHEMA",
            "TOKEN_SPECS"]
@@ -401,7 +402,8 @@ def encode_files(spark, input_path,
                  skip_files: set[str] | frozenset[str] | None = None,
                  target_unit_bytes: int | None = None,
                  driver_enum_threshold: int = 2048,
-                 output_dir: str | None = None) -> DataFrame:
+                 output_dir: str | None = None,
+                 filesystem=None) -> DataFrame:
     """Bulk-path encode: tasks read their parquet splits DIRECTLY.
 
     ``mode="scan"`` ships every byte twice — the JVM reads parquet,
@@ -444,9 +446,12 @@ def encode_files(spark, input_path,
     collects lineage. Shard names derive from the first unit's content
     address (layout-stable), so a resumed or retried task overwrites
     its own shard idempotently rather than duplicating it.
-    """
-    import os
 
+    All file I/O goes through ``pyarrow.fs`` (``fsutil.resolve_fs``):
+    plain paths and s3://-style URIs both work, and ``filesystem=``
+    accepts an explicit FileSystem (tested with ``SubTreeFileSystem``
+    standing in for a remote store) that is pickled into the tasks.
+    """
     from pyspark.sql import functions as F  # noqa: F811
 
     specs = specs or TOKEN_SPECS
@@ -458,17 +463,15 @@ def encode_files(spark, input_path,
     if skip_files:
         paths = [p for p in paths if p not in skip_files]
     if output_dir is not None:
-        os.makedirs(output_dir, exist_ok=True)
+        ensure_dir(output_dir, filesystem)
     if not paths:
         return spark.createDataFrame([], MANIFEST_SPARK_SCHEMA)
 
     def enumerate_rgs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         for batch in batches:
             out_paths, out_rgs, out_bytes = [], [], []
             for p in batch.column("path").to_pylist():
-                meta = pq.ParquetFile(local_path(p)).metadata
+                meta = open_parquet(p, filesystem).metadata
                 for i in range(meta.num_row_groups):
                     out_paths.append(p)
                     out_rgs.append(i)
@@ -481,8 +484,6 @@ def encode_files(spark, input_path,
                     names=["path", "rg", "bytes"])
 
     def encode_units(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import pyarrow.parquet as pq
-
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                              part_from_task=False, track_file=False,
                              str_codecs=str_codecs, global_dict=global_dict)
@@ -497,7 +498,7 @@ def encode_files(spark, input_path,
             for path, rg in units:
                 if path != open_path:
                     open_path = path
-                    open_pf = pq.ParquetFile(local_path(path))
+                    open_pf = open_parquet(path, filesystem)
                 pf = open_pf
                 ftag = path_tag(path)
 
@@ -535,14 +536,12 @@ def encode_files(spark, input_path,
                 if output_dir is not None and unit_batches:
                     # in-process sink: one shard per (file, row-group),
                     # named by content address → bucketing-independent,
-                    # idempotent under retry/resume (tmp + atomic rename)
-                    shard = os.path.join(
-                        output_dir, f"man-{ftag}-{rg:05d}.parquet")
-                    tmp = f"{shard}.tmp-{os.getpid()}"
-                    pq.write_table(
-                        pa.Table.from_batches(unit_batches), tmp,
-                        compression="zstd")
-                    os.replace(tmp, shard)
+                    # idempotent under retry/resume (atomic write)
+                    shard = join_path(output_dir,
+                                      f"man-{ftag}-{rg:05d}.parquet")
+                    write_parquet_atomic(
+                        pa.Table.from_batches(unit_batches), shard,
+                        filesystem)
                     empty_cols = pa.array(
                         [[] for _ in unit_batches],
                         type=MANIFEST_SCHEMA.field("columns").type)
@@ -573,11 +572,9 @@ def encode_files(spark, input_path,
         # Spark job, one metadata-sized shuffle. The distributed path
         # below costs 2 extra jobs + a window stage (~2-3 s of fixed
         # time), which at high core counts can rival the encode itself.
-        import pyarrow.parquet as pq
-
         units: list[tuple[str, int, int]] = []
         for p in paths:
-            meta = pq.ParquetFile(local_path(p)).metadata
+            meta = open_parquet(p, filesystem).metadata
             for i in range(meta.num_row_groups):
                 units.append((p, i, meta.row_group(i).total_byte_size))
         total_bytes = sum(u[2] for u in units)

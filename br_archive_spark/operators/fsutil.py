@@ -38,3 +38,77 @@ def local_path(p: str) -> str:
     if p.startswith("file:"):
         return p[5:]
     return p
+
+
+def resolve_fs(path: str, filesystem=None):
+    """Resolve ``(FileSystem, fs-relative path)`` for a path or URI.
+
+    * explicit ``filesystem`` (e.g. a ``SubTreeFileSystem`` standing in
+      for a remote store): the path is taken as already fs-relative;
+    * ``scheme://...`` URIs (s3://, hdfs://, gs://...): delegated to
+      ``pyarrow.fs.FileSystem.from_uri`` — the bulk operators work
+      against object stores without local-FS assumptions;
+    * ``file:`` URIs and plain paths: the local filesystem.
+    """
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, local_path(path)
+    if "://" in path and not path.startswith("file://"):
+        return pafs.FileSystem.from_uri(path)
+    if path.startswith("file:"):
+        return pafs.LocalFileSystem(), local_path(path)
+    return pafs.LocalFileSystem(), path
+
+
+def join_path(base: str, name: str) -> str:
+    """URI-safe path join (object-store paths are always '/')."""
+    return f"{base.rstrip('/')}/{name}"
+
+
+def file_size(path: str, filesystem=None) -> int:
+    fs, p = resolve_fs(path, filesystem)
+    return fs.get_file_info(p).size
+
+
+def open_parquet(path: str, filesystem=None):
+    import pyarrow.parquet as pq
+
+    fs, p = resolve_fs(path, filesystem)
+    return pq.ParquetFile(fs.open_input_file(p))
+
+
+def read_parquet(path: str, filesystem=None, **kw):
+    import pyarrow.parquet as pq
+
+    fs, p = resolve_fs(path, filesystem)
+    return pq.read_table(p, filesystem=fs, **kw)
+
+
+def ensure_dir(path: str, filesystem=None) -> None:
+    fs, p = resolve_fs(path, filesystem)
+    fs.create_dir(p, recursive=True)
+
+
+def write_parquet_atomic(table, path: str, filesystem=None,
+                         compression: str = "zstd") -> None:
+    """Idempotent-under-retry parquet write.
+
+    Local FS: tmp file + ``os.replace`` (atomic rename). Object
+    stores have no rename, but a PUT is atomic on stream close
+    (an aborted multipart upload leaves nothing visible), so a direct
+    write gives the same retry-safety there.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path, filesystem)
+    if isinstance(fs, pafs.LocalFileSystem):
+        tmp = f"{p}.tmp-{os.getpid()}"
+        pq.write_table(table, tmp, compression=compression)
+        os.replace(tmp, p)
+    else:
+        with fs.open_output_stream(p) as sink:
+            pq.write_table(table, sink, compression=compression)
