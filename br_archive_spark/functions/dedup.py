@@ -235,8 +235,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 8,
                   blocks: int = 8,
                   max_bucket: int = 10_000) -> DataFrame:
-    """SimHash near-dup pairs via block-pair bucketing (Manku/Jain/
-    Sarma, WWW'07 — the web-dedup scheme; see PAPERS.md).
+    """SimHash near-dup pairs via block-pair bucketing (the scheme of
+    Manku, Jain & Das Sarma, "Detecting Near-Duplicates for Web
+    Crawling", WWW 2007).
 
     The 64-bit signature splits into ``blocks`` disjoint 8-bit blocks;
     each doc emits one bucket key per UNORDERED PAIR of blocks —
