@@ -102,15 +102,20 @@ class GlobalDict:
         return self.tokens_by_rank[ranks]
 
 
-def build_global_dict(df, column: str = "tokens") -> GlobalDict:
+def build_global_dict(df, column: str = "tokens",
+                      max_vocab: int = 1 << 22) -> GlobalDict:
     """Distributed frequency count → frequency-ranked GlobalDict.
 
     One ``mapInArrow`` pass emits per-partition (token, count) partials
     (distinct tokens per partition, NOT one row per token — the shuffle
     carries ~vocab rows per partition, no matter how many tokens the
-    partition holds), then a hash agg combines them. Determinism: ranks
-    are assigned by (-count, token), so the dict is a pure function of
-    the table content.
+    partition holds), then a hash agg combines them. The driver
+    receives at most ``max_vocab`` rows via TakeOrdered on
+    (-count, token) — an open vocabulary (hashes, corrupt tokens)
+    cannot bomb the driver; values outside the capped dict take the
+    per-chunk self-contained fallback, the never-worse contract.
+    Determinism: ranks are assigned by (-count, token), so the dict is
+    a pure function of the table content.
     """
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -118,7 +123,8 @@ def build_global_dict(df, column: str = "tokens") -> GlobalDict:
     out_schema = pa.schema([("token", pa.int64()), ("cnt", pa.int64())])
 
     def partial_counts(batches):
-        acc: dict = {}
+        toks_l: list[np.ndarray] = []
+        cnts_l: list[np.ndarray] = []
         for batch in batches:
             col = batch.column(column)
             if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
@@ -126,24 +132,30 @@ def build_global_dict(df, column: str = "tokens") -> GlobalDict:
             else:
                 values = col.to_numpy(zero_copy_only=False)
             uniq, counts = np.unique(np.asarray(values), return_counts=True)
-            for u, c in zip(uniq.tolist(), counts.tolist()):
-                acc[u] = acc.get(u, 0) + c
-        if acc:
-            toks = np.fromiter(acc.keys(), dtype=np.int64, count=len(acc))
-            cnts = np.fromiter(acc.values(), dtype=np.int64, count=len(acc))
+            toks_l.append(uniq.astype(np.int64, copy=False))
+            cnts_l.append(counts.astype(np.int64, copy=False))
+        if toks_l:
+            # vectorized partial merge (no per-unique Python loop):
+            # concatenate batch partials, re-unique, bincount-sum
+            toks = np.concatenate(toks_l)
+            cnts = np.concatenate(cnts_l)
+            uniq, inv = np.unique(toks, return_inverse=True)
+            tot = np.bincount(inv, weights=cnts,
+                              minlength=len(uniq)).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(toks), pa.array(cnts)], schema=out_schema)
+                [pa.array(uniq), pa.array(tot)], schema=out_schema)
 
     totals = (df.select(column)
               .mapInArrow(partial_counts, "token long, cnt long")
               .groupBy("token").agg(F.sum("cnt").alias("cnt"))
+              .orderBy(F.col("cnt").desc(), F.col("token").asc())
+              .limit(max_vocab)
               .collect())
     if not totals:
         return GlobalDict(np.zeros(0, dtype=np.int64))
+    # rows arrive rank-ordered (TakeOrdered by -count, token)
     toks = np.array([r["token"] for r in totals], dtype=np.int64)
-    cnts = np.array([r["cnt"] for r in totals], dtype=np.int64)
-    order = np.lexsort((toks, -cnts))
-    return GlobalDict(toks[order])
+    return GlobalDict(toks)
 
 
 def save_global_dict(gdict: GlobalDict, path: str) -> None:

@@ -70,8 +70,13 @@ def encode_with_checkpoint(spark: SparkSession, input_dir: str,
                            track_input_file=True, **encode_kwargs)
     mode = "append" if os.path.exists(output_dir) else "overwrite"
     enc.write.mode(mode).parquet(output_dir)
+    # broadcast-join against a files DataFrame, not .isin(remaining):
+    # a 100k-literal IN expression is a plan-size hazard (analysis
+    # cost + codegen blowup), while a file list is a tiny broadcast
+    rem_df = spark.createDataFrame(
+        [(f,) for f in remaining], "input_file string")
     stats["chunks"] = (spark.read.parquet(output_dir)
-                       .where(F.col("input_file").isin(remaining))
+                       .join(F.broadcast(rem_df), "input_file")
                        .count())
     return stats
 
