@@ -164,6 +164,22 @@ def _hw_work(path: str) -> int:
     return sum(r.column("enc_bytes")[0].as_py() for r in fn(feed()))
 
 
+def _noise_probe() -> float:
+    """~0.5 s single-threaded NumPy kernel; its runtime is a live
+    gauge of host contention on this shared VM (sort+diff is CPU and
+    bandwidth bound like the encode kernels). Compared against the
+    session's running minimum to detect busy windows."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 30, 4_000_000).astype(np.int64)
+    t0 = time.time()
+    for _ in range(3):
+        b = np.sort(a)
+        np.diff(b).clip(0).sum()
+    return time.time() - t0
+
+
 def bench_encode_scaling() -> tuple[dict, dict]:
     os.makedirs(CACHE, exist_ok=True)
     input_path = os.path.join(CACHE, f"tokens_{BENCH_DOCS}.parquet")
@@ -177,30 +193,52 @@ def bench_encode_scaling() -> tuple[dict, dict]:
                     generate_only=True)
 
     small, big = SCALE_N, SCALE_N * 4
-    # Measurement: interleaved rounds (default 2), each running small then big in
-    # fresh JVMs with 2 warm trials per level. Host noise on this
-    # shared Firecracker VM is strictly additive (slowdowns only) and
-    # fluctuates on ~second timescales, so the primary estimator is the
-    # ratio of per-level minima over all 6 trials (consistent: minima
-    # converge on each level's true steady-state time). Per-round
-    # paired ratios are kept as scatter evidence.
+    # Measurement: interleaved rounds, each running small then big in
+    # fresh JVMs with 2 warm trials per level — NOISE-GATED: a ~0.5 s
+    # probe brackets every round, and a round only counts as a clean
+    # paired sample if both probes sit within 20% of the session's
+    # quietest probe (this VM shares hardware with other tenants; r1's
+    # paired samples straddled the bar exactly because rounds landed in
+    # busy windows). Rejected rounds still feed the best-of-trials
+    # minima (noise is strictly additive, minima only improve); the
+    # paired-median is computed over CLEAN rounds. Attempts are capped
+    # so a permanently-busy host still yields a result.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
-    pairs = []
+    max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS",
+                                      str(rounds * 2)))
+    probe_floor = min(_noise_probe() for _ in range(3))
+    pairs = []          # all rounds (scatter evidence)
+    clean_pairs = []    # rounds bracketed by quiet probes
+    probe_log = []
     first_big = None
     t_small_best = float("inf")
     t_big_best = float("inf")
-    for i in range(rounds):
+    attempt = 0
+    while attempt < max_attempts and (
+            len(clean_pairs) < rounds or attempt < rounds):
+        attempt += 1
+        p_before = _noise_probe()
         rs = _run_worker(small, BENCH_DOCS, input_path, out_small, parts,
                          pin=True, trials=2)
         rb = _run_worker(big, BENCH_DOCS, input_path, out_big, parts,
-                         write=(i == 0), pin=True, trials=2)
-        pairs.append((min(rs["trials"]), min(rb["trials"])))
-        t_small_best = min(t_small_best, min(rs["trials"]))
-        t_big_best = min(t_big_best, min(rb["trials"]))
+                         write=(first_big is None), pin=True, trials=2)
+        p_after = _noise_probe()
+        probe_floor = min(probe_floor, p_before, p_after)
+        quiet = max(p_before, p_after) <= probe_floor * 1.2
+        pair = (min(rs["trials"]), min(rb["trials"]))
+        pairs.append(pair)
+        if quiet:
+            clean_pairs.append(pair)
+        probe_log.append({"before": round(p_before, 3),
+                          "after": round(p_after, 3),
+                          "quiet": quiet})
+        t_small_best = min(t_small_best, pair[0])
+        t_big_best = min(t_big_best, pair[1])
         if first_big is None:
             first_big = rb  # carries t_decode / manifest stats
     t_small_pair, t_big_pair = t_small_best, t_big_best
-    eff_pairs = sorted((ts / tb) / (big / small) for ts, tb in pairs)
+    basis = clean_pairs if clean_pairs else pairs
+    eff_pairs = sorted((ts / tb) / (big / small) for ts, tb in basis)
     eff_median = eff_pairs[len(eff_pairs) // 2] if len(eff_pairs) % 2 \
         else (eff_pairs[len(eff_pairs) // 2 - 1]
               + eff_pairs[len(eff_pairs) // 2]) / 2
@@ -238,8 +276,14 @@ def bench_encode_scaling() -> tuple[dict, dict]:
         # scaling. Paired per-round ratios are reported alongside —
         # they do NOT cancel sub-minute drift and scatter accordingly.
         "efficiency": round(speedup / (big / small), 3),
+        # paired-median over noise-gated CLEAN rounds (all rounds if
+        # none were clean — see noise_gate.quiet flags)
         "efficiency_paired_median": round(eff_median, 3),
         "efficiency_pairs": [round(e, 3) for e in eff_pairs],
+        "noise_gate": {"probe_floor_sec": round(probe_floor, 3),
+                       "rounds": probe_log,
+                       "clean_rounds": len(clean_pairs),
+                       "attempts": attempt},
         # the host's own N→4N ceiling on the same kernels, no Spark:
         # engine scaling quality = efficiency / hardware.efficiency
         "hardware": hw,

@@ -102,8 +102,11 @@ def main() -> None:
         # explicit bucket budget: the auto target depends on core count
         # (waves heuristic), and the two scaling levels must execute the
         # IDENTICAL work-unit list
+        # SPARK_GRAFT_UB overrides the bucket budget for sweeps; the
+        # default 48 MB gives ~4.7 waves at 16 cores on the bench input
+        ub = int(os.environ.get("SPARK_GRAFT_UB", 48 << 20))
         enc = encode_files(spark, args.input,
-                           target_unit_bytes=48 << 20,
+                           target_unit_bytes=ub,
                            output_dir=args.output)
         stats = enc.agg(F.sum("n_values"), F.sum("enc_bytes"),
                         F.sum("orig_bytes"), F.count("*")).collect()[0]
