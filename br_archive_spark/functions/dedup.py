@@ -61,17 +61,26 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32) -> Column:
     per shingle. Constants are sized so every product stays < 2^63
     (Spark 4 runs ANSI mode: wrap-around multiply would throw).
     """
-    def mixed_min(k: int):
-        # xor constant: 32-bit golden-ratio sequence; mul: odd 30-bit
-        c_xor = F.lit((0x9E3779B9 * (k + 1)) & 0xFFFFFFFF).cast("long")
-        c_mul = F.lit(((0x2545F491 * (2 * k + 1)) & 0x3FFFFFFF) | 1) \
-            .cast("long")
-        return F.array_min(F.transform(
-            shingle_hashes,
-            lambda h: h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
-            .bitwiseXOR(c_xor) * c_mul))
-
-    return F.array(*[mixed_min(k) for k in range(num_hashes)])
+    # per-family constants as an array of structs, so ONE aggregate
+    # pass carries a k-wide running-minimum array (k independent
+    # array_min(transform(...)) passes would re-walk the shingle array
+    # per family — the same pathology fixed in simhash)
+    consts = F.array(*[
+        F.struct(
+            # xor constant: 32-bit golden-ratio sequence; mul: odd 30-bit
+            F.lit((0x9E3779B9 * (k + 1)) & 0xFFFFFFFF).cast("long")
+            .alias("x"),
+            F.lit(((0x2545F491 * (2 * k + 1)) & 0x3FFFFFFF) | 1)
+            .cast("long").alias("m"))
+        for k in range(num_hashes)])
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        shingle_hashes, init,
+        lambda acc, h: F.zip_with(
+            acc, consts,
+            lambda a, c: F.least(
+                a, h.bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))
+                .bitwiseXOR(c["x"]) * c["m"])))
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
