@@ -118,3 +118,45 @@ def test_dedup_exact_single_shuffle(spark, queries):
     names = [n for _, n in ops]
     assert names.count("Exchange") == 1
     assert names.count("HashAggregate") == 2
+
+
+def test_embedding_lsh_has_no_cartesian_product(spark, queries):
+    """The LSH pair miner exists to avoid all-pairs: its plan must be
+    equality joins on the (table, bucket) key — a CartesianProduct or
+    BroadcastNestedLoopJoin anywhere means the bucketing silently
+    degenerated into the brute-force form it replaces."""
+    plan = _plan(queries["embedding_neardup_lsh"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the exact form, by contrast, IS a cross join (it is the oracle)
+    exact = _plan(queries["embedding_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" in exact or "BroadcastNestedLoopJoin" in exact
+
+
+def test_simhash_single_aggregate_pass(spark):
+    """simhash must walk the shingle array once (one aggregate carrying
+    a 64-counter array), not 64 times: the optimized plan may contain
+    only ONE aggregate over the hashes."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.functions.dedup import simhash
+
+    df = spark.createDataFrame([(1, "hello world")], "id long, text string")
+    expr = df.select(simhash("text").alias("s"))
+    optimized = expr._jdf.queryExecution().optimizedPlan().toString()
+    # the outer reduce over 64 mask entries is one aggregate; the inner
+    # per-shingle pass is one aggregate: anything >2 means the per-bit
+    # expansion came back
+    assert optimized.count("aggregate(") <= 2, optimized.count("aggregate(")
+
+
+def test_minhash_single_aggregate_pass(spark):
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.functions.dedup import minhash_signature
+
+    df = spark.createDataFrame([(1, [11, 22, 33])], "id long, sh array<long>")
+    expr = df.select(minhash_signature(F.col("sh")).alias("s"))
+    optimized = expr._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("aggregate(") <= 1
+    assert optimized.count("array_min(transform(") == 0
