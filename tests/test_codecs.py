@@ -239,9 +239,13 @@ def test_fsst_entry_row_access_with_nulls():
 
 
 def test_fsst_chunk_scale_throughput():
-    """Guard against regressing to the r1 per-byte Python matcher:
-    1 MB of text must encode in well under a second (the old loop took
-    ~0.5 s per 1 MB; vectorized runs ~8 MB/s)."""
+    """Guard against regressing to the r1 per-byte Python matcher.
+
+    Load-insensitive: the vectorized encoder is timed against an
+    inline reimplementation of the r1 scalar greedy loop ON THE SAME
+    MACHINE STATE — host contention slows both proportionally, so the
+    ratio is stable where an absolute MB/s floor would flake (this VM
+    shares hardware; load >9 observed with zero local processes)."""
     import time
 
     import numpy as np
@@ -250,17 +254,51 @@ def test_fsst_chunk_scale_throughput():
                                                    fsst_encode_strings,
                                                    fsst_train)
 
+    # doc-id-shaped strings: short matches, many probe attempts — the
+    # workload where the r1 scalar loop actually ran ~2 MB/s (on long-
+    # match text the scalar loop is deceptively fast)
     rng = np.random.default_rng(5)
-    words = [b"the", b"of", b"tokenizer", b"spark", b"columnar", b"a"]
-    docs = [b" ".join(rng.choice(words, 40)) for _ in range(5000)]
+    docs = [f"doc-{s}-{i:08d}".encode()
+            for i, s in zip(range(30000),
+                            rng.choice(["web", "wiki", "code", "news"],
+                                       30000))]
     blob = b"".join(docs)
     off = np.zeros(len(docs) + 1, np.int64)
     np.cumsum([len(s) for s in docs], out=off[1:])
     syms = fsst_train(blob[:65536])
     t0 = time.time()
     enc, eo = fsst_encode_strings(blob, off, syms)
-    dt = time.time() - t0
-    assert len(enc) < len(blob) * 0.6
+    dt_vec = time.time() - t0
+    assert len(enc) < len(blob) * 0.75
     d, do = fsst_decode_strings(enc, eo, syms)
     assert d == blob and np.array_equal(do, off)
-    assert dt < max(0.5, len(blob) / (2 << 20))  # >= ~2 MB/s floor
+
+    # the r1 per-byte matcher, verbatim shape, on a 32 KiB slice
+    def scalar_encode(data: bytes) -> bytes:
+        by_first: dict[int, list] = {}
+        for code, sym in enumerate(syms):
+            by_first.setdefault(sym[0], []).append((sym, code))
+        for lst in by_first.values():
+            lst.sort(key=lambda t: -len(t[0]))
+        out = bytearray()
+        i, n = 0, len(data)
+        mv = memoryview(data)
+        while i < n:
+            for sym, code in by_first.get(data[i], ()):
+                if mv[i:i + len(sym)] == sym:
+                    out.append(code)
+                    i += len(sym)
+                    break
+            else:
+                out.append(255)
+                out.append(data[i])
+                i += 1
+        return bytes(out)
+
+    sl = blob[:32768]
+    t0 = time.time()
+    scalar_encode(sl)
+    dt_scalar = time.time() - t0
+    rate_vec = len(blob) / dt_vec
+    rate_scalar = len(sl) / dt_scalar
+    assert rate_vec > 1.5 * rate_scalar, (rate_vec, rate_scalar)
