@@ -254,6 +254,23 @@ def q_random_access_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("token").cast("long").alias("token")))
 
 
+def q_fsst_row_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level random access: zone-map chunk pruning, key-column
+    decode to locate rows, then PER-ROW decode of the fsst-coded text
+    column (operators.decode.lookup_rows / codecs fsst_decode_rows) —
+    only the requested strings' encoded segments are parsed."""
+    from br_archive_spark.operators import encode_table, lookup_rows
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    specs = [("doc_id", "string"), ("text", "string")]
+    enc = encode_table(docs, specs=specs, mode="hash", num_parts=8,
+                       target_values=1 << 14,
+                       str_codecs=("fsst", "str_dict"))
+    wanted = [str(k) for k in (3, 17, 101, 250, 444)]
+    return lookup_rows(enc, wanted, value_col="text")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag window —
     the batch formulation of the streaming session-window operator."""
@@ -672,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_direct": q_roundtrip_direct,
         "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
+        "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
         "orders_rollup": q_orders_rollup,
@@ -730,6 +748,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_chars % 3 = 0 THEN '<null>' ELSE source
                        END AS source
             FROM documents
+        """,
+        "fsst_row_lookup": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+            FROM documents
+            WHERE doc_id IN (3, 17, 101, 250, 444)
         """,
         "roundtrip_embeddings": """
             SELECT CAST(vec_id AS VARCHAR) AS doc_id, embedding,

@@ -31,7 +31,8 @@ from .chunk import decode_column
 from .fsutil import (ensure_dir, file_size, join_path, path_tag,
                      read_parquet, write_parquet_atomic)
 
-__all__ = ["decode_table", "decode_files", "ChecksumError"]
+__all__ = ["decode_table", "decode_files", "lookup_rows",
+           "ChecksumError"]
 
 
 class ChecksumError(RuntimeError):
@@ -174,6 +175,63 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
     dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     return dec.where(F.col(key).isin(doc_ids))
+
+
+def lookup_rows(encoded: DataFrame, doc_ids: list[str],
+                value_col: str, key: str = "doc_id") -> DataFrame:
+    """Point lookups that decode ONLY the requested rows of the value
+    column.
+
+    Three-level pruning — the full random-access story:
+
+    1. chunk pruning via the manifest zone map (``key_min``/``key_max``
+       WHERE, satisfied by parquet row-group stats without payload
+       reads);
+    2. within surviving chunks, only the (small) KEY column decodes in
+       full to locate the requested rows;
+    3. the (large) VALUE column decodes per row through
+       ``decode_column_rows`` — for an ``fsst`` entry this parses only
+       the selected strings' encoded segments (true random access, the
+       FSST paper's promise); other codecs decode the chunk and slice.
+
+    Returns ``(key, value)`` string rows. Chunk checksums are not
+    verified here (verification requires full payloads — use
+    ``decode_table(verify_checksums=True)`` for audits).
+    """
+    from pyspark.sql import functions as F
+
+    from .chunk import decode_column, decode_column_rows
+
+    wanted = sorted(set(doc_ids))
+    lo, hi = wanted[0], wanted[-1]
+    pruned = encoded.where(
+        (F.col("key_min") <= hi) & (F.col("key_max") >= lo))
+    wanted_set = set(wanted)
+
+    def fetch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in batch.to_pylist():
+                entries = {e["name"]: e for e in row["columns"]}
+                (kblob, koff), kval = decode_column(entries[key])
+                mv = memoryview(kblob)
+                keys = [bytes(mv[koff[i]:koff[i + 1]]).decode()
+                        for i in range(len(koff) - 1)]
+                if kval is not None and kval[0] is not None:
+                    keys = [k if v else None
+                            for k, v in zip(keys, kval[0])]
+                idxs = [i for i, k in enumerate(keys)
+                        if k is not None and k in wanted_set]
+                if not idxs:
+                    continue
+                vals = decode_column_rows(entries[value_col],
+                                          np.array(idxs, np.int64))
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([keys[i] for i in idxs], pa.string()),
+                     pa.array([None if v is None else v.decode()
+                               for v in vals], pa.string())],
+                    names=[key, value_col])
+
+    return pruned.mapInArrow(fetch, f"{key} string, {value_col} string")
 
 
 def _decoded_spark_schema(specs: list[tuple[str, str]],

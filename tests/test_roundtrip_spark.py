@@ -107,3 +107,29 @@ def test_single_row_and_empty_tokens(spark):
     enc = encode_table(df, num_parts=2)
     out = {r["doc_id"]: r["tokens"] for r in decode_table(enc).collect()}
     assert out == {"d1": [7, 7, 7], "d2": []}
+
+
+def test_lookup_rows_fsst_point_access(spark):
+    """lookup_rows must return exactly the requested rows, decoding the
+    value column per row (fsst path), including when some chunks are
+    zone-map-pruned and when the value column carries nulls."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, lookup_rows
+
+    df = spark.range(2000).select(
+        F.format_string("d%06d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 13 == 0, None).otherwise(
+            F.concat(F.lit("payload-shared-prefix-"),
+                     F.col("id"))).alias("text"))
+    specs = [("doc_id", "string"), ("text", "string")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=6,
+                       target_values=4096,
+                       str_codecs=("fsst", "str_dict"))
+    wanted = ["d000000", "d000013", "d000777", "d001999"]
+    got = {r["doc_id"]: r["text"]
+           for r in lookup_rows(enc, wanted, value_col="text").collect()}
+    assert set(got) == set(wanted)
+    assert got["d000013"] is None  # 13 % 13 == 0 → null text preserved
+    assert got["d000777"] == "payload-shared-prefix-777"
+    assert got["d001999"] == "payload-shared-prefix-1999"
