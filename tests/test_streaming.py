@@ -55,3 +55,39 @@ def test_stream_encode_drain_and_resume(spark, dirs):
              man.select("snapshot_id").distinct().collect()}
     assert all(s.startswith("batch-") for s in snaps)
     assert len(snaps) >= 2
+
+
+def test_stream_dedup_first_occurrence_across_batches(spark, dirs):
+    """applyInPandasWithState seen-set: duplicates are dropped WITHIN a
+    micro-batch and ACROSS micro-batches (state survives the second
+    availableNow query via the checkpoint)."""
+    from br_archive_spark.streaming import dedup_stream
+
+    landing, out, ckpt = dirs
+
+    def rows(ids_and_tokens):
+        return spark.createDataFrame(
+            [(f"doc-{i:06d}", toks, len(toks), "web")
+             for i, toks in ids_and_tokens],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+
+    # batch 1: 3 distinct contents, one duplicated in-batch
+    rows([(0, [1, 2, 3]), (1, [4, 5]), (2, [1, 2, 3]),
+          (3, [9])]).write.mode("append").parquet(landing)
+    q = dedup_stream(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    toks1 = sorted(tuple(r["tokens"]) for r in first.collect())
+    assert toks1 == [(1, 2, 3), (4, 5), (9,)]
+
+    # batch 2: one replay of batch-1 content + one new content
+    rows([(10, [1, 2, 3]), (11, [7, 7, 7])]) \
+        .write.mode("append").parquet(landing)
+    q2 = dedup_stream(spark, landing, out, ckpt)
+    q2.awaitTermination(120)
+    final = spark.read.parquet(out)
+    toks2 = sorted(tuple(r["tokens"]) for r in final.collect())
+    assert toks2 == [(1, 2, 3), (4, 5), (7, 7, 7), (9,)]
+    # the replayed content kept its FIRST writer
+    kept = {tuple(r["tokens"]): r["doc_id"] for r in final.collect()}
+    assert kept[(1, 2, 3)] in ("doc-000000", "doc-000002")
