@@ -268,7 +268,12 @@ def _best_matches(buf: np.ndarray, ends: np.ndarray,
         sc = np.append(sc, np.int32(256))
         kl = key & _len_mask(L)
         pos = np.searchsorted(sk[:-1], kl)
-        hit = (sk[pos] == kl) & (avail >= L) & unmatched
+        # sc[pos] != 256 excludes the sentinel slot: a real window of
+        # 0xFF bytes would otherwise forge a match against it and the
+        # parse would skip L bytes while emitting one escape —
+        # silent corruption on 0xFF-run payloads
+        hit = (sk[pos] == kl) & (sc[pos] != 256) & (avail >= L) \
+            & unmatched
         bl = np.where(hit, np.int32(L), bl)
         bm = np.where(hit, sc[pos], bm)
         unmatched &= ~hit
@@ -303,11 +308,52 @@ def _visited_mask(bl: np.ndarray, starts: np.ndarray, n: int) -> np.ndarray:
     return visited[:n]
 
 
+_SLAB_BYTES = 32 << 20  # bound the ~40x-of-input vectorization working set
+
+
 def fsst_encode_strings(blob: bytes, offsets: np.ndarray,
                         symbols: list[bytes]
                         ) -> tuple[bytes, np.ndarray]:
     """Encode each string independently; returns ``(enc, enc_off)``
-    where ``enc[enc_off[s]:enc_off[s+1]]`` decodes string ``s`` alone."""
+    where ``enc[enc_off[s]:enc_off[s+1]]`` decodes string ``s`` alone.
+
+    Large chunks are processed in ~32 MB SLABS cut on string
+    boundaries: strings encode independently, so slab outputs
+    concatenate exactly, and the vectorizer's transient working set
+    (window keys + per-position match arrays, ~40x the slab) stays
+    bounded no matter the chunk size.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    if len(blob) > _SLAB_BYTES:
+        return _fsst_slabbed(blob, offsets, symbols,
+                             _fsst_encode_strings_one)
+    return _fsst_encode_strings_one(blob, offsets, symbols)
+
+
+def _fsst_slabbed(blob, offsets, symbols, one):
+    n_str = len(offsets) - 1
+    enc_parts: list[bytes] = []
+    out_off = np.zeros(n_str + 1, np.int64)
+    s = 0
+    base = 0
+    mv = memoryview(blob)
+    while s < n_str:
+        e = int(np.searchsorted(offsets, offsets[s] + _SLAB_BYTES,
+                                side="left"))
+        e = max(s + 1, min(e, n_str))
+        sub_off = (offsets[s:e + 1] - offsets[s]).astype(np.int64)
+        part, part_off = one(bytes(mv[offsets[s]:offsets[e]]),
+                             sub_off, symbols)
+        enc_parts.append(part)
+        out_off[s + 1:e + 1] = base + part_off[1:]
+        base += int(part_off[-1])
+        s = e
+    return b"".join(enc_parts), out_off
+
+
+def _fsst_encode_strings_one(blob: bytes, offsets: np.ndarray,
+                             symbols: list[bytes]
+                             ) -> tuple[bytes, np.ndarray]:
     offsets = np.asarray(offsets, np.int64)
     buf = np.frombuffer(blob, np.uint8)
     n = len(buf)
@@ -338,7 +384,19 @@ def fsst_encode_strings(blob: bytes, offsets: np.ndarray,
 def fsst_decode_strings(enc: bytes, enc_off: np.ndarray,
                         symbols: list[bytes]
                         ) -> tuple[bytes, np.ndarray]:
-    """Inverse of :func:`fsst_encode_strings` — vectorized."""
+    """Inverse of :func:`fsst_encode_strings` — vectorized, slabbed
+    like the encoder (per-string independence makes slab outputs
+    concatenate exactly)."""
+    enc_off = np.asarray(enc_off, np.int64)
+    if len(enc) > _SLAB_BYTES:
+        return _fsst_slabbed(enc, enc_off, symbols,
+                             _fsst_decode_strings_one)
+    return _fsst_decode_strings_one(enc, enc_off, symbols)
+
+
+def _fsst_decode_strings_one(enc: bytes, enc_off: np.ndarray,
+                             symbols: list[bytes]
+                             ) -> tuple[bytes, np.ndarray]:
     enc_off = np.asarray(enc_off, np.int64)
     codes = np.frombuffer(enc, np.uint8)
     m = len(codes)

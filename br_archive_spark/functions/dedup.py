@@ -244,7 +244,7 @@ def simhash(text: Column | str, shingle_k: int = 5,
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 8,
+                  text_col: str = "text", max_hamming: int = 6,
                   blocks: int = 8,
                   max_bucket: int = 10_000) -> DataFrame:
     """SimHash near-dup pairs via block-pair bucketing (the scheme of
@@ -257,7 +257,10 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     iff both blocks of some key are difference-free, so by pigeonhole
     every pair with hamming <= blocks-2 is GUARANTEED to be caught
     (the old rotated-quarters scheme could miss hamming-5 pairs ~23%
-    of the time). Above blocks-2 it degrades gracefully. Candidates
+    of the time). The default ``max_hamming`` equals that guarantee
+    bound; asking for more (e.g. 12) is legal but APPROXIMATE above
+    blocks-2 — a pair whose differing bits spread across >= blocks-1
+    blocks shares no clean block pair and is missed. Candidates
     still come from equality joins on the key — shuffle-join scalable,
     never all-pairs — and are verified by exact ``bit_count(xor)``.
     """

@@ -225,8 +225,6 @@ def decode_column_rows(entry: dict, rows, gdict=None) -> list:
     Returns a list of ``bytes | None`` (None for null rows; decoded
     UTF-8 is not re-decoded to str — callers own the text semantics).
     """
-    import numpy as np
-
     from ..codecs.strcodecs import fsst_rows_from_entry
 
     kind = entry["kind"]
@@ -238,7 +236,6 @@ def decode_column_rows(entry: dict, rows, gdict=None) -> list:
     row_valid = None
     if codec.startswith("nv."):
         row_raw, _elem_raw, params = unpack_frames(params, 3)
-        codec = codec[3:]
         if row_raw:
             # need only the selected rows' validity; unpack to the max
             # selected index

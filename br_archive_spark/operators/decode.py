@@ -26,7 +26,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from ..integrity.crc import chunk_checksum
+from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum
 from .chunk import decode_column
 from .fsutil import (ensure_dir, file_size, join_path, path_tag,
                      read_parquet, write_parquet_atomic)
@@ -126,6 +126,17 @@ def _make_decode_fn(specs: list[tuple[str, str]], with_n_tok: bool,
             for row in rows:
                 entries = {e["name"]: e for e in row["columns"]}
                 if verify_checksums:
+                    algo = row.get("checksum_algo", CHECKSUM_ALGO)
+                    if algo != CHECKSUM_ALGO:
+                        # distinguish format skew from corruption: a
+                        # manifest from a build with a different
+                        # checksum formula cannot be verified here
+                        raise ChecksumError(
+                            f"chunk {row['chunk_id']}: manifest written "
+                            f"with checksum algorithm {algo!r}; this "
+                            f"build verifies {CHECKSUM_ALGO!r} — "
+                            "re-encode, or decode with "
+                            "verify_checksums=False")
                     got = chunk_checksum(
                         *[b for e in row["columns"]
                           for b in (e["params"], e["payload"])])
@@ -203,6 +214,9 @@ def lookup_rows(encoded: DataFrame, doc_ids: list[str],
     from .chunk import decode_column, decode_column_rows
 
     wanted = sorted(set(doc_ids))
+    if not wanted:
+        return encoded.sparkSession.createDataFrame(
+            [], f"{key} string, {value_col} string")
     lo, hi = wanted[0], wanted[-1]
     pruned = encoded.where(
         (F.col("key_min") <= hi) & (F.col("key_max") >= lo))
@@ -305,7 +319,8 @@ def decode_files(spark, manifest_path,
 
     fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
                          global_dict=global_dict)
-    man_cols = ["chunk_id", "n_rows", "n_values", "checksum", "columns"]
+    man_cols = ["chunk_id", "n_rows", "n_values", "checksum",
+                "checksum_algo", "columns"]
 
     def decode_bucket(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -363,5 +378,6 @@ def decode_table(encoded: DataFrame,
     out_spark_schema = _decoded_spark_schema(specs, with_n_tok)
     fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
                          global_dict=global_dict)
-    cols = ["chunk_id", "n_rows", "checksum", "columns"]
+    cols = ["chunk_id", "n_rows", "checksum", "checksum_algo",
+            "columns"]
     return encoded.select(*cols).mapInArrow(fn, out_spark_schema)

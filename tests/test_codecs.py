@@ -302,3 +302,56 @@ def test_fsst_chunk_scale_throughput():
     rate_vec = len(blob) / dt_vec
     rate_scalar = len(sl) / dt_scalar
     assert rate_vec > 1.5 * rate_scalar, (rate_vec, rate_scalar)
+
+
+def test_fsst_ff_run_does_not_forge_sentinel_match():
+    """Regression (r2 review): a window of 0xFF bytes must not match
+    the sorted-key sentinel — that forged a length-8 'symbol' hit that
+    skipped 8 input bytes while emitting one escape (silent data
+    corruption on 0xFF-run payloads)."""
+    from br_archive_spark.codecs.strcodecs import (fsst_decode_strings,
+                                                   fsst_encode_strings)
+
+    symbols = [b"abcdefgh"]
+    blob = b"\xff" * 8 + b"tail"
+    off = np.array([0, len(blob)], np.int64)
+    enc, eo = fsst_encode_strings(blob, off, symbols)
+    dec, _ = fsst_decode_strings(enc, eo, symbols)
+    assert dec == blob
+    for length in range(2, 9):
+        syms = [bytes(range(97, 97 + length))]
+        data = b"\xff" * 16 + bytes(syms[0]) * 3 + b"\xff" * 3
+        off2 = np.array([0, len(data)], np.int64)
+        e, eo2 = fsst_encode_strings(data, off2, syms)
+        d, _ = fsst_decode_strings(e, eo2, syms)
+        assert d == data, length
+
+
+def test_fsst_slab_path_concatenates_exactly():
+    """Chunks above the slab budget encode in bounded slabs cut on
+    string boundaries; outputs must concatenate exactly (per-string
+    independence) including empty strings and strings larger than a
+    slab."""
+    import br_archive_spark.codecs.strcodecs as S
+
+    old = S._SLAB_BYTES
+    S._SLAB_BYTES = 1000
+    try:
+        rng = np.random.default_rng(1)
+        strs = [f"prefix-{i}-{'x' * int(rng.integers(0, 80))}".encode()
+                for i in range(400)]
+        strs[7] = b""
+        strs[100] = b"\xff" * 20
+        strs[200] = b"B" * 5000  # bigger than the slab budget
+        blob = b"".join(strs)
+        off = np.zeros(len(strs) + 1, np.int64)
+        np.cumsum([len(s) for s in strs], out=off[1:])
+        syms = S.fsst_train(blob[:4096])
+        e, eo = S.fsst_encode_strings(blob, off, syms)
+        d, do = S.fsst_decode_strings(e, eo, syms)
+        assert d == blob and np.array_equal(do, off)
+        rows = np.array([0, 7, 100, 200, 399])
+        assert S.fsst_decode_rows(e, eo, syms, rows) == \
+            [strs[r] for r in rows]
+    finally:
+        S._SLAB_BYTES = old

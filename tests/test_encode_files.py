@@ -274,3 +274,22 @@ def test_bulk_path_on_custom_filesystem(spark, tmp_path):
     b = sorted(dec.select("doc_id", "tokens", "source").collect(),
                key=lambda r: r["doc_id"])
     assert a == b
+
+
+def test_decode_rejects_foreign_checksum_algo(spark, tmp_path):
+    """A manifest tagged with a different checksum algorithm must fail
+    with a clear format-skew error, not a misleading 'corruption'
+    mismatch (r2 review)."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import decode_table, encode_table
+
+    src = token_table(spark, 200)
+    enc = encode_table(src, num_parts=2).withColumn(
+        "checksum_algo", F.lit("crc32-zlib"))
+    with pytest.raises(Exception, match="checksum algorithm"):
+        decode_table(enc).collect()
+    # verification off: decodes fine regardless of the tag
+    assert decode_table(enc, verify_checksums=False).count() == 200

@@ -133,3 +133,16 @@ def test_lookup_rows_fsst_point_access(spark):
     assert got["d000013"] is None  # 13 % 13 == 0 → null text preserved
     assert got["d000777"] == "payload-shared-prefix-777"
     assert got["d001999"] == "payload-shared-prefix-1999"
+
+
+def test_lookup_rows_empty_request(spark):
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, lookup_rows
+
+    df = spark.range(50).select(
+        F.format_string("d%03d", F.col("id")).alias("doc_id"),
+        F.lit("t").alias("text"))
+    enc = encode_table(df, specs=[("doc_id", "string"),
+                                  ("text", "string")], num_parts=2)
+    assert lookup_rows(enc, [], value_col="text").count() == 0
