@@ -204,8 +204,10 @@ def bench_encode_scaling() -> tuple[dict, dict]:
     # paired-median is computed over CLEAN rounds. Attempts are capped
     # so a permanently-busy host still yields a result.
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    # attempts cap: one retry beyond the target keeps worst-case wall
+    # time near the ungated r1 bench (the driver owns the budget)
     max_attempts = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS",
-                                      str(rounds * 2)))
+                                      str(rounds + 1)))
     probe_floor = min(_noise_probe() for _ in range(3))
     pairs = []          # all rounds (scatter evidence)
     clean_pairs = []    # rounds bracketed by quiet probes
