@@ -126,6 +126,29 @@ def cmd_verify(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_lookup(args) -> int:
+    """Point lookups — the partial-extraction analog of `unbra <entry>`:
+    zone-map chunk pruning, key-column decode, per-row value decode
+    (fsst entries parse only the requested strings)."""
+    from .operators.decode import lookup_docs, lookup_rows
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    ids = list(args.ids)
+    if args.value_col:
+        rows = lookup_rows(man, ids, value_col=args.value_col,
+                           key=args.key).collect()
+        out = {r[args.key]: r[args.value_col] for r in rows}
+    else:
+        rows = lookup_docs(man, ids, key=args.key,
+                           global_dict=_load_gdict(args.global_dict)) \
+            .collect()
+        out = {r[args.key]: {"n_tok": r["n_tok"]} for r in rows}
+    print(json.dumps({"found": len(rows), "requested": len(ids),
+                      "docs": out}, default=str))
+    return 0 if len(rows) == len(ids) else 1
+
+
 def cmd_compact(args) -> int:
     from .operators.compact import compact_manifest
 
@@ -202,6 +225,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source", required=True)
     p.add_argument("--global-dict", default=None, metavar="PATH")
     p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser("lookup",
+                       help="point lookups without a full decode")
+    p.add_argument("input")
+    p.add_argument("ids", nargs="+")
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--value-col", default=None,
+                   help="string column to row-decode (fsst fast path); "
+                        "omit to fetch token rows via lookup_docs")
+    p.add_argument("--global-dict", default=None)
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("compact",
                        help="merge small manifest shards (no re-encode)")
