@@ -81,3 +81,16 @@ def test_scan_mode_split_determinism(spark, tmp_path):
                 man.select("chunk_id", "checksum").collect()}
 
     assert run() == run()
+
+
+def test_encode_empty_table(spark):
+    """Zero rows must encode to an empty (or all-empty-chunk) manifest
+    and decode back to zero rows — not crash."""
+    from br_archive_spark.operators import decode_table, encode_table
+
+    empty = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = encode_table(empty, num_parts=2)
+    assert enc.count() == 0 or \
+        enc.agg({"n_rows": "sum"}).collect()[0][0] in (0, None)
+    assert decode_table(enc).count() == 0
