@@ -246,10 +246,37 @@ def _byte_planes(codes: np.ndarray, nb: int) -> list[bytes]:
 
 
 def _from_planes(planes: list[bytes], n: int) -> np.ndarray:
-    out = np.zeros(n, dtype=np.int64)
+    """Reassemble byte planes into the NARROWEST unsigned dtype.
+
+    One byte-column write per plane into a little-endian uint view —
+    no per-plane int64 widening passes (the old form's astype+shift+or
+    was the decode hot spot). Callers that add a signed reference value
+    must widen explicitly (``_widen`` below)."""
+    nb = len(planes)
+    if nb == 1:
+        return np.frombuffer(planes[0], np.uint8)
+    width = 2 if nb <= 2 else 4 if nb <= 4 else 8
+    dt = {2: "<u2", 4: "<u4", 8: "<u8"}[width]
+    out = np.zeros(n, dtype=dt)
+    view = out.view(np.uint8).reshape(n, width)
     for i, p in enumerate(planes):
-        out |= np.frombuffer(p, dtype=np.uint8).astype(np.int64) << (8 * i)
+        view[:, i] = np.frombuffer(p, dtype=np.uint8)
     return out
+
+
+def _widen(codes: np.ndarray) -> np.ndarray:
+    """uint planes -> int64 (for arithmetic with signed references)."""
+    return codes.astype(np.int64)
+
+
+def _narrow(vals: np.ndarray) -> np.ndarray:
+    """Dictionary values to int32 when they fit: the per-code gather
+    then writes 4-byte elements and the downstream int32 rebuild cast
+    becomes copy-free."""
+    if len(vals) and vals.dtype == np.int64 and \
+            vals.min() >= -(2 ** 31) and vals.max() < 2 ** 31:
+        return vals.astype(np.int32)
+    return vals
 
 
 def _enc_dict_z(values: np.ndarray) -> tuple[bytes, bytes]:
@@ -287,7 +314,7 @@ def _dec_dict_z(params: bytes, payload: bytes) -> np.ndarray:
     frames = unpack_frames(payload, 1 + nb)
     dict_vals = _dec_for(dp, frames[0])
     codes = _from_planes([zlib.decompress(z) for z in frames[1:]], n)
-    return dict_vals[codes]
+    return _narrow(dict_vals)[codes]
 
 
 # ------------------------------------------------------------ ZSTD backend
@@ -359,7 +386,7 @@ def _dec_dict_zstd(params: bytes, payload: bytes) -> np.ndarray:
     (nb,) = struct.unpack_from("<B", params, 4)
     (dp,) = unpack_frames(params[5:], 1)
     frames = unpack_frames(payload, 1 + nb)
-    dict_vals = _dec_for(dp, frames[0])
+    dict_vals = _narrow(_dec_for(dp, frames[0]))
     codes = _from_planes([zstd_decompress(z, n) for z in frames[1:]], n)
     return dict_vals[codes]
 
@@ -384,7 +411,7 @@ def _dec_zstd(params: bytes, payload: bytes) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     planes = [zstd_decompress(z, n) for z in unpack_frames(payload, nb)]
-    return _from_planes(planes, n) + ref
+    return _widen(_from_planes(planes, n)) + ref
 
 
 # ------------------------------------------------------------ ZLIB_I32
@@ -412,7 +439,7 @@ def _dec_zlib(params: bytes, payload: bytes) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     planes = [zlib.decompress(z) for z in unpack_frames(payload, nb)]
-    return _from_planes(planes, n) + ref
+    return _widen(_from_planes(planes, n)) + ref
 
 
 INT_CODECS = {

@@ -69,7 +69,8 @@ def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
         atype = pa.utf8() if kind == "string" else pa.binary()
         return pa.Array.from_buffers(
             atype, n_rows,
-            [vbuf, pa.py_buffer(offsets.astype(np.int32).tobytes()),
+            [vbuf,
+             pa.py_buffer(offsets.astype(np.int32, copy=False).tobytes()),
              pa.py_buffer(blob)], null_count=vnc if vbuf else 0)
     if kind == "int_list":
         values, lengths = data
@@ -78,7 +79,8 @@ def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
         ebuf, enc_ = _mask_buf(elem_valid)
         child = pa.Array.from_buffers(
             pa.int32(), len(values),
-            [ebuf, pa.py_buffer(values.astype(np.int32).tobytes())],
+            [ebuf, pa.py_buffer(np.ascontiguousarray(
+                values.astype(np.int32, copy=False)).tobytes())],
             null_count=enc_ if ebuf else 0)
         return pa.Array.from_buffers(
             pa.list_(pa.int32()), n_rows,
