@@ -210,15 +210,13 @@ def bench_encode_scaling() -> tuple[dict, dict]:
                                       str(rounds + 1)))
     probe_floor = min(_noise_probe() for _ in range(3))
     pairs = []          # all rounds (scatter evidence)
-    clean_pairs = []    # rounds bracketed by quiet probes
     probe_log = []
     first_big = None
     t_small_best = float("inf")
     t_big_best = float("inf")
     attempt = 0
-    while attempt < max_attempts and (
-            len(clean_pairs) < rounds or attempt < rounds):
-        attempt += 1
+    while attempt < max_attempts:  # in-loop break exits once enough
+        attempt += 1               # rounds pass the (final) gate
         p_before = _noise_probe()
         rs = _run_worker(small, BENCH_DOCS, input_path, out_small, parts,
                          pin=True, trials=2)

@@ -144,9 +144,10 @@ def cmd_lookup(args) -> int:
                            global_dict=_load_gdict(args.global_dict)) \
             .collect()
         out = {r[args.key]: {"n_tok": r["n_tok"]} for r in rows}
-    print(json.dumps({"found": len(rows), "requested": len(ids),
-                      "docs": out}, default=str))
-    return 0 if len(rows) == len(ids) else 1
+    missing = sorted(set(ids) - set(out))
+    print(json.dumps({"found": len(out), "requested": len(set(ids)),
+                      "missing": missing, "docs": out}, default=str))
+    return 0 if not missing else 1
 
 
 def cmd_compact(args) -> int:

@@ -19,7 +19,10 @@ re-targeted at int32 token-id columns:
   parquet-zstd is the final backstop.
 
 All encoders take an int64 ndarray and return ``(params, payload)`` bytes;
-``decode(params, payload)`` returns int64. Every codec embeds its element
+``decode(params, payload)`` returns an integer ndarray holding the exact
+values in the NARROWEST faithful dtype (dict-coded streams whose values
+fit come back int32; arithmetic callers must widen — see ``_widen``).
+Every codec embeds its element
 count, so streams are self-describing (like the reference's
 ``orig_size``/``encoded_size`` chunk metadata, ``src/lib_bra_types.h:51-56``).
 
@@ -345,10 +348,20 @@ def zstd_compress(data: bytes, level: int | None = None) -> bytes:
     and level 3's lazier parsing buys nothing)."""
     if level is None:
         return _ZSTD.compress(data, asbytes=True)
-    import pyarrow as pa
+    return _zstd_level(level).compress(data, asbytes=True)
 
-    return pa.Codec("zstd", compression_level=level).compress(
-        data, asbytes=True)
+
+_ZSTD_BY_LEVEL: dict = {}
+
+
+def _zstd_level(level: int):
+    codec = _ZSTD_BY_LEVEL.get(level)
+    if codec is None:
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd", compression_level=level)
+        _ZSTD_BY_LEVEL[level] = codec
+    return codec
 
 
 def zstd_decompress(data: bytes, size: int) -> bytes:

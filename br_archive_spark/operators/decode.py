@@ -191,7 +191,8 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],
-                value_col: str, key: str = "doc_id") -> DataFrame:
+                value_col: str, key: str = "doc_id",
+                value_kind: str = "string") -> DataFrame:
     """Point lookups that decode ONLY the requested rows of the value
     column.
 
@@ -207,9 +208,11 @@ def lookup_rows(encoded: DataFrame, doc_ids: list[str],
        the selected strings' encoded segments (true random access, the
        FSST paper's promise); other codecs decode the chunk and slice.
 
-    Returns ``(key, value)`` string rows. Chunk checksums are not
-    verified here (verification requires full payloads — use
-    ``decode_table(verify_checksums=True)`` for audits).
+    Returns ``(key, value)`` rows; ``value_kind`` is ``"string"`` or
+    ``"binary"`` and must match the encoded column's kind (checked per
+    chunk). Chunk checksums are not verified here (verification
+    requires full payloads — use ``decode_table(verify_checksums=True)``
+    for audits).
     """
     from pyspark.sql import functions as F
 
@@ -218,8 +221,10 @@ def lookup_rows(encoded: DataFrame, doc_ids: list[str],
     wanted = sorted(set(doc_ids))
     if not wanted:
         return encoded.sparkSession.createDataFrame(
-            [], f"{key} string, {value_col} string")
+            [], f"{key} string, {value_col} {value_kind}")
     lo, hi = wanted[0], wanted[-1]
+    if value_kind not in ("string", "binary"):
+        raise ValueError("value_kind must be 'string' or 'binary'")
     pruned = encoded.where(
         (F.col("key_min") <= hi) & (F.col("key_max") >= lo))
     wanted_set = set(wanted)
@@ -239,15 +244,25 @@ def lookup_rows(encoded: DataFrame, doc_ids: list[str],
                         if k is not None and k in wanted_set]
                 if not idxs:
                     continue
-                vals = decode_column_rows(entries[value_col],
+                ventry = entries[value_col]
+                if ventry["kind"] != value_kind:
+                    raise ValueError(
+                        f"column {value_col!r} has kind "
+                        f"{ventry['kind']!r}; pass value_kind="
+                        f"{ventry['kind']!r}")
+                vals = decode_column_rows(ventry,
                                           np.array(idxs, np.int64))
+                if value_kind == "string":
+                    varr = pa.array([None if v is None else v.decode()
+                                     for v in vals], pa.string())
+                else:
+                    varr = pa.array(vals, pa.binary())
                 yield pa.RecordBatch.from_arrays(
                     [pa.array([keys[i] for i in idxs], pa.string()),
-                     pa.array([None if v is None else v.decode()
-                               for v in vals], pa.string())],
-                    names=[key, value_col])
+                     varr], names=[key, value_col])
 
-    return pruned.mapInArrow(fetch, f"{key} string, {value_col} string")
+    return pruned.mapInArrow(
+        fetch, f"{key} string, {value_col} {value_kind}")
 
 
 def _decoded_spark_schema(specs: list[tuple[str, str]],

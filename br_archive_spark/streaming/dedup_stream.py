@@ -8,8 +8,11 @@ and ``applyInPandasWithState`` emits only the first occurrence of each
 hash across the whole stream, with a per-hash duplicate counter in the
 state store (checkpointed — restarts neither lose nor re-emit).
 
-Scale shape: state is keyed by a 64-bit content hash, so the state
-store holds one tiny row per DISTINCT document — not per event — and
+Scale shape: state is keyed by a 128-bit content hash (two independent
+xxhash64 families — a bare 64-bit key would birthday-collide with ~50%
+probability around 5B distinct documents, silently dropping a unique
+doc), so the state store holds one tiny row per DISTINCT document —
+not per event — and
 the groupBy shuffles only (hash → row) pairs. This is the idiomatic
 Spark replacement for a side "seen" database; the reference, strictly
 batch (``src/prog/bra.cpp:337-358``), has no analog.
@@ -39,7 +42,9 @@ def dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
     stream = (spark.readStream
               .schema(TOKEN_STREAM_SCHEMA)
               .parquet(input_dir))
-    hashed = stream.withColumn("_h", F.xxhash64(*key_cols))
+    hashed = stream.withColumn(
+        "_h1", F.xxhash64(*key_cols)).withColumn(
+        "_h2", F.xxhash64(F.lit("bra-dedup-2"), *key_cols))
     out_cols = [f.split()[0] for f in TOKEN_STREAM_SCHEMA.split(", ")]
 
     def keep_first(key, pdfs, state):
@@ -52,7 +57,7 @@ def dedup_stream(spark: SparkSession, input_dir: str, output_dir: str,
             count += len(pdf)
         state.update((count,))
 
-    deduped = (hashed.groupBy("_h").applyInPandasWithState(
+    deduped = (hashed.groupBy("_h1", "_h2").applyInPandasWithState(
         keep_first, TOKEN_STREAM_SCHEMA, "n long", "append",
         GroupStateTimeout.NoTimeout))
     writer = (deduped.writeStream

@@ -146,3 +146,27 @@ def test_lookup_rows_empty_request(spark):
     enc = encode_table(df, specs=[("doc_id", "string"),
                                   ("text", "string")], num_parts=2)
     assert lookup_rows(enc, [], value_col="text").count() == 0
+
+
+def test_lookup_rows_binary_kind(spark):
+    """Binary value columns row-decode too (r2 review: the utf-8
+    decode used to crash on bytes); kind mismatches raise clearly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, lookup_rows
+
+    df = spark.range(300).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.encode(F.concat(F.lit("ÿ-blob-"), F.col("id")), "utf-8")
+        .alias("payload"))
+    enc = encode_table(df, specs=[("doc_id", "string"),
+                                  ("payload", "binary")],
+                       mode="hash", num_parts=3, target_values=128)
+    got = {r["doc_id"]: r["payload"] for r in
+           lookup_rows(enc, ["d0000", "d0299"], value_col="payload",
+                       value_kind="binary").collect()}
+    assert got["d0000"] == "ÿ-blob-0".encode()
+    assert got["d0299"] == "ÿ-blob-299".encode()
+    with pytest.raises(Exception, match="value_kind"):
+        lookup_rows(enc, ["d0000"], value_col="payload").collect()
