@@ -173,11 +173,17 @@ def _noise_probe() -> float:
 
     rng = np.random.default_rng(0)
     a = rng.integers(0, 1 << 30, 4_000_000).astype(np.int64)
-    t0 = time.time()
-    for _ in range(3):
-        b = np.sort(a)
-        np.diff(b).clip(0).sum()
-    return time.time() - t0
+
+    def once() -> float:
+        t0 = time.time()
+        for _ in range(3):
+            b = np.sort(a)
+            np.diff(b).clip(0).sum()
+        return time.time() - t0
+
+    # min of 2: a single probe's own jitter (~±15% quiet) would
+    # otherwise dominate the busy/quiet classification
+    return min(once(), once())
 
 
 def bench_encode_scaling() -> tuple[dict, dict]:
@@ -196,7 +202,7 @@ def bench_encode_scaling() -> tuple[dict, dict]:
     # Measurement: interleaved rounds, each running small then big in
     # fresh JVMs with 2 warm trials per level — NOISE-GATED: a ~0.5 s
     # probe brackets every round, and a round only counts as a clean
-    # paired sample if both probes sit within 20% of the session's
+    # paired sample if both probes sit within 30% of the session's
     # quietest probe (this VM shares hardware with other tenants; r1's
     # paired samples straddled the bar exactly because rounds landed in
     # busy windows). Rejected rounds still feed the best-of-trials
@@ -234,14 +240,14 @@ def bench_encode_scaling() -> tuple[dict, dict]:
             first_big = rb  # carries t_decode / manifest stats
         if len([p for p in probe_log
                 if max(p["before"], p["after"])
-                <= probe_floor * 1.2]) >= rounds:
+                <= probe_floor * 1.3]) >= rounds:
             break
     # classify rounds against the FINAL floor: early rounds judged
     # against a stale (higher) floor must not stay "clean" once a
     # quieter window reveals the host's true speed
     clean_pairs = []
     for p, pair in zip(probe_log, pairs):
-        p["quiet"] = max(p["before"], p["after"]) <= probe_floor * 1.2
+        p["quiet"] = max(p["before"], p["after"]) <= probe_floor * 1.3
         if p["quiet"]:
             clean_pairs.append(pair)
     t_small_pair, t_big_pair = t_small_best, t_big_best
