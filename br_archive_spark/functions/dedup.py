@@ -100,9 +100,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     than the cap are dropped from candidate generation. Members of a
     dropped bucket are near-certain duplicates of each other, so at
     scale they are better handled by exact_dedup on the band hash than
-    by emitting b²/2 pairs. The size count is a window over the same
-    (band, bucket) key the self-join shuffles on, so AQE reuses the
-    exchange rather than adding one.
+    by emitting b²/2 pairs. Oversized buckets are found with a plain
+    aggregate (narrow: one count row per bucket) and removed with a
+    BROADCAST anti-join — degenerate buckets are few by definition, so
+    this beats a window count, which would sort every banded row
+    within its exchange partition.
     """
     rows_per_band = num_hashes // bands
     hashed = df.select(
@@ -125,13 +127,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                                  rows_per_band))).alias("bh"))
         )).alias("bk"))
     if max_bucket:
-        from pyspark.sql import Window
-
-        banded = (banded
-                  .withColumn("_bsz", F.count("*").over(
-                      Window.partitionBy("bk")))
-                  .where(F.col("_bsz") <= max_bucket)
-                  .drop("_bsz"))
+        oversized = (banded.groupBy("bk").count()
+                     .where(F.col("count") > max_bucket).select("bk"))
+        banded = banded.join(F.broadcast(oversized), "bk", "left_anti")
     # candidates carry only (id, id2): the distinct stays narrow
     cand = (banded.join(banded.select(F.col("id").alias("id2"),
                                       F.col("bk").alias("bk2")),
@@ -173,8 +171,6 @@ def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
     :func:`minhash_lsh_pairs`). Pairs found by several tables dedupe on
     the narrow (id, id2) before the exact-cosine join.
     """
-    from pyspark.sql import Window
-
     from .similarity import _sketch, with_norm
 
     base = with_norm(emb, vec_col).select(
@@ -190,9 +186,11 @@ def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
             F.col("_sk").alias("bucket"))).alias("tb"))         .select("id", F.col("tb.tab").alias("tab"),
                 F.col("tb.bucket").alias("bucket"))
     if max_bucket:
-        buck = (buck.withColumn(
-            "_bsz", F.count("*").over(Window.partitionBy("tab", "bucket")))
-            .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+        oversized = (buck.groupBy("tab", "bucket").count()
+                     .where(F.col("count") > max_bucket)
+                     .select("tab", "bucket"))
+        buck = buck.join(F.broadcast(oversized), ["tab", "bucket"],
+                         "left_anti")
     cand = (buck
             .join(buck.select(F.col("id").alias("id2"),
                               F.col("tab").alias("tab2"),
@@ -279,11 +277,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     buckets = sigs.select(
         "id", "sig", F.explode(F.array(*keys)).alias("tb"))
     if max_bucket:
-        from pyspark.sql import Window
-
-        buckets = (buckets.withColumn(
-            "_bsz", F.count("*").over(Window.partitionBy("tb")))
-            .where(F.col("_bsz") <= max_bucket).drop("_bsz"))
+        oversized = (buckets.groupBy("tb").count()
+                     .where(F.col("count") > max_bucket).select("tb"))
+        buckets = buckets.join(F.broadcast(oversized), "tb", "left_anti")
     cand = (buckets.select("id", "tb")
             .join(buckets.select(F.col("id").alias("id2"),
                                  F.col("tb").alias("tb2")),
