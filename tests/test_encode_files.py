@@ -293,3 +293,33 @@ def test_decode_rejects_foreign_checksum_algo(spark, tmp_path):
         decode_table(enc).collect()
     # verification off: decodes fine regardless of the tag
     assert decode_table(enc, verify_checksums=False).count() == 200
+
+
+def test_bulk_path_roundtrips_nulls(spark, tmp_path):
+    """The direct path reads parquet splits with pyarrow in-process —
+    nulls must flow through the same nv. wrapper as the scan path and
+    survive the in-process decoded-parquet sink."""
+    from br_archive_spark.operators import decode_files, encode_files
+
+    src_dir = str(tmp_path / "src")
+    df = spark.range(4000).select(
+        F.format_string("d%06d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(
+            F.transform(F.sequence(F.lit(1), F.col("id") % 7 + 1),
+                        lambda x: F.when(x % 5 == 0, None)
+                        .otherwise(x.cast("int")))).alias("tokens"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.lit("web")).alias("source"))
+    df.repartition(4).write.parquet(src_dir)
+
+    man_dir = str(tmp_path / "man")
+    encode_files(spark, src_dir, output_dir=man_dir).collect()
+    out_dir = str(tmp_path / "dec")
+    decode_files(spark, man_dir, output_dir=out_dir).collect()
+    dec = spark.read.parquet(out_dir)
+    src = spark.read.parquet(src_dir)
+    a = sorted(src.select("doc_id", "tokens", "source").collect(),
+               key=lambda r: r["doc_id"])
+    b = sorted(dec.select("doc_id", "tokens", "source").collect(),
+               key=lambda r: r["doc_id"])
+    assert a == b
