@@ -3,12 +3,13 @@ from .compact import compact_manifest
 from .decode import (ChecksumError, decode_files, decode_table,
                      lookup_docs, lookup_rows)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
-                     encode_table)
+                     encode_table, infer_specs)
 from .verify import compression_report, verify_roundtrip
 
 __all__ = [
     "encode_column", "decode_column",
     "encode_table", "encode_files", "decode_table", "decode_files",
+    "infer_specs",
     "lookup_docs", "lookup_rows", "compact_manifest",
     "ChecksumError",
     "verify_roundtrip", "compression_report",

@@ -40,6 +40,11 @@ class ChecksumError(RuntimeError):
 
 
 def _arrow_type(kind: str):
+    if kind.startswith("decimal"):
+        from .chunk import decimal_ps
+
+        p, s = decimal_ps(kind)
+        return pa.decimal128(p, s)
     return {
         "string": pa.string(),
         "int_list": pa.list_(pa.int32()),
@@ -48,6 +53,8 @@ def _arrow_type(kind: str):
         "float_list": pa.list_(pa.float32()),
         "double_list": pa.list_(pa.float64()),
         "float": pa.float64(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
     }[kind]
 
 
@@ -107,6 +114,25 @@ def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
             return pa.array(np.asarray(data), type=pa.int64(),
                             mask=~row_valid)
         return pa.array(data, type=pa.int64())
+    if kind in ("date", "timestamp") or kind.startswith("decimal"):
+        # int64 stream back to its typed storage via raw buffers
+        # (pa.array() refuses plain ints for temporal/decimal types)
+        values = np.asarray(data)
+        atype = _arrow_type(kind)
+        if kind == "date":
+            storage = values.astype(np.int32)
+        elif kind == "timestamp":
+            storage = values.astype(np.int64)
+        else:
+            # rebuild 16-byte two's complement: low word = value,
+            # high word = sign extension
+            storage = np.empty(2 * len(values), np.int64)
+            storage[0::2] = values
+            storage[1::2] = values >> 63
+        return pa.Array.from_buffers(
+            atype, n_rows,
+            [vbuf, pa.py_buffer(np.ascontiguousarray(storage).tobytes())],
+            null_count=vnc if vbuf else 0)
     if kind == "float":
         if vbuf is not None:
             return pa.array(np.asarray(data), type=pa.float64(),
@@ -269,11 +295,15 @@ def _decoded_spark_schema(specs: list[tuple[str, str]],
                           with_n_tok: bool) -> str:
     parts = []
     for name, kind in specs:
-        spark_t = {"string": "string", "int_list": "array<int>",
-                   "int": "long", "binary": "binary",
-                   "float_list": "array<float>",
-                   "double_list": "array<double>",
-                   "float": "double"}[kind]
+        if kind.startswith("decimal"):
+            spark_t = kind
+        else:
+            spark_t = {"string": "string", "int_list": "array<int>",
+                       "int": "long", "binary": "binary",
+                       "float_list": "array<float>",
+                       "double_list": "array<double>",
+                       "float": "double",
+                       "date": "date", "timestamp": "timestamp"}[kind]
         parts.append(f"{name} {spark_t}")
     if with_n_tok:
         parts.append("n_tok int")

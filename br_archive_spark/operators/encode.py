@@ -49,8 +49,8 @@ from .chunk import encode_column
 from .fsutil import (ensure_dir, join_path, open_parquet, path_tag,
                      write_parquet_atomic)
 
-__all__ = ["encode_table", "MANIFEST_SCHEMA", "MANIFEST_SPARK_SCHEMA",
-           "TOKEN_SPECS"]
+__all__ = ["encode_table", "encode_files", "infer_specs",
+           "MANIFEST_SCHEMA", "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS"]
 
 # column specs for the mandated input shape (BASELINE.json: input_hint)
 TOKEN_SPECS: list[tuple[str, str]] = [
@@ -203,7 +203,85 @@ def _extract(tbl: pa.Table, name: str, kind: str):
             col = pc.fill_null(col, 0)
         data = col.to_numpy(zero_copy_only=False).astype(np.int64)
         return data, (None if row_valid is None else (row_valid, None))
+    if kind in ("date", "timestamp"):
+        # lossless int mapping: date32 -> days, timestamp -> epoch
+        # micros. Normalize the unit FIRST: Spark's own Arrow batches
+        # are timestamp[us], but parquet read through pyarrow (the
+        # encode_files bulk path) surfaces INT96 timestamps as
+        # timestamp[ns] — casting that straight to int64 would encode
+        # nanos and decode as micros (year-27xxx corruption).
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+        if kind == "date":
+            col = col.cast(pa.date32())
+            it = pa.int32()
+        else:
+            col = col.cast(pa.timestamp("us",
+                                        getattr(col.type, "tz", None)))
+            it = pa.int64()
+        ints = pc.fill_null(col.cast(it), 0) if col.null_count \
+            else col.cast(it)
+        data = ints.to_numpy(zero_copy_only=False).astype(np.int64)
+        return data, (None if row_valid is None else (row_valid, None))
+    if kind.startswith("decimal"):
+        from .chunk import decimal_ps
+
+        p_, s_ = decimal_ps(kind)
+        if p_ > 18:
+            raise ValueError(
+                f"decimal precision {p_} > 18: unscaled value must fit "
+                "int64 (split the column or widen the codec lane)")
+        row_valid = None
+        if col.null_count:
+            import decimal as _dec
+
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, pa.scalar(_dec.Decimal(0),
+                                              type=col.type))
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        # decimal128 storage = 16-byte little-endian two's complement;
+        # for p <= 18 the value is in int64 range, so the low word IS
+        # the value (high word is pure sign extension)
+        words = np.frombuffer(arr.buffers()[1], np.int64)
+        data = np.ascontiguousarray(
+            words[2 * arr.offset:2 * (arr.offset + len(arr)):2])
+        return data, (None if row_valid is None else (row_valid, None))
     raise ValueError(f"unknown kind {kind!r}")
+
+
+_SPARK_TYPE_TO_KIND = {
+    "string": "string", "binary": "binary",
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
+    # no array<bigint>: int_list rebuilds as array<int32> (the mandated
+    # token shape) — a 64-bit list column would silently narrow
+    "array<tinyint>": "int_list", "array<smallint>": "int_list",
+    "array<int>": "int_list",
+    "array<float>": "float_list", "array<double>": "double_list",
+}
+
+
+def infer_specs(df: DataFrame) -> list[tuple[str, str]]:
+    """Derive encode specs from a DataFrame schema — the whole-table
+    entry point: ``encode_table(df, specs=infer_specs(df))`` encodes
+    any table made of the supported kinds (the reference encodes
+    arbitrary files; this is the columnar equivalent of "point it at
+    the data"). ``decimal(p,s)`` types pass through as their own kind.
+    """
+    specs = []
+    for name, t in df.dtypes:
+        if t.startswith("decimal"):
+            specs.append((name, t))
+        elif t in _SPARK_TYPE_TO_KIND:
+            specs.append((name, _SPARK_TYPE_TO_KIND[t]))
+        else:
+            raise ValueError(
+                f"column {name!r}: no codec kind for Spark type {t!r}")
+    return specs
 
 
 def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
