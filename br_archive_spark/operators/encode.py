@@ -97,7 +97,10 @@ MANIFEST_SCHEMA = pa.schema([
     # range lookups prune chunks from the manifest scan (the reference's
     # skip-without-decode, src/io/lib_bra_io_file_ctx.c:596-602, made
     # cluster-scale: parquet row-group stats on these columns skip
-    # payload IO entirely)
+    # payload IO entirely). key_col RECORDS which column the bounds
+    # describe — lookups on any other column must not prune with them
+    # (silent-miss hazard, ADVICE r2 #1)
+    ("key_col", pa.string()),
     ("key_min", pa.string()),
     ("key_max", pa.string()),
 ])
@@ -111,7 +114,7 @@ MANIFEST_SPARK_SCHEMA = (
     "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>, "
     "column_stats array<struct<name:string,kind:string,codec:string,"
     "orig_bytes:long,enc_bytes:long>>, "
-    "key_min string, key_max string"
+    "key_col string, key_min string, key_max string"
 )
 
 
@@ -296,14 +299,19 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
     return tbl.num_rows
 
 
-def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]]):
+def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],
+                key: str | None = None):
+    """``(key_col, min, max)`` for the zone map: the requested ``key``
+    if it is a string-kind column, else the first string column, else
+    no zone map (empty key_col)."""
     import pyarrow.compute as pc
 
-    for name, kind in specs:
-        if kind == "string":
-            mm = pc.min_max(tbl.column(name))
-            return (mm["min"].as_py() or "", mm["max"].as_py() or "")
-    return ("", "")
+    cands = [name for name, kind in specs if kind == "string"]
+    name = key if key in cands else (cands[0] if cands else "")
+    if not name:
+        return ("", "", "")
+    mm = pc.min_max(tbl.column(name))
+    return (name, mm["min"].as_py() or "", mm["max"].as_py() or "")
 
 
 def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
@@ -311,7 +319,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     part_from_task: bool = False,
                     track_file: bool = False,
                     str_codecs: tuple[str, ...] | None = None,
-                    global_dict=None):
+                    global_dict=None, key: str | None = None):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         task_part = 0
@@ -337,7 +345,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 entries.append(encode_column(
                     name, kind, data, codecs, str_codecs,
                     gdict=global_dict, validity=validity))
-            key_bounds = _key_bounds(tbl, specs)
+            key_bounds = _key_bounds(tbl, specs, key)
             # cover params too: codec tags, offsets streams, and the
             # null-validity bitmaps all live there — a flipped mask bit
             # must fail verification just like a flipped payload byte
@@ -368,8 +376,9 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     {k: e[k] for k in ("name", "kind", "codec",
                                        "orig_bytes", "enc_bytes")}
                     for e in entries],
-                "key_min": key_bounds[0],
-                "key_max": key_bounds[1],
+                "key_col": key_bounds[0],
+                "key_min": key_bounds[1],
+                "key_max": key_bounds[2],
             }
             return pa.RecordBatch.from_pylist([row], schema=MANIFEST_SCHEMA)
 
@@ -453,7 +462,7 @@ def encode_table(df: DataFrame,
                              part_from_task=True,
                              track_file=track_input_file,
                              str_codecs=str_codecs,
-                             global_dict=global_dict)
+                             global_dict=global_dict, key=key)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
     if mode != "hash":
         raise ValueError(f"unknown encode mode {mode!r}")
@@ -466,7 +475,8 @@ def encode_table(df: DataFrame,
                 .repartition(num_parts, "_part")
                 .sortWithinPartitions("_part", key))
     fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
-                         str_codecs=str_codecs, global_dict=global_dict)
+                         str_codecs=str_codecs, global_dict=global_dict,
+                         key=key)
     return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
 
 

@@ -170,3 +170,39 @@ def test_lookup_rows_binary_kind(spark):
     assert got["d0299"] == "ÿ-blob-299".encode()
     with pytest.raises(Exception, match="value_kind"):
         lookup_rows(enc, ["d0000"], value_col="payload").collect()
+
+
+def test_lookup_on_non_zone_map_key_does_not_miss(spark):
+    """The zone map describes ONE recorded column (manifest key_col);
+    a lookup keyed on a different column must not prune with those
+    bounds — r2's code silently returned nothing here (ADVICE r2 #1:
+    alt-key range disjoint from the doc_id zone map pruned every
+    chunk)."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import (encode_table, lookup_docs,
+                                            lookup_rows)
+
+    df = spark.range(500).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.format_string("z%04d", F.col("id")).alias("alt_key"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"))
+    specs = [("doc_id", "string"), ("alt_key", "string"),
+             ("text", "string")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=4,
+                       target_values=128)
+    assert enc.select("key_col").distinct().collect()[0][0] == "doc_id"
+
+    got = {r["alt_key"]: r["text"] for r in
+           lookup_rows(enc, ["z0007", "z0499"], value_col="text",
+                       key="alt_key").collect()}
+    assert got == {"z0007": "text-7", "z0499": "text-499"}
+
+    docs = lookup_docs(enc, ["z0042"], specs=specs, key="alt_key",
+                       with_n_tok=False).collect()
+    assert len(docs) == 1 and docs[0]["text"] == "text-42"
+
+    # and pruning still engages on the recorded key column
+    assert {r["text"] for r in
+            lookup_rows(enc, ["d0003"], value_col="text").collect()} \
+        == {"text-3"}
