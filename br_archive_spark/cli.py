@@ -78,9 +78,22 @@ def cmd_decode(args) -> int:
         if args.yes and os.path.isdir(args.output):
             # match spark-mode overwrite semantics: a previous decode's
             # shards (possibly from a different manifest) must not stay
-            # mixed into the new dataset
-            import shutil
-            shutil.rmtree(args.output, ignore_errors=True)
+            # mixed into the new dataset. Delete ONLY files this tool
+            # wrote (dec-*.parquet + tmp leftovers) — never rmtree a
+            # directory the user may have pointed at by mistake
+            # (ADVICE r2 #3); refuse if unrecognized files are present.
+            entries = os.listdir(args.output)
+            ours = [f for f in entries
+                    if f.startswith("dec-") and ".parquet" in f]
+            foreign = [f for f in entries if f not in ours]
+            if foreign:
+                print(json.dumps({
+                    "error": f"{args.output} contains files not written "
+                             f"by a previous decode (e.g. {foreign[0]!r})"
+                             " — refusing to clear it, even with -y"}))
+                return 1
+            for f in ours:
+                os.unlink(os.path.join(args.output, f))
 
         stats = decode_files(spark, args.input, global_dict=gd,
                              output_dir=args.output).collect()

@@ -94,10 +94,14 @@ def write_parquet_atomic(table, path: str, filesystem=None,
                          compression: str = "zstd") -> None:
     """Idempotent-under-retry parquet write.
 
-    Local FS: tmp file + ``os.replace`` (atomic rename). Object
-    stores have no rename, but a PUT is atomic on stream close
-    (an aborted multipart upload leaves nothing visible), so a direct
-    write gives the same retry-safety there.
+    Rename-capable filesystems (local, SubTree-over-local, HDFS):
+    tmp file + move — a task that dies mid-write leaves only a tmp
+    name no reader or resume scan matches (r2 streamed straight to the
+    final name on every non-local fs, so a crash left a visible
+    truncated shard that a resumed run treated as complete — ADVICE
+    r2 #2). True object stores (S3/GCS): direct stream — a PUT is
+    atomic on close (an aborted multipart upload leaves nothing
+    visible) and rename would cost a copy.
     """
     import os
 
@@ -109,6 +113,18 @@ def write_parquet_atomic(table, path: str, filesystem=None,
         tmp = f"{p}.tmp-{os.getpid()}"
         pq.write_table(table, tmp, compression=compression)
         os.replace(tmp, p)
-    else:
+        return
+    base = fs
+    while isinstance(base, pafs.SubTreeFileSystem):
+        base = base.base_fs
+    object_stores = tuple(
+        t for t in (getattr(pafs, "S3FileSystem", None),
+                    getattr(pafs, "GcsFileSystem", None)) if t)
+    if isinstance(base, object_stores):
         with fs.open_output_stream(p) as sink:
             pq.write_table(table, sink, compression=compression)
+        return
+    tmp = f"{p}.tmp-{os.getpid()}"
+    with fs.open_output_stream(tmp) as sink:
+        pq.write_table(table, sink, compression=compression)
+    fs.move(tmp, p)

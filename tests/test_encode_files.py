@@ -323,3 +323,66 @@ def test_bulk_path_roundtrips_nulls(spark, tmp_path):
     b = sorted(dec.select("doc_id", "tokens", "source").collect(),
                key=lambda r: r["doc_id"])
     assert a == b
+
+
+def test_atomic_write_on_subtree_fs_uses_tmp_then_move(tmp_path):
+    """On rename-capable non-local filesystems (SubTreeFileSystem over
+    local — the test stand-in — or HDFS) the shard must land via
+    tmp-name + move: r2 streamed straight to the final name, so a task
+    dying mid-write left a visible truncated shard that resume treated
+    as complete (ADVICE r2 #2)."""
+    import os
+
+    import pyarrow as pa
+    from pyarrow import fs as pafs
+
+    from br_archive_spark.operators.fsutil import write_parquet_atomic
+
+    root = str(tmp_path)
+    sub = pafs.SubTreeFileSystem(root, pafs.LocalFileSystem())
+    tbl = pa.table({"x": pa.array([1, 2, 3], pa.int64())})
+    write_parquet_atomic(tbl, "out.parquet", sub)
+    names = os.listdir(root)
+    assert "out.parquet" in names
+    assert not any(".tmp-" in n for n in names)
+    # interrupted write (stream opened, never finished → only the tmp
+    # name exists): a reader/resume scan of *.parquet must not see it
+    with sub.open_output_stream("crash.parquet.tmp-999") as s:
+        s.write(b"partial")
+    assert "crash.parquet" not in os.listdir(root)
+
+
+def test_cli_decode_yes_refuses_foreign_files(spark, tmp_path):
+    """decode -y must only clear its own dec-*.parquet shards — a
+    directory holding anything else is refused, not rmtree'd
+    (ADVICE r2 #3)."""
+    import json
+    import os
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_decode
+    from br_archive_spark.operators import encode_files
+
+    src = str(tmp_path / "src.parquet")
+    token_table(spark, 500).write.parquet(src)
+    man = str(tmp_path / "man")
+    encode_files(spark, src, output_dir=man).collect()
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    precious = os.path.join(out, "users_thesis.txt")
+    with open(precious, "w") as f:
+        f.write("irreplaceable")
+
+    args = Namespace(input=man, output=out, mode="direct", yes=True,
+                     global_dict=None, master="local[2]",
+                     shuffle_partitions=4)
+    rc = cmd_decode(args)
+    assert rc == 1
+    assert os.path.exists(precious)
+
+    # with only dec-* shards present, -y clears and re-decodes fine
+    os.unlink(precious)
+    assert cmd_decode(args) == 0
+    assert cmd_decode(args) == 0  # overwrite its own output
+    assert all(f.startswith("dec-") for f in os.listdir(out))
