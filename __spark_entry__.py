@@ -302,6 +302,22 @@ def q_random_access_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("token").cast("long").alias("token")))
 
 
+def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range scan over the encoded table: zone-map pruning keeps the
+    decode to chunks overlapping [lo, hi] (the range form of the
+    reference's skip-without-decode, src/io/lib_bra_io_file_ctx.c:596)."""
+    from br_archive_spark.operators import encode_table, lookup_range
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    enc = encode_table(tok, mode="range", num_parts=8,
+                       target_values=1 << 16)
+    out = lookup_range(enc, "20", "2100")
+    return (out.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
 def q_fsst_row_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-level random access: zone-map chunk pruning, key-column
     decode to locate rows, then PER-ROW decode of the fsst-coded text
@@ -744,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_direct": q_roundtrip_direct,
         "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
+        "range_scan": q_range_scan,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -887,6 +904,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_orderkey AS VARCHAR)
                   IN ('1','7','32','33','1000','4711')
+        """,
+        "range_scan": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
+            WHERE CAST(l_orderkey AS VARCHAR) >= '20'
+              AND CAST(l_orderkey AS VARCHAR) <= '2100'
         """,
         "events_sessions": """
             WITH gaps AS (

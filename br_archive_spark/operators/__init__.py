@@ -1,7 +1,7 @@
 from .chunk import decode_column, encode_column
 from .compact import compact_manifest
 from .decode import (ChecksumError, decode_files, decode_table,
-                     lookup_docs, lookup_rows)
+                     lookup_docs, lookup_range, lookup_rows)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .verify import compression_report, verify_roundtrip
@@ -10,7 +10,7 @@ __all__ = [
     "encode_column", "decode_column",
     "encode_table", "encode_files", "decode_table", "decode_files",
     "infer_specs",
-    "lookup_docs", "lookup_rows", "compact_manifest",
+    "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
     "ChecksumError",
     "verify_roundtrip", "compression_report",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

@@ -32,7 +32,7 @@ from .fsutil import (ensure_dir, file_size, join_path, path_tag,
                      read_parquet, write_parquet_atomic)
 
 __all__ = ["decode_table", "decode_files", "lookup_rows",
-           "ChecksumError"]
+           "lookup_range", "ChecksumError"]
 
 
 class ChecksumError(RuntimeError):
@@ -228,6 +228,30 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
     dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     return dec.where(F.col(key).isin(doc_ids))
+
+
+def lookup_range(encoded: DataFrame, lo: str, hi: str,
+                 specs: list[tuple[str, str]] | None = None,
+                 key: str = "doc_id",
+                 with_n_tok: bool = True,
+                 global_dict=None) -> DataFrame:
+    """Range scan ``lo <= key <= hi`` over the encoded table.
+
+    Same two-level pruning as :func:`lookup_docs` — zone-map chunk
+    pruning (a WHERE parquet row-group stats satisfy without payload
+    reads), then decode of surviving chunks only and an exact BETWEEN
+    filter. The range form of the reference's skip-without-decode
+    (``src/io/lib_bra_io_file_ctx.c:596-602``): over a
+    ``mode="range"`` encode (range-clustered chunks with tight,
+    near-disjoint zone maps) a narrow range decodes O(matching
+    chunks), not the table.
+    """
+    from pyspark.sql import functions as F
+
+    pruned = _zone_prune(encoded, key, lo, hi)
+    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+                       global_dict=global_dict)
+    return dec.where((F.col(key) >= lo) & (F.col(key) <= hi))
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],

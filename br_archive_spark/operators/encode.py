@@ -448,6 +448,11 @@ def encode_table(df: DataFrame,
     content-addressed resume. ``num_parts`` is the explicit knob: size it
     so a partition's flattened token payload fits executor memory
     (total_tokens × 4 B / num_parts ≲ 256 MB).
+
+    ``mode="range"``: one ``repartitionByRange`` shuffle + in-partition
+    sort — chunks carry tight, near-disjoint key intervals, so
+    ``lookup_range``/``lookup_docs`` prune to O(matching chunks). Use
+    when the read pattern is key ranges.
     """
     specs = specs or TOKEN_SPECS
     cols = [name for name, _ in specs]
@@ -461,6 +466,24 @@ def encode_table(df: DataFrame,
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                              part_from_task=True,
                              track_file=track_input_file,
+                             str_codecs=str_codecs,
+                             global_dict=global_dict, key=key)
+        return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
+    if mode == "range":
+        # range-clustered layout: one repartitionByRange shuffle (range
+        # bounds from a driver sample) + in-partition sort makes every
+        # chunk's zone map a TIGHT key interval — a narrow lookup_range
+        # then decodes O(matching chunks), the property hash mode
+        # cannot give (hash scatter makes every chunk span the whole
+        # keyspace). The layout for range-heavy read patterns at scale.
+        spark = df.sparkSession
+        n = num_parts or int(
+            spark.conf.get("spark.sql.shuffle.partitions"))
+        prepared = (df.select(*cols)
+                    .repartitionByRange(n, key)
+                    .sortWithinPartitions(key))
+        fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
+                             part_from_task=True,
                              str_codecs=str_codecs,
                              global_dict=global_dict, key=key)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)

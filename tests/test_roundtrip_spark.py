@@ -206,3 +206,26 @@ def test_lookup_on_non_zone_map_key_does_not_miss(spark):
     assert {r["text"] for r in
             lookup_rows(enc, ["d0003"], value_col="text").collect()} \
         == {"text-3"}
+
+
+def test_lookup_range_prunes_and_is_exact(spark):
+    """lookup_range: exact BETWEEN semantics, and the zone map actually
+    prunes chunks when hash-mode sorting clusters keys."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, lookup_range
+
+    df = spark.range(1000).select(
+        F.format_string("d%04d", F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"), F.lit("s").alias("source"))
+    enc = encode_table(df, mode="range", num_parts=8,
+                       target_values=64).cache()
+    out = lookup_range(enc, "d0100", "d0149")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [f"d{i:04d}" for i in range(100, 150)]
+    # pruning: the surviving chunk set is a strict subset
+    from br_archive_spark.operators.decode import _zone_prune
+    total = enc.count()
+    surviving = _zone_prune(enc, "doc_id", "d0100", "d0149").count()
+    assert 0 < surviving < total
