@@ -160,3 +160,33 @@ def test_minhash_single_aggregate_pass(spark):
     optimized = expr._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("aggregate(") <= 1
     assert optimized.count("array_min(transform(") == 0
+
+
+def test_encode_range_mode_single_range_exchange(spark):
+    """mode='range' costs exactly one shuffle, and it is a RANGE
+    partitioning (tight per-chunk zone maps), not a hash scatter."""
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import encode_table
+
+    src = token_table(spark, 200)
+    plan = _plan(encode_table(src, mode="range", num_parts=4))
+    # one Exchange node in the plan tree (formatted output also lists
+    # it in the details section, so count tree-edge occurrences)
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" in plan
+    assert "hashpartitioning" not in plan
+    assert "MapInArrow" in plan
+
+
+def test_lookup_range_prunes_before_decode(spark):
+    """lookup_range's zone-map WHERE must sit under the decode
+    MapInArrow as a pushed filter on the manifest scan."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.operators import encode_table, lookup_range
+
+    src = token_table(spark, 200)
+    enc = encode_table(src, mode="range", num_parts=4)
+    plan = _plan(lookup_range(enc, "d1", "d2"))
+    assert "key_min" in plan and "key_max" in plan
