@@ -207,11 +207,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--snapshot-id", default="")
-    p.add_argument("--mode", choices=["direct", "scan", "hash"],
+    p.add_argument("--mode", choices=["direct", "scan", "hash", "range"],
                    default="direct",
                    help="direct: tasks read parquet splits in-process "
                         "(bulk path); scan: JVM scan; hash: "
-                        "content-addressed shuffle")
+                        "content-addressed shuffle; range: "
+                        "range-clustered layout (tight zone maps for "
+                        "range lookups; no per-file resume)")
     p.add_argument("--target-values", type=int, default=1 << 20)
     p.add_argument("--global-dict", default=None, metavar="PATH",
                    help="shared-dictionary side file: built+saved here "

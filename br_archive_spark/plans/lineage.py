@@ -50,13 +50,24 @@ def encode_with_checkpoint(spark: SparkSession, input_dir: str,
     """
     all_files = sorted(spark.read.parquet(input_dir).inputFiles())
     done = _existing_files(spark, output_dir)
+    mode = encode_kwargs.get("mode", "direct")
+    if mode in ("hash", "range") and done:
+        # content-addressed modes shuffle rows ACROSS input files, so
+        # per-file lineage does not exist and a rerun would append a
+        # full duplicate chunk set (every decoded row twice). Refuse
+        # loudly instead of corrupting the manifest.
+        raise ValueError(
+            f"output manifest {output_dir!r} already has chunks; "
+            f"mode={mode!r} shuffles rows across input files so "
+            "per-file resume is impossible — delete the output or "
+            "use mode='direct'/'scan'")
     remaining = [f for f in all_files if f not in done]
     stats = {"total_files": len(all_files),
              "skipped_files": len(all_files) - len(remaining),
              "encoded_files": len(remaining), "chunks": 0}
     if not remaining:
         return stats
-    if encode_kwargs.get("mode", "direct") == "direct":
+    if mode == "direct":
         # bulk path: tasks read their parquet splits directly (see
         # operators.encode.encode_files); lineage comes built-in
         from ..operators.encode import encode_files
@@ -66,8 +77,10 @@ def encode_with_checkpoint(spark: SparkSession, input_dir: str,
                            **encode_kwargs)
     else:
         df = spark.read.parquet(*remaining)
+        # file lineage only exists where chunks follow input splits
+        track = mode == "scan"
         enc = encode_table(df, snapshot_id=snapshot_id,
-                           track_input_file=True, **encode_kwargs)
+                           track_input_file=track, **encode_kwargs)
     mode = "append" if os.path.exists(output_dir) else "overwrite"
     enc.write.mode(mode).parquet(output_dir)
     # broadcast-join against a files DataFrame, not .isin(remaining):

@@ -79,3 +79,18 @@ def test_lineage_report(spark, dirs):
     rep = lineage_report(spark, out).collect()
     assert len(rep) >= 1
     assert all(r["chunks"] >= 1 and r["input_file"] for r in rep)
+
+
+def test_hash_mode_rerun_refuses_instead_of_duplicating(spark, dirs):
+    """mode='hash'/'range' shuffle rows across input files — per-file
+    lineage does not exist, and r2's code silently re-encoded EVERYTHING
+    on rerun, appending a full duplicate chunk set. Must refuse."""
+    src, out = dirs
+    token_table(spark, 1000).write.parquet(src)
+    encode_with_checkpoint(spark, src, out, snapshot_id="s1",
+                           mode="hash", num_parts=2)
+    n1 = spark.read.parquet(out).count()
+    with pytest.raises(ValueError, match="per-file resume"):
+        encode_with_checkpoint(spark, src, out, snapshot_id="s2",
+                               mode="hash", num_parts=2)
+    assert spark.read.parquet(out).count() == n1  # nothing appended
