@@ -4,7 +4,8 @@ from .decode import (ChecksumError, decode_files, decode_table,
                      lookup_docs, lookup_range, lookup_rows)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
-from .verify import compression_report, verify_roundtrip
+from .verify import (compression_report, table_checksum,
+                     verify_roundtrip)
 
 __all__ = [
     "encode_column", "decode_column",
@@ -12,6 +13,6 @@ __all__ = [
     "infer_specs",
     "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
     "ChecksumError",
-    "verify_roundtrip", "compression_report",
+    "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",
 ]

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from .decode import decode_table
 
-__all__ = ["verify_roundtrip", "compression_report"]
+__all__ = ["verify_roundtrip", "compression_report",
+           "table_checksum"]
 
 
 def verify_roundtrip(source: DataFrame, encoded: DataFrame,
@@ -75,3 +76,29 @@ def compression_report(encoded: DataFrame) -> DataFrame:
             .withColumn("ratio",
                         F.col("enc_bytes") / F.col("orig_bytes"))
             .orderBy("column", "codec"))
+
+
+def table_checksum(encoded: DataFrame) -> int:
+    """One CRC-32C for the whole encoded table, without re-reading
+    payload bytes.
+
+    The reference folds per-chunk source CRCs into a stream CRC with
+    the GF(2) combine (``src/io/lib_bra_io_file_chunks.c:248-249``,
+    ``src/utils/lib_bra_crc32c.c:181-231``) so the archive checksum
+    never re-reads data; here the same combine folds the per-chunk
+    manifest checksums (each covering that chunk's params+payload,
+    whose concatenated length IS ``enc_bytes``) in ``chunk_id`` order.
+    The fold runs over manifest METADATA only — three small columns,
+    payloads pruned — and is associative, so the value is independent
+    of how chunks were produced or compacted: the audit use is
+    comparing a manifest before/after compaction or replication with
+    one integer.
+    """
+    from ..integrity.crc import crc32c_combine
+
+    rows = (encoded.select("chunk_id", "checksum", "enc_bytes")
+            .orderBy("chunk_id").collect())
+    crc = 0
+    for r in rows:
+        crc = crc32c_combine(crc, r["checksum"], r["enc_bytes"])
+    return crc

@@ -91,3 +91,26 @@ def test_crc32c_fast_throughput_floor():
     t0 = time.time()
     crc32c_fast(data)
     assert time.time() - t0 < (4 << 20) / (30e6)
+
+
+def test_table_checksum_equals_concatenated_stream_crc(spark):
+    """The GF(2)-combined table checksum must equal a straight CRC-32C
+    over every chunk's params+payload concatenated in chunk_id order —
+    and survive manifest compaction/reordering unchanged."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.datagen import token_table
+    from br_archive_spark.integrity.crc import crc32c
+    from br_archive_spark.operators import encode_table, table_checksum
+
+    enc = encode_table(token_table(spark, 800), num_parts=4).cache()
+    got = table_checksum(enc)
+
+    rows = (enc.selectExpr("chunk_id", "columns").orderBy("chunk_id")
+            .collect())
+    blob = b"".join(bytes(b)
+                    for r in rows for e in r["columns"]
+                    for b in (e["params"], e["payload"]))
+    assert got == crc32c(blob)
+    # order-insensitive input, deterministic output
+    assert table_checksum(enc.orderBy(F.col("chunk_id").desc())) == got
