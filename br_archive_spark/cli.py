@@ -143,11 +143,20 @@ def cmd_lookup(args) -> int:
     """Point lookups — the partial-extraction analog of `unbra <entry>`:
     zone-map chunk pruning, key-column decode, per-row value decode
     (fsst entries parse only the requested strings)."""
-    from .operators.decode import lookup_docs, lookup_rows
+    from .operators.decode import lookup_docs, lookup_range, lookup_rows
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     ids = list(args.ids)
+    if getattr(args, "range", None):
+        lo, hi = args.range
+        rows = lookup_range(man, lo, hi,
+                            global_dict=_load_gdict(args.global_dict)) \
+            .collect()
+        print(json.dumps({"found": len(rows), "range": [lo, hi],
+                          "docs": {r["doc_id"]: {"n_tok": r["n_tok"]}
+                                   for r in rows}}, default=str))
+        return 0
     if args.value_col:
         rows = lookup_rows(man, ids, value_col=args.value_col,
                            key=args.key).collect()
@@ -245,11 +254,14 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("lookup",
                        help="point lookups without a full decode")
     p.add_argument("input")
-    p.add_argument("ids", nargs="+")
+    p.add_argument("ids", nargs="*")
     p.add_argument("--key", default="doc_id")
     p.add_argument("--value-col", default=None,
                    help="string column to row-decode (fsst fast path); "
                         "omit to fetch token rows via lookup_docs")
+    p.add_argument("--range", nargs=2, metavar=("LO", "HI"),
+                   help="fetch all docs with LO <= key <= HI "
+                        "(zone-map-pruned range scan)")
     p.add_argument("--global-dict", default=None)
     p.set_defaults(fn=cmd_lookup)
 

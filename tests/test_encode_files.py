@@ -386,3 +386,24 @@ def test_cli_decode_yes_refuses_foreign_files(spark, tmp_path):
     assert cmd_decode(args) == 0
     assert cmd_decode(args) == 0  # overwrite its own output
     assert all(f.startswith("dec-") for f in os.listdir(out))
+
+
+def test_cli_lookup_range(spark, tmp_path, capsys):
+    """lookup --range LO HI: zone-map-pruned range scan via the CLI."""
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_lookup
+    from br_archive_spark.operators import encode_table
+
+    src = token_table(spark, 300)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, mode="range", num_parts=4).write.parquet(man_dir)
+    args = Namespace(input=man_dir, ids=[], key="doc_id",
+                     value_col=None,
+                     range=["doc-000000000010", "doc-000000000019"],
+                     global_dict=None, master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_lookup(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] == 10
