@@ -721,6 +721,47 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing (concatenate token stream in
+    doc_id order, cut every 512): the op between a deduped token table
+    and a training dataloader. Deterministic rule → exact oracle (the
+    same cut expressed as a ROW_NUMBER window over the token stream)."""
+    from br_archive_spark.functions.packing import pack_sequences
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    packs = pack_sequences(tok, 512)
+    return packs.select(
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("token_sum"),
+        F.array_min("tokens").cast("long").alias("token_min"),
+        F.array_max("tokens").cast("long").alias("token_max"))
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-cutoff train/val assignment — pure function of
+    the id (no RNG), identical in any engine → exact oracle."""
+    from br_archive_spark.functions.packing import train_val_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (docs.withColumn("split", train_val_split(docs, "doc_id"))
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("split", "source"))
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 token frequencies over the tokenized corpus (map-side
+    partial aggregation bounds the shuffle to the vocab)."""
+    from br_archive_spark.functions.packing import token_histogram
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    out = token_histogram(tok, top_k=50)
+    return out.select(F.col("token").cast("long").alias("token"),
+                      F.col("freq").cast("long").alias("freq"))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text → opaque binary payload → Arrow-batched
     feature extraction (deterministic fake embedder) → feature norm.
@@ -790,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "pack_sequences": q_pack_sequences,
+        "train_val_split": q_train_val_split,
+        "token_histogram": q_token_histogram,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1299,6 +1343,37 @@ def oracle_sql() -> dict[str, str]:
             FROM e a, e b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.emb, b.emb) >= 0.2
+        """,
+        "pack_sequences": """
+            WITH stream AS (
+                SELECT l_partkey,
+                       ROW_NUMBER() OVER (
+                           ORDER BY CAST(l_orderkey AS VARCHAR),
+                                    l_linenumber, l_partkey) - 1 AS gpos
+                FROM lineitem
+            )
+            SELECT CAST(gpos // 512 AS BIGINT) AS pack_id,
+                   COUNT(*) AS n_tok,
+                   CAST(SUM(l_partkey) AS BIGINT) AS token_sum,
+                   CAST(MIN(l_partkey) AS BIGINT) AS token_min,
+                   CAST(MAX(l_partkey) AS BIGINT) AS token_max
+            FROM stream GROUP BY 1
+        """,
+        "train_val_split": """
+            SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
+                        THEN 'val' ELSE 'train' END AS split,
+                   source, COUNT(*) AS n_docs
+            FROM documents
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "token_histogram": """
+            SELECT CAST(l_partkey AS BIGINT) AS token,
+                   COUNT(*) AS freq
+            FROM lineitem
+            GROUP BY 1
+            ORDER BY freq DESC, token
+            LIMIT 50
         """,
         "knn_cosine": """
             WITH e AS (SELECT vec_id,

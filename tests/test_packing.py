@@ -1,0 +1,86 @@
+"""pack_sequences / train_val_split / token_histogram (r3)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from br_archive_spark.functions.packing import (pack_sequences,
+                                                token_histogram,
+                                                train_val_split)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from br_archive_spark.datagen import token_table
+
+    return token_table(spark, 400).cache()
+
+
+def test_pack_exact_stream_cut(spark):
+    """Packing == concatenate in id order, cut every L: verified
+    against a driver-side reference on a small table."""
+    rows = [("a", [1, 2, 3]), ("b", [4]), ("c", [5, 6, 7, 8, 9]),
+            ("d", [10, 11])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = {r["pack_id"]: r["tokens"] for r in
+           pack_sequences(df, 4, num_parts=3).collect()}
+    stream = [t for _, toks in rows for t in toks]
+    expect = {i: stream[i * 4:(i + 1) * 4]
+              for i in range((len(stream) + 3) // 4)}
+    assert out == expect
+
+
+def test_pack_invariants_on_zipf_table(spark, docs):
+    L = 256
+    packs = pack_sequences(docs, L, num_parts=8).cache()
+    n_total = docs.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    got_total = packs.agg(F.sum("n_tok")).collect()[0][0]
+    assert got_total == n_total
+    sizes = sorted(r["n_tok"] for r in packs.collect())
+    # every pack is exactly L except (at most) the one tail pack
+    assert all(s == L for s in sizes[1:])
+    assert 0 < sizes[0] <= L
+    # content: token multiset is preserved
+    a = docs.select(F.explode("tokens").alias("t")).groupBy("t").count()
+    b = packs.select(F.explode("tokens").alias("t")).groupBy("t").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_deterministic_across_partitioning(spark, docs):
+    p1 = {r["pack_id"]: r["tokens"] for r in
+          pack_sequences(docs, 128, num_parts=2).collect()}
+    p2 = {r["pack_id"]: r["tokens"] for r in
+          pack_sequences(docs.repartition(13), 128,
+                         num_parts=7).collect()}
+    assert p1 == p2
+
+
+def test_pack_long_doc_straddles(spark):
+    """A doc longer than max_len splits across consecutive packs."""
+    df = spark.createDataFrame(
+        [("a", list(range(10)))], "doc_id string, tokens array<int>")
+    out = {r["pack_id"]: r["tokens"] for r in
+           pack_sequences(df, 4).collect()}
+    assert out == {0: [0, 1, 2, 3], 1: [4, 5, 6, 7], 2: [8, 9]}
+
+
+def test_train_val_split_deterministic_and_balanced(spark, docs):
+    tagged = docs.withColumn("split", train_val_split(docs))
+    counts = {r["split"]: r["count"] for r in
+              tagged.groupBy("split").count().collect()}
+    frac = counts.get("val", 0) / sum(counts.values())
+    assert 0.02 < frac < 0.25  # ~10.2% expected at cutoff "1a"
+    # pure function of the id: re-tagging agrees row for row
+    again = docs.withColumn("split", train_val_split(docs))
+    assert tagged.select("doc_id", "split").exceptAll(
+        again.select("doc_id", "split")).count() == 0
+
+
+def test_token_histogram_counts(spark):
+    df = spark.createDataFrame(
+        [("a", [1, 1, 2]), ("b", [2, 3])],
+        "doc_id string, tokens array<int>")
+    got = {r["token"]: r["freq"]
+           for r in token_histogram(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+    top1 = token_histogram(df, top_k=1).collect()
+    assert len(top1) == 1 and top1[0]["freq"] == 2
