@@ -318,6 +318,62 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("token").cast("long").alias("token")))
 
 
+def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric zone-map scan (r3): every int-backed column records
+    per-chunk vmin/vmax in the payload-free ``column_stats``;
+    ``scan_range`` prunes non-overlapping chunks BEFORE any payload
+    decode — the value-range generalization of the reference's
+    skip-without-decode (src/io/lib_bra_io_file_ctx.c:596-602), and
+    the engine-side analog of parquet row-group statistics. The table
+    is range-clustered on the probed decimal column so chunk bounds
+    are near-disjoint and a narrow band decodes O(band) chunks."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            scan_range)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"),
+        F.col("o_orderdate").cast("date").alias("o_date"))
+    clustered = (orders.repartitionByRange(8, "o_price")
+                 .sortWithinPartitions("o_price"))
+    specs = infer_specs(clustered)
+    enc = encode_table(clustered, specs=specs, mode="scan",
+                       target_values=1 << 12)
+    out = scan_range(enc, "o_price", 50_000_00, 80_000_00,
+                     specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        (F.col("o_price") * 100).cast("long").alias("price_cents"),
+        F.date_format(F.col("o_date").cast("timestamp"),
+                      "yyyy-MM-dd").alias("date_str"))
+
+
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-only aggregates (r3): COUNT/SUM/MIN/MAX answered
+    entirely from per-chunk ``column_stats`` (vmin/vmax/vsum/n_vals/
+    null_count) — zero payload bytes read, zero chunks decoded; the
+    cluster analog of the reference answering `unbra -l` from entry
+    headers alone (src/io/lib_bra_io_file_ctx.c:701-804). Values are
+    in codec-lane units (unscaled cents for the decimal column)."""
+    from br_archive_spark.operators import (agg_encoded, encode_table,
+                                            infer_specs)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"))
+    specs = infer_specs(orders)
+    enc = encode_table(orders, specs=specs, num_parts=4,
+                       target_values=1 << 13).cache()
+    parts = []
+    for col in ("o_custkey", "o_price"):
+        parts.append(agg_encoded(enc, col).select(
+            F.lit(col).alias("col"), "n_values", "n_nulls",
+            "vmin", "vmax",
+            F.col("vsum").cast("double").alias("vsum")))
+    return parts[0].unionAll(parts[1])
+
+
 def q_fsst_row_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-level random access: zone-map chunk pruning, key-column
     decode to locate rows, then PER-ROW decode of the fsst-coded text
@@ -802,6 +858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
         "range_scan": q_range_scan,
+        "numeric_range_scan": q_numeric_range_scan,
+        "agg_pushdown": q_agg_pushdown,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -959,6 +1017,36 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_orderkey AS VARCHAR) >= '20'
               AND CAST(l_orderkey AS VARCHAR) <= '2100'
+        """,
+        "numeric_range_scan": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS price_cents,
+                   strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+                       AS date_str
+            FROM orders
+            WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                       AS BIGINT) BETWEEN 5000000 AND 8000000
+        """,
+        "agg_pushdown": """
+            SELECT 'o_custkey' AS col,
+                   COUNT(o_custkey) AS n_values,
+                   COUNT(*) - COUNT(o_custkey) AS n_nulls,
+                   MIN(o_custkey) AS vmin,
+                   MAX(o_custkey) AS vmax,
+                   CAST(SUM(o_custkey) AS DOUBLE) AS vsum
+            FROM orders
+            UNION ALL
+            SELECT 'o_price' AS col,
+                   COUNT(o_totalprice) AS n_values,
+                   COUNT(*) - COUNT(o_totalprice) AS n_nulls,
+                   MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS vmin,
+                   MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS vmax,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                 * 100 AS BIGINT)) AS DOUBLE) AS vsum
+            FROM orders
         """,
         "events_sessions": """
             WITH gaps AS (

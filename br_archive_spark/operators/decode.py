@@ -254,6 +254,178 @@ def lookup_range(encoded: DataFrame, lo: str, hi: str,
     return dec.where((F.col(key) >= lo) & (F.col(key) <= hi))
 
 
+def _stats_disjoint(column: str, lo: int, hi: int):
+    """Predicate: this chunk's ``column_stats`` PROVE the chunk has no
+    value of ``column`` in ``[lo, hi]``. Null bounds (string/float
+    kinds, all-null chunks, columns missing from the encode specs)
+    never prove anything — the chunk is kept and the residual filter
+    decides (the ADVICE-r2 silent-miss rule: pruning must only ever
+    act on bounds that are known to describe the probed column)."""
+    from pyspark.sql import functions as F
+
+    return F.exists(
+        "column_stats",
+        lambda s: (s["name"] == F.lit(column))
+        & s["vmin"].isNotNull()
+        & ((s["vmin"] > F.lit(int(hi))) | (s["vmax"] < F.lit(int(lo)))))
+
+
+def _int_view(column: str, kind: str):
+    """The decoded column re-expressed in its codec-lane integer unit
+    (the unit ``column_stats`` bounds are recorded in): days for date,
+    epoch micros for timestamp, unscaled int for decimal(p,s). All
+    JVM-side expressions — the residual filter stays in codegen."""
+    from pyspark.sql import functions as F
+
+    if kind == "int":
+        return F.col(column).cast("long")
+    if kind == "date":
+        return F.unix_date(F.col(column)).cast("long")
+    if kind == "timestamp":
+        return F.unix_micros(F.col(column))
+    if kind.startswith("decimal"):
+        from .chunk import decimal_ps
+
+        _p, s = decimal_ps(kind)
+        return (F.col(column) * (10 ** s)).cast("long")
+    raise ValueError(
+        f"scan_range: column kind {kind!r} has no integer lane "
+        "(supported: int, date, timestamp, decimal(p,s))")
+
+
+def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
+               specs: list[tuple[str, str]] | None = None,
+               with_n_tok: bool = True,
+               global_dict=None) -> DataFrame:
+    """Predicate-pushdown scan: decode only the chunks whose numeric
+    zone map can contain ``lo <= column <= hi``.
+
+    The per-chunk ``column_stats`` (vmin/vmax, recorded at encode for
+    EVERY int-backed column, not just the key) play the role parquet
+    row-group statistics play for Spark scans — the reference's
+    skip-without-decode (``src/io/lib_bra_io_file_ctx.c:596-602``)
+    generalized from "skip entries by name" to "skip chunks by value
+    range". Pruned chunks never reach the decode UDF, so the dominant
+    cost (payload decompression) scales with the SELECTED range, not
+    the table; cluster the table on ``column``
+    (``repartitionByRange().sortWithinPartitions()`` before a
+    ``mode="direct"`` encode) for near-disjoint chunk bounds.
+
+    ``lo``/``hi`` are integers in the column's codec-lane unit (see
+    :func:`_int_view`); the residual filter re-checks exactly, so a
+    conservative zone map can only cost time, never rows.
+    """
+    from pyspark.sql import functions as F
+
+    from .encode import TOKEN_SPECS, _int_kind
+
+    specs = specs or TOKEN_SPECS
+    kind = dict(specs).get(column)
+    if kind is None:
+        raise ValueError(f"scan_range: {column!r} not in encode specs")
+    if not _int_kind(kind) or kind == "int_list":
+        raise ValueError(
+            f"scan_range: column {column!r} (kind {kind!r}) carries no "
+            "scalar numeric zone map")
+    pruned = encoded
+    if "column_stats" in encoded.columns:
+        pruned = encoded.where(~_stats_disjoint(column, lo, hi))
+    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+                       global_dict=global_dict)
+    return dec.where(_int_view(column, kind).between(int(lo), int(hi)))
+
+
+def scan_range_files(spark, manifest_path: str, column: str,
+                     lo: int, hi: int,
+                     specs: list[tuple[str, str]] | None = None,
+                     with_n_tok: bool = True,
+                     global_dict=None) -> DataFrame:
+    """File-skipping form of :func:`scan_range` for a parquet-backed
+    manifest — the Iceberg-style two-phase scan:
+
+    1. a metadata pass reads ONLY ``column_stats`` + the file name
+       (parquet column pruning: the payload column ``columns`` is
+       never fetched) and collects the manifest FILES holding at least
+       one chunk that can match;
+    2. the payload pass opens only those files, re-applies the
+       chunk-level prune, decodes survivors, and residual-filters.
+
+    With a range-clustered encode writing one shard per bucket
+    (``mode="range"``/``mode="direct"``), a narrow range touches
+    O(matching buckets) shard files — payload bytes of every other
+    shard are never read at all, which is what chunk-level pruning
+    alone cannot promise (a WHERE on a nested array field does not
+    reach parquet row-group stats). The surviving-file list transits
+    the driver; it is bounded by the shard count, the same scale as
+    Spark's own file index.
+    """
+    from pyspark.sql import functions as F
+
+    man = spark.read.parquet(manifest_path)
+    phase1 = (man.withColumn("_f", F.input_file_name())
+              .where(~_stats_disjoint(column, lo, hi))
+              .select("_f").distinct())
+    keep = [r[0] for r in phase1.collect()]
+    if not keep:
+        from .encode import TOKEN_SPECS
+
+        dec_schema = _decoded_spark_schema(specs or TOKEN_SPECS,
+                                           with_n_tok)
+        return spark.createDataFrame([], dec_schema)
+    enc = spark.read.parquet(*keep)
+    return scan_range(enc, column, lo, hi, specs=specs,
+                      with_n_tok=with_n_tok, global_dict=global_dict)
+
+
+def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
+    """COUNT/SUM/MIN/MAX over one numeric column answered ENTIRELY
+    from the manifest — no payload bytes read, no chunk decoded.
+
+    Returns one row ``(n_values, n_nulls, vmin, vmax, vsum)`` with SQL
+    aggregate semantics (nulls skipped; ``vmin``/``vmax``/``vsum``
+    null when no values). ``vsum`` is summed in decimal(38,0): chunk
+    sums are int64 but 10^12-sequence tables overflow a long total.
+    The whole-table ``vsum`` comes back null — never silently wrong —
+    if any chunk declined to record an exact sum (int64-overflow risk
+    at encode) or predates the stats schema; callers then fall back to
+    ``decode_table`` + agg. Values are in the codec-lane unit (days /
+    micros / unscaled decimal — :func:`_int_view`).
+
+    This is the manifest-as-index design: listing queries
+    (``compression_report``) and whole-column aggregates both resolve
+    against the payload-free ``column_stats``, the cluster analog of
+    the reference answering ``unbra -l`` from headers alone
+    (``src/io/lib_bra_io_file_ctx.c:701-804``).
+    """
+    from pyspark.sql import functions as F
+
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    per = encoded.select(
+        s["vmin"].alias("c_vmin"), s["vmax"].alias("c_vmax"),
+        s["vsum"].alias("c_vsum"), s["n_vals"].alias("c_n"),
+        s["null_count"].alias("c_nulls"))
+    # a chunk whose stats are unusable (missing entry, or values
+    # present but no exact sum) poisons only the lanes it cannot serve
+    bad_sum = F.max(F.when(F.col("c_vsum").isNull()
+                           & (F.coalesce("c_n", F.lit(-1)) != 0), 1)
+                    .otherwise(0))
+    bad_cnt = F.max(F.when(F.col("c_n").isNull(), 1).otherwise(0))
+    return per.agg(
+        F.when(bad_cnt == 1, None)
+        .otherwise(F.coalesce(F.sum("c_n"), F.lit(0)))
+        .alias("n_values"),
+        F.when(bad_cnt == 1, None)
+        .otherwise(F.coalesce(F.sum("c_nulls"), F.lit(0)))
+        .alias("n_nulls"),
+        F.min("c_vmin").alias("vmin"),
+        F.max("c_vmax").alias("vmax"),
+        F.when(bad_sum == 1, None)
+        .otherwise(F.sum(F.col("c_vsum").cast("decimal(38,0)")))
+        .alias("vsum"))
+
+
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],
                 value_col: str, key: str = "doc_id",
                 value_kind: str = "string") -> DataFrame:

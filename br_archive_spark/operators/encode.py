@@ -86,12 +86,25 @@ MANIFEST_SCHEMA = pa.schema([
     # (the reference's `unbra -l`) must be answerable without the scan
     # ever touching payload bytes — exploding `columns` defeats nested
     # schema pruning, so the stats live in their own top-level column
+    # vmin/vmax/vsum/null_count: per-chunk numeric zone map + aggregate
+    # pushdown stats for every int-backed kind (int, date, timestamp,
+    # decimal -> unscaled, int_list -> element bounds). Null vmin/vmax
+    # means "no numeric stats for this column" (string/binary/float
+    # kinds, or an all-null chunk) — consumers must treat null bounds
+    # as "may match anything" and never prune on them (the same
+    # silent-miss rule as key_col above). vsum is null when the exact
+    # chunk sum could exceed int64 (consumers fall back to decoding).
     ("column_stats", pa.list_(pa.struct([
         ("name", pa.string()),
         ("kind", pa.string()),
         ("codec", pa.string()),
         ("orig_bytes", pa.int64()),
         ("enc_bytes", pa.int64()),
+        ("vmin", pa.int64()),
+        ("vmax", pa.int64()),
+        ("vsum", pa.int64()),
+        ("n_vals", pa.int64()),
+        ("null_count", pa.int64()),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -113,7 +126,8 @@ MANIFEST_SPARK_SCHEMA = (
     "columns array<struct<name:string,kind:string,codec:string,"
     "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>, "
     "column_stats array<struct<name:string,kind:string,codec:string,"
-    "orig_bytes:long,enc_bytes:long>>, "
+    "orig_bytes:long,enc_bytes:long,"
+    "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long>>, "
     "key_col string, key_min string, key_max string"
 )
 
@@ -299,6 +313,79 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
     return tbl.num_rows
 
 
+def _int_kind(kind: str) -> bool:
+    """Kinds whose decoded values are (mapped to) integers — the kinds
+    that carry numeric zone-map/aggregate stats in ``column_stats``."""
+    return kind in ("int", "date", "timestamp", "int_list") \
+        or kind.startswith("decimal")
+
+
+def _entry_stats(kind: str, data, validity) -> dict:
+    """Per-chunk numeric stats over the NON-NULL values of one column:
+    ``{vmin, vmax, vsum, null_count}``.
+
+    * ``vmin``/``vmax``: element bounds (int64) for int-backed kinds,
+      None otherwise or when every value is null. Unit follows the
+      codec lane mapping: days for date, epoch micros for timestamp,
+      unscaled integer for decimal(p,s).
+    * ``vsum``: exact sum of the non-null values, or None when the
+      bound ``max(|vmin|,|vmax|) * n`` does not provably fit int64 —
+      a consumer that sees a null vsum with values present must decode
+      instead of trusting the manifest.
+    * ``n_vals``: how many non-null values the bounds/sum describe
+      (elements for ``int_list``, rows otherwise) — the COUNT lane of
+      aggregate pushdown. None for kinds without numeric stats.
+    * ``null_count``: null rows + null list elements (matches SQL
+      aggregate semantics, which skip nulls).
+
+    These feed :func:`~br_archive_spark.operators.decode.scan_range`
+    (chunk pruning — the reference's skip-without-decode,
+    src/io/lib_bra_io_file_ctx.c:596-602, generalized to every numeric
+    column) and ``agg_encoded`` (manifest-only SUM/MIN/MAX/COUNT).
+    ``data``/``validity`` are :func:`_extract` output — null slots in
+    ``data`` are zero-filled, so masking by validity is REQUIRED before
+    any stat (a zero-filled null must not become the chunk min).
+    """
+    null_count = 0
+    if kind == "int_list":
+        values, _lengths = data
+        mask = None
+        if validity is not None:
+            row_valid, elem_valid = validity
+            if row_valid is not None:
+                null_count += int((~row_valid).sum())
+            if elem_valid is not None:
+                null_count += int((~elem_valid).sum())
+                mask = elem_valid
+        vals = values if mask is None else values[mask]
+    elif _int_kind(kind):
+        mask = None
+        if validity is not None:
+            row_valid = validity[0]
+            if row_valid is not None:
+                null_count += int((~row_valid).sum())
+                mask = row_valid
+        vals = data if mask is None else data[mask]
+    else:
+        if validity is not None:
+            for v in validity:
+                if v is not None:
+                    null_count += int((~v).sum())
+        return {"vmin": None, "vmax": None, "vsum": None,
+                "n_vals": None, "null_count": null_count}
+    if len(vals) == 0:
+        return {"vmin": None, "vmax": None, "vsum": 0,
+                "n_vals": 0, "null_count": null_count}
+    vmin = int(vals.min())
+    vmax = int(vals.max())
+    if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
+        vsum = int(vals.sum(dtype=np.int64))
+    else:
+        vsum = None
+    return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
+            "n_vals": len(vals), "null_count": null_count}
+
+
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],
                 key: str | None = None):
     """``(key_col, min, max)`` for the zone map: the requested ``key``
@@ -340,11 +427,13 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             idx = chunk_counters.get(key, 0)
             chunk_counters[key] = idx + 1
             entries = []
+            stats = []
             for name, kind in specs:
                 data, validity = _extract(tbl, name, kind)
                 entries.append(encode_column(
                     name, kind, data, codecs, str_codecs,
                     gdict=global_dict, validity=validity))
+                stats.append(_entry_stats(kind, data, validity))
             key_bounds = _key_bounds(tbl, specs, key)
             # cover params too: codec tags, offsets streams, and the
             # null-validity bitmaps all live there — a flipped mask bit
@@ -373,9 +462,10 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 "checksum_algo": CHECKSUM_ALGO,
                 "columns": entries,
                 "column_stats": [
-                    {k: e[k] for k in ("name", "kind", "codec",
-                                       "orig_bytes", "enc_bytes")}
-                    for e in entries],
+                    {**{k: e[k] for k in ("name", "kind", "codec",
+                                          "orig_bytes", "enc_bytes")},
+                     **st}
+                    for e, st in zip(entries, stats)],
                 "key_col": key_bounds[0],
                 "key_min": key_bounds[1],
                 "key_max": key_bounds[2],

@@ -1,0 +1,241 @@
+"""Numeric zone maps + manifest-only aggregates (r3).
+
+Every int-backed column (int, date, timestamp, decimal, int_list
+elements) records per-chunk ``vmin/vmax/vsum/n_vals/null_count`` in the
+payload-free ``column_stats``; :func:`scan_range` prunes chunks with
+them before any decode (the reference's skip-without-decode,
+``src/io/lib_bra_io_file_ctx.c:596-602``, generalized to value ranges)
+and :func:`agg_encoded` answers COUNT/SUM/MIN/MAX from the manifest
+alone. Correctness rule under test: pruning may only ever skip chunks
+that PROVABLY contain no match — nulls, all-null chunks, and columns
+without stats must never cause a silent miss."""
+
+import datetime
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from br_archive_spark.operators import (agg_encoded, decode_table,
+                                        encode_table, infer_specs,
+                                        scan_range, scan_range_files)
+from br_archive_spark.operators.decode import _stats_disjoint
+
+
+def clustered_orders(spark, n: int = 4000):
+    """Deterministic orders-shaped table, range-clustered on ``price``
+    so chunk zone maps are tight and near-disjoint."""
+    df = spark.range(n).select(
+        F.col("id").alias("okey"),
+        (F.col("id") % 211).alias("ckey"),
+        ((F.col("id") * 37 % 90000 + 100) / 100.0)
+        .cast("decimal(12,2)").alias("price"),
+        F.date_add(F.lit("1992-01-01").cast("date"),
+                   (F.col("id") % 2400).cast("int")).alias("d"),
+        F.timestamp_seconds(F.col("id") * 97 % 100_000_000).alias("ts"))
+    return (df.repartitionByRange(4, "price")
+            .sortWithinPartitions("price"))
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    src = clustered_orders(spark)
+    specs = infer_specs(src)
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=500).cache()
+    enc.count()
+    yield src, specs, enc
+    enc.unpersist()
+
+
+def test_scan_range_prunes_and_matches(spark, encoded):
+    src, specs, enc = encoded
+    lo, hi = 200_00, 300_00  # price cents
+    total = enc.count()
+    surviving = enc.where(~_stats_disjoint("price", lo, hi)).count()
+    # range-clustered chunks: the narrow band must prune most chunks
+    assert surviving < total / 2, (surviving, total)
+    got = sorted(
+        (r["okey"], str(r["price"]))
+        for r in scan_range(enc, "price", lo, hi, specs=specs,
+                            with_n_tok=False).collect())
+    exp = sorted(
+        (r["okey"], str(r["price"]))
+        for r in src.where(
+            (F.col("price") * 100).cast("long").between(lo, hi))
+        .collect())
+    assert got == exp and len(got) > 0
+
+
+def test_scan_range_date_and_timestamp(spark, encoded):
+    src, specs, enc = encoded
+    epoch = datetime.date(1970, 1, 1)
+    lo = (datetime.date(1995, 1, 1) - epoch).days
+    hi = (datetime.date(1995, 12, 31) - epoch).days
+    got = scan_range(enc, "d", lo, hi, specs=specs,
+                     with_n_tok=False).count()
+    exp = src.where(F.col("d").between("1995-01-01",
+                                       "1995-12-31")).count()
+    assert got == exp > 0
+
+    lo_us, hi_us = 50_000 * 10**6, 200_000 * 10**6
+    got = scan_range(enc, "ts", lo_us, hi_us, specs=specs,
+                     with_n_tok=False).count()
+    exp = src.where(F.unix_micros("ts").between(lo_us, hi_us)).count()
+    assert got == exp > 0
+
+
+def test_scan_range_rejects_statless_columns(spark, encoded):
+    _src, specs, enc = encoded
+    with pytest.raises(ValueError, match="not in encode specs"):
+        scan_range(enc, "nope", 0, 1, specs=specs)
+    df = spark.range(5).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"))
+    e2 = encode_table(df, specs=[("doc_id", "string"),
+                                 ("tokens", "int_list")], mode="scan")
+    with pytest.raises(ValueError, match="no scalar numeric"):
+        scan_range(e2, "tokens", 0, 1,
+                   specs=[("doc_id", "string"), ("tokens", "int_list")])
+
+
+def test_nulls_never_cause_silent_miss(spark):
+    """Chunks mixing nulls and values keep exact results; an all-null
+    chunk has null bounds and must be KEPT by pruning (then dropped by
+    the residual filter), not skipped by a bogus zero bound."""
+    df = spark.range(3000).select(
+        F.col("id").alias("okey"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id") % 500).alias("v"))
+    # chunks cut at partition/batch granularity: 8 range partitions of
+    # ~375 rows each, and okey<700 nulled, makes partition 0 (okeys
+    # ~0..375) — hence its chunk — ENTIRELY null
+    df = df.withColumn(
+        "v", F.when(F.col("okey") < 700, None).otherwise(F.col("v")))
+    df = df.repartitionByRange(8, "okey").sortWithinPartitions("okey")
+    specs = [("okey", "int"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="scan",
+                       target_values=400).cache()
+    got = sorted(r["okey"] for r in
+                 scan_range(enc, "v", 100, 200, specs=specs,
+                            with_n_tok=False).collect())
+    exp = sorted(r["okey"] for r in
+                 df.where(F.col("v").between(100, 200)).collect())
+    assert got == exp and len(got) > 0
+    # the all-null early chunks exist and carry null bounds
+    stats = enc.selectExpr(
+        "explode(column_stats) s").selectExpr(
+        "s.name name", "s.vmin vmin", "s.n_vals n", "s.null_count nc") \
+        .where("name = 'v'").collect()
+    assert any(r["vmin"] is None and r["n"] == 0 and r["nc"] > 0
+               for r in stats)
+    enc.unpersist()
+
+
+def test_agg_encoded_matches_decode(spark, encoded):
+    src, specs, enc = encoded
+    row = agg_encoded(enc, "ckey").collect()[0]
+    truth = src.agg(F.count("ckey"), F.sum("ckey"), F.min("ckey"),
+                    F.max("ckey")).collect()[0]
+    assert (row["n_values"], int(row["vsum"]), row["vmin"],
+            row["vmax"]) == tuple(truth)
+    assert row["n_nulls"] == 0
+
+
+def test_agg_encoded_int_list_elements(spark):
+    df = spark.range(1000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), (F.col("id") % 7 + 1).cast("int")),
+            lambda x: F.when(x % 5 == 0, None)
+            .otherwise((x * 13 + F.col("id")).cast("int"))
+        ).alias("tokens"))
+    specs = [("doc_id", "string"), ("tokens", "int_list")]
+    enc = encode_table(df, specs=specs, mode="scan", target_values=600)
+    row = agg_encoded(enc, "tokens").collect()[0]
+    truth = (df.select(F.explode("tokens").alias("t"))
+             .agg(F.count("t"), F.sum("t"), F.min("t"), F.max("t"),
+                  F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)))
+             .collect()[0])
+    assert (row["n_values"], int(row["vsum"]), row["vmin"],
+            row["vmax"]) == (truth[0], truth[1], truth[2], truth[3])
+    exploded_nulls = (df.select(F.explode("tokens").alias("t"))
+                      .where(F.col("t").isNull()).count())
+    assert row["n_nulls"] == exploded_nulls > 0
+
+
+def test_agg_encoded_overflow_sum_goes_null_not_wrong(spark):
+    """Values big enough that chunk_sum*n cannot be PROVEN to fit
+    int64: vsum must come back null (decode fallback signal), never a
+    wrapped number. Bounds and count still serve."""
+    big = 1 << 61
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.lit(big) + F.col("id")).alias("v"))
+    specs = [("doc_id", "string"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="scan")
+    row = agg_encoded(enc, "v").collect()[0]
+    assert row["vsum"] is None
+    assert row["n_values"] == 100
+    assert row["vmin"] == big and row["vmax"] == big + 99
+
+
+def test_agg_encoded_statless_column_all_null(spark, encoded):
+    """A string column has no numeric stats: every lane must be null
+    (unknown), not zero (wrong)."""
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("id").alias("v"))
+    specs = [("doc_id", "string"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="scan")
+    row = agg_encoded(enc, "doc_id").collect()[0]
+    assert all(row[k] is None
+               for k in ("n_values", "vmin", "vmax", "vsum"))
+
+
+def test_scan_range_files_skips_files(spark, tmp_path):
+    src = clustered_orders(spark, 4000)
+    specs = infer_specs(src)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=specs, mode="scan", target_values=500) \
+        .write.parquet(man_dir)
+    lo, hi = 200_00, 300_00
+    # phase-1 metadata pass must keep a strict subset of shard files
+    man = spark.read.parquet(man_dir)
+    all_files = man.select(F.input_file_name()).distinct().count()
+    kept = (man.withColumn("_f", F.input_file_name())
+            .where(~_stats_disjoint("price", lo, hi))
+            .select("_f").distinct().count())
+    assert 0 < kept < all_files, (kept, all_files)
+    got = sorted(r["okey"] for r in
+                 scan_range_files(spark, man_dir, "price", lo, hi,
+                                  specs=specs,
+                                  with_n_tok=False).collect())
+    exp = sorted(r["okey"] for r in src.where(
+        (F.col("price") * 100).cast("long").between(lo, hi)).collect())
+    assert got == exp and len(got) > 0
+    shutil.rmtree(man_dir, ignore_errors=True)
+
+
+def test_metadata_pass_never_reads_payload(spark, tmp_path):
+    """Plan lock: the pruning predicate reads column_stats only — the
+    parquet scan's ReadSchema must not include the payload-bearing
+    ``columns`` field, so a 100 TB manifest's metadata pass moves
+    manifest-metadata bytes, not payload bytes."""
+    src = clustered_orders(spark, 1000)
+    specs = infer_specs(src)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=specs, mode="scan", target_values=500) \
+        .write.parquet(man_dir)
+    man = spark.read.parquet(man_dir)
+    phase1 = (man.withColumn("_f", F.input_file_name())
+              .where(~_stats_disjoint("price", 0, 1))
+              .select("_f").distinct())
+    plan = phase1._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m is not None
+    assert "column_stats" in m.group(1)
+    assert "columns" not in m.group(1).replace("column_stats", "")
+    shutil.rmtree(man_dir, ignore_errors=True)
