@@ -172,6 +172,50 @@ def cmd_lookup(args) -> int:
     return 0 if not missing else 1
 
 
+def cmd_scan(args) -> int:
+    """Numeric range scan — decode only the chunks whose zone map
+    (``column_stats.vmin/vmax``) can contain [lo, hi]; bounds are in
+    the column's codec-lane unit (cents for decimal(.,2), days for
+    date, epoch micros for timestamp). Specs come from the manifest
+    itself (``manifest_specs``); prints prune stats + matching rows."""
+    from .operators.decode import (_stats_disjoint, manifest_specs,
+                                   scan_range)
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    specs = manifest_specs(man)
+    total = man.count()
+    surviving = man.where(
+        ~_stats_disjoint(args.column, args.lo, args.hi)).count()
+    rows = scan_range(man, args.column, args.lo, args.hi, specs=specs,
+                      with_n_tok=False,
+                      global_dict=_load_gdict(args.global_dict))
+    n = rows.count()
+    out = {"column": args.column, "lo": args.lo, "hi": args.hi,
+           "chunks_total": total, "chunks_decoded": surviving,
+           "rows": n}
+    if args.show:
+        out["sample"] = [r.asDict() for r in rows.limit(args.show)
+                         .collect()]
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def cmd_agg(args) -> int:
+    """COUNT/SUM/MIN/MAX over one numeric column answered from the
+    manifest alone — no payload read, no chunk decoded (`unbra -l`
+    generalized to value aggregates). A null vsum with values present
+    means the exact sum could overflow int64: decode to aggregate."""
+    from .operators.decode import agg_encoded
+
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    row = agg_encoded(man, args.column).collect()[0]
+    print(json.dumps({"column": args.column, **row.asDict()},
+                     default=str))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .operators.compact import compact_manifest
 
@@ -264,6 +308,24 @@ def main(argv: list[str] | None = None) -> int:
                         "(zone-map-pruned range scan)")
     p.add_argument("--global-dict", default=None)
     p.set_defaults(fn=cmd_lookup)
+
+    p = sub.add_parser("scan",
+                       help="zone-map-pruned numeric range scan")
+    p.add_argument("input")
+    p.add_argument("--column", required=True)
+    p.add_argument("--lo", type=int, required=True,
+                   help="lower bound, codec-lane units (cents/days/us)")
+    p.add_argument("--hi", type=int, required=True)
+    p.add_argument("--show", type=int, default=0, metavar="N",
+                   help="include N sample rows in the output")
+    p.add_argument("--global-dict", default=None)
+    p.set_defaults(fn=cmd_scan)
+
+    p = sub.add_parser("agg",
+                       help="COUNT/SUM/MIN/MAX from the manifest only")
+    p.add_argument("input")
+    p.add_argument("--column", required=True)
+    p.set_defaults(fn=cmd_agg)
 
     p = sub.add_parser("compact",
                        help="merge small manifest shards (no re-encode)")

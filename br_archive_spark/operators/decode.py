@@ -254,6 +254,20 @@ def lookup_range(encoded: DataFrame, lo: str, hi: str,
     return dec.where((F.col(key) >= lo) & (F.col(key) <= hi))
 
 
+def manifest_specs(encoded: DataFrame) -> list[tuple[str, str]]:
+    """Recover the encode specs ``[(name, kind), ...]`` from a
+    manifest's own ``column_stats`` (every chunk records name+kind per
+    column), so consumers — the CLI above all — can decode or scan a
+    manifest without being told the schema out-of-band. One driver-side
+    ``first()`` on the payload-free stats column; chunk layout is
+    uniform across a manifest by construction (one encode job, one
+    spec list)."""
+    row = encoded.select("column_stats").first()
+    if row is None or not row[0]:
+        raise ValueError("manifest_specs: empty manifest")
+    return [(s["name"], s["kind"]) for s in row[0]]
+
+
 def _stats_disjoint(column: str, lo: int, hi: int):
     """Predicate: this chunk's ``column_stats`` PROVE the chunk has no
     value of ``column`` in ``[lo, hi]``. Null bounds (string/float

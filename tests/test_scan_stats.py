@@ -217,6 +217,60 @@ def test_scan_range_files_skips_files(spark, tmp_path):
     shutil.rmtree(man_dir, ignore_errors=True)
 
 
+def test_manifest_specs_roundtrip(spark, encoded):
+    """Specs are recoverable from the manifest itself — no out-of-band
+    schema needed to decode or scan (the CLI relies on this)."""
+    from br_archive_spark.operators import manifest_specs
+
+    _src, specs, enc = encoded
+    assert manifest_specs(enc) == list(specs)
+
+
+def test_decode_projection_subset_specs(spark, encoded):
+    """Column-pruned decode: passing a subset of specs decodes ONLY
+    those columns' payloads (each manifest entry is independently
+    coded), the decode-side analog of parquet column projection."""
+    src, specs, enc = encoded
+    sub = [s for s in specs if s[0] in ("okey", "d")]
+    got = decode_table(enc, specs=sub, with_n_tok=False)
+    assert [f.name for f in got.schema.fields] == ["okey", "d"]
+    assert (sorted((r["okey"], str(r["d"])) for r in got.collect())
+            == sorted((r["okey"], str(r["d"]))
+                      for r in src.select("okey", "d").collect()))
+
+
+def test_cli_scan_and_agg(spark, tmp_path, capsys):
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_agg, cmd_scan
+
+    src = clustered_orders(spark, 2000)
+    specs = infer_specs(src)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=specs, mode="scan",
+                 target_values=300).write.parquet(man_dir)
+    args = Namespace(input=man_dir, column="price", lo=200_00,
+                     hi=300_00, show=2, global_dict=None,
+                     master="local[2]", shuffle_partitions=4)
+    assert cmd_scan(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    exp = src.where((F.col("price") * 100).cast("long")
+                    .between(200_00, 300_00)).count()
+    assert out["rows"] == exp > 0
+    assert out["chunks_decoded"] < out["chunks_total"]
+    assert len(out["sample"]) == 2
+
+    args = Namespace(input=man_dir, column="ckey", master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_agg(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    truth = src.agg(F.count("ckey"), F.sum("ckey"), F.min("ckey"),
+                    F.max("ckey")).collect()[0]
+    assert (out["n_values"], int(out["vsum"]), out["vmin"],
+            out["vmax"]) == tuple(truth)
+
+
 def test_metadata_pass_never_reads_payload(spark, tmp_path):
     """Plan lock: the pruning predicate reads column_stats only — the
     parquet scan's ReadSchema must not include the payload-bearing
