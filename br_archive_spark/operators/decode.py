@@ -310,7 +310,8 @@ def _int_view(column: str, kind: str):
 def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
                specs: list[tuple[str, str]] | None = None,
                with_n_tok: bool = True,
-               global_dict=None) -> DataFrame:
+               global_dict=None,
+               project: list[str] | None = None) -> DataFrame:
     """Predicate-pushdown scan: decode only the chunks whose numeric
     zone map can contain ``lo <= column <= hi``.
 
@@ -328,6 +329,12 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
     ``lo``/``hi`` are integers in the column's codec-lane unit (see
     :func:`_int_view`); the residual filter re-checks exactly, so a
     conservative zone map can only cost time, never rows.
+
+    ``project`` limits the decode to the named columns (each manifest
+    entry is independently coded, so unprojected payloads are never
+    parsed — the decode-side analog of parquet column projection); the
+    probed ``column`` is always decoded for the residual filter and
+    dropped from the output unless projected.
     """
     from pyspark.sql import functions as F
 
@@ -341,12 +348,25 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
         raise ValueError(
             f"scan_range: column {column!r} (kind {kind!r}) carries no "
             "scalar numeric zone map")
+    dec_specs = specs
+    if project is not None:
+        missing = set(project) - {n for n, _ in specs}
+        if missing:
+            raise ValueError(
+                f"scan_range: projected columns {sorted(missing)} not "
+                "in encode specs")
+        dec_specs = [s for s in specs
+                     if s[0] in project or s[0] == column]
     pruned = encoded
     if "column_stats" in encoded.columns:
         pruned = encoded.where(~_stats_disjoint(column, lo, hi))
-    dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+    dec = decode_table(pruned, specs=dec_specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
-    return dec.where(_int_view(column, kind).between(int(lo), int(hi)))
+    out = dec.where(_int_view(column, kind).between(int(lo), int(hi)))
+    if project is not None:
+        out = out.select(*[n for n, _ in dec_specs if n in project]
+                         + (["n_tok"] if with_n_tok else []))
+    return out
 
 
 def scan_range_files(spark, manifest_path: str, column: str,

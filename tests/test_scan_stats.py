@@ -239,6 +239,22 @@ def test_decode_projection_subset_specs(spark, encoded):
                       for r in src.select("okey", "d").collect()))
 
 
+def test_scan_range_projection(spark, encoded):
+    """`project=` decodes only the named columns (plus the probed one
+    for the residual filter, dropped unless projected)."""
+    src, specs, enc = encoded
+    lo, hi = 200_00, 300_00
+    got = scan_range(enc, "price", lo, hi, specs=specs,
+                     with_n_tok=False, project=["okey"])
+    assert [f.name for f in got.schema.fields] == ["okey"]
+    exp = sorted(r["okey"] for r in src.where(
+        (F.col("price") * 100).cast("long").between(lo, hi)).collect())
+    assert sorted(r["okey"] for r in got.collect()) == exp
+    with pytest.raises(ValueError, match="not in encode specs"):
+        scan_range(enc, "price", lo, hi, specs=specs,
+                   project=["nope"])
+
+
 def test_cli_scan_and_agg(spark, tmp_path, capsys):
     import json
     from argparse import Namespace
