@@ -287,6 +287,65 @@ def test_cli_scan_and_agg(spark, tmp_path, capsys):
             out["vmax"]) == tuple(truth)
 
 
+# ---- hypothesis fuzz of the stats lane (no Spark; pure kernel) ----
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _stats_of(kind, values):
+    import pyarrow as pa
+
+    from br_archive_spark.operators.encode import _entry_stats, _extract
+
+    atype = {"int": pa.int64(),
+             "int_list": pa.list_(pa.int32())}[kind]
+    tbl = pa.table({"c": pa.array(values, type=atype)})
+    data, validity = _extract(tbl, "c", kind)
+    return _entry_stats(kind, data, validity)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.integers(-(2 ** 63), 2 ** 63 - 1)),
+                max_size=40))
+def test_fuzz_int_stats_match_ground_truth(xs):
+    s = _stats_of("int", xs)
+    vals = [x for x in xs if x is not None]
+    assert s["null_count"] == len(xs) - len(vals)
+    assert s["n_vals"] == len(vals)
+    if not vals:
+        assert s["vmin"] is None and s["vmax"] is None
+        assert s["vsum"] == 0
+        return
+    assert s["vmin"] == min(vals) and s["vmax"] == max(vals)
+    # vsum is either the EXACT sum or declined (None) — never wrong
+    if s["vsum"] is not None:
+        assert s["vsum"] == sum(vals)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(),
+                       st.integers(-(2 ** 31), 2 ** 31 - 1)),
+             max_size=8)), max_size=25))
+def test_fuzz_int_list_stats_match_ground_truth(xs):
+    s = _stats_of("int_list", xs)
+    elems = [e for row in xs if row is not None for e in row]
+    vals = [e for e in elems if e is not None]
+    null_rows = sum(1 for row in xs if row is None)
+    null_elems = len(elems) - len(vals)
+    assert s["null_count"] == null_rows + null_elems
+    assert s["n_vals"] == len(vals)
+    if vals:
+        assert s["vmin"] == min(vals) and s["vmax"] == max(vals)
+        if s["vsum"] is not None:
+            assert s["vsum"] == sum(vals)
+    else:
+        assert s["vmin"] is None and s["vmax"] is None
+
+
 def test_metadata_pass_never_reads_payload(spark, tmp_path):
     """Plan lock: the pruning predicate reads column_stats only — the
     parquet scan's ReadSchema must not include the payload-bearing
