@@ -820,18 +820,24 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: text → opaque binary payload → Arrow-batched
-    feature extraction (deterministic fake embedder) → feature norm.
-    Rows-only (fake features are engine-internal)."""
+    feature extraction (deterministic fake embedder: sha256 → uint32
+    grid, functions/multimodal.py::_fake_features) → per-position
+    feature values in exact integer millis. Value-checked (r3): the
+    fake embedder is reproduced in the DuckDB oracle via sha256() +
+    hex arithmetic, so the whole mapInPandas plumbing — batching,
+    Arrow binary transfer, list-column emit, explode — is hash-compared
+    position by position, not just row-counted."""
     from br_archive_spark.functions.multimodal import extract_features
 
     docs = (_read(spark, sf_dir, "documents")
             .select(F.col("doc_id").cast("string").alias("doc_id"),
                     F.encode("text", "utf-8").alias("payload")))
     feats = extract_features(docs, dim=16)
-    return feats.select(
-        "doc_id",
-        F.round(F.aggregate("features", F.lit(0.0),
-                            lambda a, x: a + x * x), 4).alias("sq_norm"))
+    return (feats.select(
+        "doc_id", F.posexplode("features").alias("pos", "f"))
+        .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                F.round(F.col("f").cast("double") * 1000)
+                .cast("int").alias("mill")))
 
 
 # --------------------------------------------------------------------
@@ -1462,6 +1468,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY freq DESC, token
             LIMIT 50
+        """,
+        # the deterministic fake embedder (sha256 digest repeated to
+        # 64 bytes, read as 16 little-endian uint32s, mod 1000)
+        # reproduced in SQL: hex-pair arithmetic over sha256(text).
+        # sha256(VARCHAR) hashes the UTF-8 bytes — identical input to
+        # the Spark side's encode(text,'utf-8') payload.
+        "multimodal_features": """
+            WITH hx AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       repeat(sha256(text), 2) AS hh
+                FROM documents
+            )
+            SELECT doc_id, CAST(g.i AS INT) AS pos,
+                   CAST((
+                     (strpos('0123456789abcdef',
+                             substr(hh, 8*g.i+1, 1))-1)*16
+                   + (strpos('0123456789abcdef',
+                             substr(hh, 8*g.i+2, 1))-1)
+                   + ((strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+3, 1))-1)*16
+                    + (strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+4, 1))-1)) * 256
+                   + ((strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+5, 1))-1)*16
+                    + (strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+6, 1))-1)) * 65536
+                   + ((strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+7, 1))-1)*16
+                    + (strpos('0123456789abcdef',
+                              substr(hh, 8*g.i+8, 1))-1))
+                     * CAST(16777216 AS BIGINT)
+                   ) % 1000 AS INT) AS mill
+            FROM hx, generate_series(0, 15) AS g(i)
         """,
         "knn_cosine": """
             WITH e AS (SELECT vec_id,

@@ -3,7 +3,7 @@ from .compact import compact_manifest
 from .decode import (ChecksumError, agg_encoded, decode_files,
                      decode_table, lookup_docs, lookup_range,
                      lookup_rows, manifest_specs, scan_range,
-                     scan_range_files)
+                     scan_range_files, scan_where)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .verify import (compression_report, table_checksum,
@@ -14,7 +14,8 @@ __all__ = [
     "encode_table", "encode_files", "decode_table", "decode_files",
     "infer_specs",
     "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
-    "scan_range", "scan_range_files", "agg_encoded", "manifest_specs",
+    "scan_range", "scan_range_files", "scan_where", "agg_encoded",
+    "manifest_specs",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

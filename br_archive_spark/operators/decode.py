@@ -348,21 +348,66 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
         raise ValueError(
             f"scan_range: column {column!r} (kind {kind!r}) carries no "
             "scalar numeric zone map")
+    return scan_where(encoded, [(column, int(lo), int(hi))],
+                      specs=specs, with_n_tok=with_n_tok,
+                      global_dict=global_dict, project=project)
+
+
+def scan_where(encoded: DataFrame,
+               bands: list[tuple[str, int, int]],
+               specs: list[tuple[str, str]] | None = None,
+               with_n_tok: bool = True,
+               global_dict=None,
+               project: list[str] | None = None) -> DataFrame:
+    """Conjunctive range scan: ``AND`` of ``lo <= col <= hi`` bands.
+
+    Each band prunes independently — a chunk is skipped when ANY
+    band's zone map proves it empty (disjunction of disjointness ⇒
+    conjunction unsatisfiable), so selectivity compounds across
+    columns exactly as parquet row-group stats do for multi-predicate
+    scans. The residual filter re-applies every band JVM-side. Same
+    unit/null/projection rules as :func:`scan_range` (a single-band
+    call is identical to it)."""
+    from pyspark.sql import functions as F
+
+    from .encode import TOKEN_SPECS, _int_kind
+
+    if not bands:
+        raise ValueError("scan_where: at least one band required")
+    specs = specs or TOKEN_SPECS
+    kinds = dict(specs)
+    for column, _lo, _hi in bands:
+        kind = kinds.get(column)
+        if kind is None:
+            raise ValueError(
+                f"scan_where: {column!r} not in encode specs")
+        if not _int_kind(kind) or kind == "int_list":
+            raise ValueError(
+                f"scan_where: column {column!r} (kind {kind!r}) "
+                "carries no scalar numeric zone map")
     dec_specs = specs
     if project is not None:
         missing = set(project) - {n for n, _ in specs}
         if missing:
             raise ValueError(
-                f"scan_range: projected columns {sorted(missing)} not "
+                f"scan_where: projected columns {sorted(missing)} not "
                 "in encode specs")
-        dec_specs = [s for s in specs
-                     if s[0] in project or s[0] == column]
+        need = set(project) | {c for c, _, _ in bands}
+        dec_specs = [s for s in specs if s[0] in need]
     pruned = encoded
     if "column_stats" in encoded.columns:
-        pruned = encoded.where(~_stats_disjoint(column, lo, hi))
+        drop = None
+        for column, lo, hi in bands:
+            d = _stats_disjoint(column, lo, hi)
+            drop = d if drop is None else (drop | d)
+        pruned = encoded.where(~drop)
     dec = decode_table(pruned, specs=dec_specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
-    out = dec.where(_int_view(column, kind).between(int(lo), int(hi)))
+    cond = None
+    for column, lo, hi in bands:
+        c = _int_view(column, kinds[column]).between(int(lo), int(hi))
+        cond = c if cond is None else (cond & c)
+    out = dec.where(cond)
     if project is not None:
         out = out.select(*[n for n, _ in dec_specs if n in project]
                          + (["n_tok"] if with_n_tok else []))

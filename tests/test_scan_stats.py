@@ -239,6 +239,27 @@ def test_decode_projection_subset_specs(spark, encoded):
                       for r in src.select("okey", "d").collect()))
 
 
+def test_scan_where_conjunction(spark, encoded):
+    """Multi-band AND: each band prunes independently and the residual
+    filter applies all bands; exact vs a plain DataFrame filter."""
+    from br_archive_spark.operators import scan_where
+
+    src, specs, enc = encoded
+    epoch = datetime.date(1970, 1, 1)
+    d_lo = (datetime.date(1993, 1, 1) - epoch).days
+    d_hi = (datetime.date(1997, 12, 31) - epoch).days
+    bands = [("price", 150_00, 500_00), ("d", d_lo, d_hi)]
+    got = sorted(r["okey"] for r in
+                 scan_where(enc, bands, specs=specs, with_n_tok=False,
+                            project=["okey"]).collect())
+    exp = sorted(r["okey"] for r in src.where(
+        (F.col("price") * 100).cast("long").between(150_00, 500_00)
+        & F.col("d").between("1993-01-01", "1997-12-31")).collect())
+    assert got == exp and len(got) > 0
+    with pytest.raises(ValueError, match="at least one band"):
+        scan_where(enc, [], specs=specs)
+
+
 def test_scan_range_projection(spark, encoded):
     """`project=` decodes only the named columns (plus the probed one
     for the residual filter, dropped unless projected)."""
