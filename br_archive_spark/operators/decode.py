@@ -268,6 +268,17 @@ def manifest_specs(encoded: DataFrame) -> list[tuple[str, str]]:
     return [(s["name"], s["kind"]) for s in row[0]]
 
 
+def _has_numeric_stats(encoded: DataFrame) -> bool:
+    """Whether this manifest's ``column_stats`` schema carries the r3
+    numeric lanes (vmin/vmax/...). Manifests written by earlier builds
+    lack the fields entirely — consumers must degrade (no pruning /
+    clear error), not throw an unresolved-column AnalysisException."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "vmin" in elem.fieldNames()
+
+
 def _stats_disjoint(column: str, lo: int, hi: int):
     """Predicate: this chunk's ``column_stats`` PROVE the chunk has no
     value of ``column`` in ``[lo, hi]``. Null bounds (string/float
@@ -395,7 +406,7 @@ def scan_where(encoded: DataFrame,
         need = set(project) | {c for c, _, _ in bands}
         dec_specs = [s for s in specs if s[0] in need]
     pruned = encoded
-    if "column_stats" in encoded.columns:
+    if _has_numeric_stats(encoded):
         drop = None
         for column, lo, hi in bands:
             d = _stats_disjoint(column, lo, hi)
@@ -441,6 +452,12 @@ def scan_range_files(spark, manifest_path: str, column: str,
     from pyspark.sql import functions as F
 
     man = spark.read.parquet(manifest_path)
+    if not _has_numeric_stats(man):
+        # pre-stats manifest: no file skipping possible; fall through
+        # to the (prune-free) chunk scan rather than miss rows
+        return scan_range(man, column, lo, hi, specs=specs,
+                          with_n_tok=with_n_tok,
+                          global_dict=global_dict)
     phase1 = (man.withColumn("_f", F.input_file_name())
               .where(~_stats_disjoint(column, lo, hi))
               .select("_f").distinct())
@@ -478,6 +495,11 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    if not _has_numeric_stats(encoded):
+        raise ValueError(
+            "agg_encoded: manifest predates numeric column_stats "
+            "(no vmin/vmax lanes) — decode_table + agg instead, or "
+            "re-encode")
     s = F.element_at(
         F.filter("column_stats",
                  lambda c: c["name"] == F.lit(column)), 1)

@@ -308,6 +308,29 @@ def test_cli_scan_and_agg(spark, tmp_path, capsys):
             out["vmax"]) == tuple(truth)
 
 
+def test_pre_stats_manifest_degrades_not_breaks(spark):
+    """A manifest written before the numeric-stats schema (column_stats
+    without vmin/... lanes) must still scan correctly — no pruning, no
+    AnalysisException — and agg_encoded must refuse with a clear error
+    rather than resolve nothing."""
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("id").alias("v"))
+    specs = [("doc_id", "string"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="scan")
+    # strip the r3 lanes to simulate the old schema
+    old = enc.withColumn(
+        "column_stats",
+        F.expr("transform(column_stats, s -> struct("
+               "s.name as name, s.kind as kind, s.codec as codec, "
+               "s.orig_bytes as orig_bytes, s.enc_bytes as enc_bytes))"))
+    got = scan_range(old, "v", 100, 200, specs=specs,
+                     with_n_tok=False).count()
+    assert got == 101
+    with pytest.raises(ValueError, match="predates numeric"):
+        agg_encoded(old, "v")
+
+
 # ---- hypothesis fuzz of the stats lane (no Spark; pure kernel) ----
 
 from hypothesis import given, settings  # noqa: E402
