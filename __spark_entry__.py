@@ -318,6 +318,36 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("token").cast("long").alias("token")))
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP + RENAME COLUMN on an encoded manifest without re-encoding
+    (operators/evolve.py, r3): encode (doc_id, tokens, source), drop
+    `source` (metadata + checksum rewrite only — surviving payload
+    bytes untouched), rename `tokens`→`toks`, then decode WITH checksum
+    verification under the evolved schema. The oracle is the identity
+    SELECT: any corruption introduced by the evolution ops breaks the
+    value hash. The reference cannot express this — removing an archive
+    member means rewriting the archive (lib_bra_io_file_meta_entries.c);
+    chunk-granular entries make it O(metadata) here."""
+    from br_archive_spark.operators import (decode_table, drop_columns,
+                                            encode_table, rename_column)
+
+    tok = _lineitem_token_table(spark, sf_dir).withColumn(
+        "source", F.lit("lineitem"))
+    specs = [("doc_id", "string"), ("tokens", "int_list"),
+             ("source", "string")]
+    enc = encode_table(tok, specs=specs, num_parts=8,
+                       target_values=1 << 18)
+    evolved = rename_column(drop_columns(enc, ["source"]),
+                            "tokens", "toks")
+    dec = decode_table(evolved, specs=[("doc_id", "string"),
+                                       ("toks", "int_list")],
+                       verify_checksums=True)
+    return (dec.select("doc_id", F.posexplode("toks")
+                       .alias("pos", "token"))
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("long").alias("token")))
+
+
 def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric zone-map scan (r3): every int-backed column records
     per-chunk vmin/vmax in the payload-free ``column_stats``;
@@ -866,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan": q_range_scan,
         "numeric_range_scan": q_numeric_range_scan,
         "agg_pushdown": q_agg_pushdown,
+        "schema_evolution": q_schema_evolution,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1023,6 +1054,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_orderkey AS VARCHAR) >= '20'
               AND CAST(l_orderkey AS VARCHAR) <= '2100'
+        """,
+        "schema_evolution": """
+            SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                           ORDER BY l_linenumber,
+                                                    l_partkey) - 1
+                        AS INT) AS pos,
+                   CAST(l_partkey AS BIGINT) AS token
+            FROM lineitem
         """,
         "numeric_range_scan": """
             SELECT o_orderkey, o_custkey,

@@ -216,6 +216,38 @@ def cmd_agg(args) -> int:
     return 0
 
 
+def cmd_evolve(args) -> int:
+    """DROP/RENAME COLUMN on an encoded manifest without re-encoding:
+    drop rewrites metadata + chunk checksum only (surviving payloads
+    bit-identical); rename is pure metadata (checksum unchanged)."""
+    from .operators.evolve import drop_columns, rename_column
+
+    if not args.drop and not args.rename:
+        print(json.dumps({"error": "nothing to do: pass --drop and/or "
+                                   "--rename OLD=NEW"}))
+        return 1
+    spark = _spark(args)
+    man = spark.read.parquet(args.input)
+    if args.drop:
+        man = drop_columns(man, args.drop)
+    for spec in args.rename or []:
+        old, _, new = spec.partition("=")
+        if not new:
+            print(json.dumps({"error": f"--rename {spec!r}: "
+                                       "expected OLD=NEW"}))
+            return 1
+        man = rename_column(man, old, new)
+    man.write.mode("errorifexists").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    from .operators.decode import manifest_specs
+
+    print(json.dumps({"chunks": out.count(),
+                      "columns": [n for n, _ in manifest_specs(out)],
+                      "dropped": args.drop,
+                      "renamed": args.rename or []}))
+    return 0
+
+
 def cmd_compact(args) -> int:
     from .operators.compact import compact_manifest
 
@@ -326,6 +358,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("input")
     p.add_argument("--column", required=True)
     p.set_defaults(fn=cmd_agg)
+
+    p = sub.add_parser("evolve",
+                       help="drop/rename columns without re-encoding")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--drop", nargs="*", default=[], metavar="COL")
+    p.add_argument("--rename", nargs="*", default=[],
+                   metavar="OLD=NEW")
+    p.set_defaults(fn=cmd_evolve)
 
     p = sub.add_parser("compact",
                        help="merge small manifest shards (no re-encode)")

@@ -1,0 +1,146 @@
+"""Schema evolution on encoded manifests (operators/evolve.py).
+
+DROP COLUMN rewrites only metadata + checksum (surviving payload bytes
+are untouched — asserted bit-for-bit); RENAME COLUMN is metadata-only
+(checksum unchanged, pure JVM transform). Decode-time checksum
+verification must keep passing after either operation, and lookups
+must not prune on a dropped zone-map column.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from br_archive_spark.operators import (agg_encoded, decode_table,
+                                        drop_columns, encode_table,
+                                        infer_specs, manifest_specs,
+                                        rename_column, scan_range)
+
+
+def _table(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("id").alias("v"),
+        (F.col("id") % 97).alias("w"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"))
+
+
+@pytest.fixture(scope="module")
+def encoded(spark):
+    src = _table(spark)
+    specs = infer_specs(src)
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=400, key="doc_id").cache()
+    enc.count()
+    yield src, specs, enc
+    enc.unpersist()
+
+
+def test_drop_column_roundtrips_and_verifies(spark, encoded):
+    src, specs, enc = encoded
+    dropped = drop_columns(enc, ["text"])
+    kept = [s for s in specs if s[0] != "text"]
+    assert manifest_specs(dropped) == kept
+    # checksum verification ON — the recomputed CRC must hold
+    dec = decode_table(dropped, specs=kept, with_n_tok=False,
+                       verify_checksums=True)
+    got = sorted((r["doc_id"], r["v"], r["w"]) for r in dec.collect())
+    exp = sorted((r["doc_id"], r["v"], r["w"])
+                 for r in src.select("doc_id", "v", "w").collect())
+    assert got == exp
+
+
+def test_drop_column_keeps_surviving_bytes_identical(spark, encoded):
+    _src, _specs, enc = encoded
+    before = {r["chunk_id"]: r for r in enc.select(
+        "chunk_id", "columns").collect()}
+    after = drop_columns(enc, ["w"]).select(
+        "chunk_id", "columns", "orig_bytes", "enc_bytes").collect()
+    for row in after:
+        keep = {e["name"]: e for e in before[row["chunk_id"]]["columns"]
+                if e["name"] != "w"}
+        assert [e["name"] for e in row["columns"]] == [
+            e["name"] for e in before[row["chunk_id"]]["columns"]
+            if e["name"] != "w"]
+        for e in row["columns"]:
+            assert bytes(e["payload"]) == bytes(keep[e["name"]]["payload"])
+            assert bytes(e["params"]) == bytes(keep[e["name"]]["params"])
+        assert row["enc_bytes"] == sum(
+            e["enc_bytes"] for e in keep.values())
+
+
+def test_drop_key_column_nulls_zone_map(spark, encoded):
+    _src, _specs, enc = encoded
+    dropped = drop_columns(enc, ["doc_id"])
+    row = dropped.select("key_col", "key_min", "key_max").first()
+    assert row["key_col"] is None and row["key_min"] is None
+    # numeric stats of surviving columns still serve scan/agg
+    n = scan_range(dropped, "v", 100, 300,
+                   specs=[("v", "int"), ("w", "int"),
+                          ("text", "string")],
+                   with_n_tok=False).count()
+    assert n == 201
+    assert agg_encoded(dropped, "w").first()["n_values"] == 2000
+
+
+def test_drop_errors(spark, encoded):
+    _src, specs, enc = encoded
+    with pytest.raises(Exception, match="not present"):
+        drop_columns(enc, ["nope"]).count()
+    with pytest.raises(Exception, match="every column"):
+        drop_columns(enc, [s[0] for s in specs]).count()
+
+
+def test_rename_column_metadata_only(spark, encoded):
+    src, specs, enc = encoded
+    ren = rename_column(enc, "v", "value")
+    # checksums bit-identical: names are outside the checksum domain
+    a = sorted(r["checksum"] for r in enc.select("checksum").collect())
+    b = sorted(r["checksum"] for r in ren.select("checksum").collect())
+    assert a == b
+    new_specs = [("value" if n == "v" else n, k) for n, k in specs]
+    assert manifest_specs(ren) == new_specs
+    dec = decode_table(ren, specs=new_specs, with_n_tok=False)
+    assert "value" in dec.columns and "v" not in dec.columns
+    got = sorted((r["doc_id"], r["value"]) for r in
+                 dec.select("doc_id", "value").collect())
+    exp = sorted((r["doc_id"], r["v"]) for r in
+                 src.select("doc_id", "v").collect())
+    assert got == exp
+    # key_col follows a rename of the zone-map column
+    assert rename_column(enc, "doc_id", "k").select("key_col") \
+        .first()[0] == "k"
+
+
+def test_cli_evolve(spark, tmp_path, capsys):
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_evolve
+
+    src = _table(spark, 500)
+    man_dir = str(tmp_path / "man")
+    out_dir = str(tmp_path / "out")
+    encode_table(src, specs=infer_specs(src), mode="scan",
+                 key="doc_id").write.parquet(man_dir)
+    args = Namespace(input=man_dir, output=out_dir, drop=["w"],
+                     rename=["v=value"], master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_evolve(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["columns"] == ["doc_id", "value", "text"]
+    man = spark.read.parquet(out_dir)
+    dec = decode_table(man, specs=manifest_specs(man),
+                       with_n_tok=False, verify_checksums=True)
+    assert dec.count() == 500
+
+
+def test_rename_is_jvm_only(spark, encoded):
+    """Plan lock: rename adds no Python evaluation — no
+    ArrowEvalPython/MapInArrow beyond what the input manifest has
+    (here: none, the manifest is materialized)."""
+    _src, _specs, enc = encoded
+    base = enc._jdf.queryExecution().executedPlan().toString()
+    plan = rename_column(enc, "v", "value")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("MapInArrow") == base.count("MapInArrow")
+    assert plan.count("EvalPython") == base.count("EvalPython") == 0
