@@ -319,17 +319,21 @@ def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DROP + RENAME COLUMN on an encoded manifest without re-encoding
-    (operators/evolve.py, r3): encode (doc_id, tokens, source), drop
-    `source` (metadata + checksum rewrite only — surviving payload
-    bytes untouched), rename `tokens`→`toks`, then decode WITH checksum
-    verification under the evolved schema. The oracle is the identity
-    SELECT: any corruption introduced by the evolution ops breaks the
-    value hash. The reference cannot express this — removing an archive
-    member means rewriting the archive (lib_bra_io_file_meta_entries.c);
-    chunk-granular entries make it O(metadata) here."""
-    from br_archive_spark.operators import (decode_table, drop_columns,
-                                            encode_table, rename_column)
+    """DROP + RENAME + ADD COLUMN on an encoded manifest without
+    re-encoding surviving entries (operators/evolve.py, r3): encode
+    (doc_id, tokens, source); drop `source` (metadata + checksum
+    rewrite only — payload bytes untouched); rename `tokens`→`toks`
+    (pure metadata); ADD `dmod` keyed by doc_id (key-entry decode +
+    key join + fresh entry splice, chunk checksum recomputed); decode
+    WITH checksum verification under the evolved schema. The oracle is
+    the equivalent SELECT: any corruption introduced by any of the
+    three ops breaks the value hash. The reference cannot express
+    this — removing an archive member means rewriting the archive
+    (lib_bra_io_file_meta_entries.c); chunk-granular entries make
+    drop/rename O(metadata) and add O(one new column)."""
+    from br_archive_spark.operators import (add_column, decode_table,
+                                            drop_columns, encode_table,
+                                            rename_column)
 
     tok = _lineitem_token_table(spark, sf_dir).withColumn(
         "source", F.lit("lineitem"))
@@ -339,13 +343,18 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                        target_values=1 << 18)
     evolved = rename_column(drop_columns(enc, ["source"]),
                             "tokens", "toks")
+    vals = tok.select("doc_id").distinct().withColumn(
+        "dmod", F.col("doc_id").cast("long") % 7)
+    evolved = add_column(evolved, vals, "dmod", "int", key="doc_id")
     dec = decode_table(evolved, specs=[("doc_id", "string"),
-                                       ("toks", "int_list")],
+                                       ("toks", "int_list"),
+                                       ("dmod", "int")],
                        verify_checksums=True)
-    return (dec.select("doc_id", F.posexplode("toks")
+    return (dec.select("doc_id", "dmod", F.posexplode("toks")
                        .alias("pos", "token"))
             .select("doc_id", F.col("pos").cast("int").alias("pos"),
-                    F.col("token").cast("long").alias("token")))
+                    F.col("token").cast("long").alias("token"),
+                    F.col("dmod").cast("long").alias("dmod")))
 
 
 def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,7 +1070,8 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY l_linenumber,
                                                     l_partkey) - 1
                         AS INT) AS pos,
-                   CAST(l_partkey AS BIGINT) AS token
+                   CAST(l_partkey AS BIGINT) AS token,
+                   CAST(l_orderkey % 7 AS BIGINT) AS dmod
             FROM lineitem
         """,
         "numeric_range_scan": """

@@ -84,6 +84,144 @@ def drop_columns(encoded: DataFrame, cols: list[str]) -> DataFrame:
     return encoded.mapInArrow(fn, encoded.schema)
 
 
+def _chunk_keys(encoded: DataFrame, key: str, key_kind: str) -> DataFrame:
+    """Decode ONLY the key entry of every chunk → ``(chunk_id, pos,
+    k)`` rows in stored row order. One mapInArrow, no shuffle; the key
+    column is typically the cheapest entry in the chunk (dict/FSST
+    coded ids), so this pass moves key bytes, not payloads."""
+    import numpy as np
+
+    from .chunk import decode_column
+    from .decode import _decoded_spark_schema, _rebuild
+
+    out_schema = ("chunk_id string, pos long, "
+                  + _decoded_spark_schema([("k", key_kind)], False))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for row in batch.to_pylist():
+                entry = next(e for e in row["columns"]
+                             if e["name"] == key)
+                data, validity = decode_column(entry)
+                arr = _rebuild(key_kind, data, row["n_rows"], validity)
+                n = len(arr)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([row["chunk_id"]] * n, pa.string()),
+                     pa.array(np.arange(n, dtype=np.int64)),
+                     arr],
+                    names=["chunk_id", "pos", "k"])
+
+    return encoded.select("chunk_id", "n_rows", "columns") \
+        .mapInArrow(fn, out_schema)
+
+
+def add_column(encoded: DataFrame, values: DataFrame, name: str,
+               kind: str, key: str | None = None,
+               specs: list[tuple[str, str]] | None = None) -> DataFrame:
+    """ADD COLUMN to an encoded manifest without re-encoding the
+    existing entries: the completion of the DROP/RENAME trio.
+
+    ``values`` maps key → new value: exactly two columns, the key
+    column (named ``key``, same type the key decodes to) and the new
+    column (named ``name``, type matching ``kind``). Keys must be
+    unique in ``values``; manifest rows with no match get NULL (the
+    ``nv.`` validity wrapper handles storage). Scalar kinds only
+    (string/int/float/binary/date/timestamp/decimal) — list kinds
+    would need element alignment that a key join cannot express.
+
+    Dataflow (two passes + one key join, all chunk-parallel):
+
+    1. ``_chunk_keys``: decode just the key entry per chunk →
+       ``(chunk_id, pos, k)`` — key bytes only, no payloads.
+    2. LEFT join with ``values`` on ``k``, pack per chunk with
+       ``array_sort(collect_list(struct(pos, v)))`` — each packed row
+       is the same magnitude as one chunk (~``target_values`` values),
+       so the shuffle moves one new-column's worth of data, nothing
+       more.
+    3. join packed values back to the manifest on ``chunk_id`` and
+       splice: build the Arrow column, run it through the SAME
+       ``_extract → encode_column`` path as a fresh encode (codec
+       auto-selection, null wrapper, numeric stats), append the entry,
+       recompute the chunk checksum.
+
+    A key appearing twice in ``values`` multiplies join rows and is
+    caught as a per-chunk length mismatch (clear error, not silent
+    corruption).
+    """
+    from pyspark.sql import functions as F
+
+    from .chunk import encode_column
+    from .decode import _arrow_type, manifest_specs
+    from .encode import _entry_stats, _extract
+
+    specs = specs or manifest_specs(encoded)
+    known = dict(specs)
+    if name in known:
+        raise ValueError(f"add_column: column {name!r} already exists")
+    if kind.endswith("_list") or kind == "int_list":
+        raise ValueError(
+            f"add_column: list kind {kind!r} not supported (no "
+            "element alignment through a key join)")
+    if key is None:
+        key = specs[0][0]
+    if key not in known:
+        raise ValueError(f"add_column: key {key!r} not in specs")
+    missing = {key, name} - set(values.columns)
+    if missing:
+        raise ValueError(
+            f"add_column: values is missing column(s) {sorted(missing)}")
+
+    keys = _chunk_keys(encoded, key, known[key])
+    packed = (keys.join(values.select(F.col(key).alias("k"),
+                                      F.col(name).alias("v")),
+                        "k", "left")
+              .groupBy("chunk_id")
+              .agg(F.array_sort(F.collect_list(F.struct("pos", "v")))
+                   .alias("_vals")))
+    joined = encoded.join(packed, "chunk_id", "left")
+    atype = _arrow_type(kind)
+    out_fields = [f for f in joined.schema.fieldNames()
+                  if f != "_vals"]
+    out_schema = joined.drop("_vals").schema
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            out = []
+            for row in batch.to_pylist():
+                vals = row.pop("_vals")
+                if vals is None or len(vals) != row["n_rows"]:
+                    got = 0 if vals is None else len(vals)
+                    raise ValueError(
+                        f"add_column: chunk {row['chunk_id']} expects "
+                        f"{row['n_rows']} values, joined {got} — are "
+                        f"keys unique in the values table?")
+                arr = pa.array([s["v"] for s in vals], type=atype)
+                tbl = pa.table({name: arr})
+                data, validity = _extract(tbl, name, kind)
+                entry = encode_column(name, kind, data,
+                                      validity=validity)
+                row["columns"] = list(row["columns"]) + [entry]
+                stats = {k: entry[k]
+                         for k in ("name", "kind", "codec",
+                                   "orig_bytes", "enc_bytes")}
+                stats.update(_entry_stats(kind, data, validity))
+                if row.get("column_stats") is not None:
+                    row["column_stats"] = (list(row["column_stats"])
+                                           + [stats])
+                row["orig_bytes"] += entry["orig_bytes"]
+                row["enc_bytes"] += entry["enc_bytes"]
+                row["checksum"] = chunk_checksum(
+                    *[b for e in row["columns"]
+                      for b in (e["params"], e["payload"])])
+                row["checksum_algo"] = CHECKSUM_ALGO
+                out.append({f: row[f] for f in out_fields})
+            keep = pa.schema([f for f in batch.schema
+                              if f.name != "_vals"])
+            yield pa.RecordBatch.from_pylist(out, schema=keep)
+
+    return joined.mapInArrow(fn, out_schema)
+
+
 def rename_column(encoded: DataFrame, old: str, new: str) -> DataFrame:
     """Rename a column in every chunk — metadata-only.
 

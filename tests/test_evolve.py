@@ -111,6 +111,71 @@ def test_rename_column_metadata_only(spark, encoded):
         .first()[0] == "k"
 
 
+def test_add_column_roundtrips_with_nulls(spark, encoded):
+    from br_archive_spark.operators import add_column
+
+    src, specs, enc = encoded
+    vals = src.where(F.col("v") % 3 != 0).select(
+        "doc_id", (F.col("v") * 7).alias("score"))
+    out = add_column(enc, vals, "score", "int", key="doc_id")
+    new_specs = specs + [("score", "int")]
+    assert manifest_specs(out) == new_specs
+    dec = decode_table(out, specs=new_specs, with_n_tok=False,
+                       verify_checksums=True)
+    truth = src.join(vals, ["doc_id"], "left") \
+        .select("doc_id", "v", "score")
+    got = sorted((r["doc_id"], r["score"]) for r in dec.collect())
+    exp = sorted((r["doc_id"], r["score"]) for r in truth.collect())
+    assert got == exp
+    # the spliced entry carries numeric stats: manifest-only agg works
+    row = agg_encoded(out, "score").first()
+    t = vals.agg(F.count("score"), F.sum("score")).first()
+    assert (row["n_values"], int(row["vsum"])) == tuple(t)
+    assert row["n_nulls"] == src.count() - t[0]
+
+
+def test_add_column_duplicate_keys_rejected(spark, encoded):
+    from br_archive_spark.operators import add_column
+
+    _src, _specs, enc = encoded
+    dup = spark.createDataFrame(
+        [("7", 1), ("7", 2)], "doc_id string, score int")
+    with pytest.raises(Exception, match="keys unique"):
+        add_column(enc, dup, "score", "int", key="doc_id").count()
+
+
+def test_add_column_arg_errors(spark, encoded):
+    from br_archive_spark.operators import add_column
+
+    _src, _specs, enc = encoded
+    vals = spark.createDataFrame([("1", 2)], "doc_id string, v int")
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(enc, vals, "v", "int", key="doc_id")
+    with pytest.raises(ValueError, match="list kind"):
+        add_column(enc, vals, "xs", "int_list", key="doc_id")
+    with pytest.raises(ValueError, match="missing column"):
+        add_column(enc, vals, "score", "int", key="doc_id")
+
+
+def test_drop_then_add_evolution_cycle(spark, encoded):
+    """Full evolution cycle: drop a column, add a replacement under a
+    new name — decode with checksums ON stays exact throughout."""
+    from br_archive_spark.operators import add_column, drop_columns
+
+    src, specs, enc = encoded
+    step1 = drop_columns(enc, ["w"])
+    vals = src.select("doc_id", F.concat(F.lit("u-"), "v").alias("u"))
+    step2 = add_column(step1, vals, "u", "string", key="doc_id")
+    new_specs = [s for s in specs if s[0] != "w"] + [("u", "string")]
+    assert manifest_specs(step2) == new_specs
+    dec = decode_table(step2, specs=new_specs, with_n_tok=False,
+                       verify_checksums=True)
+    got = sorted((r["doc_id"], r["u"]) for r in dec.collect())
+    exp = sorted((r["doc_id"], "u-" + str(r["v"]))
+                 for r in src.collect())
+    assert got == exp
+
+
 def test_cli_evolve(spark, tmp_path, capsys):
     import json
     from argparse import Namespace
