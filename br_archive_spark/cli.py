@@ -217,17 +217,22 @@ def cmd_agg(args) -> int:
 
 
 def cmd_evolve(args) -> int:
-    """DROP/RENAME COLUMN on an encoded manifest without re-encoding:
-    drop rewrites metadata + chunk checksum only (surviving payloads
-    bit-identical); rename is pure metadata (checksum unchanged)."""
-    from .operators.evolve import drop_columns, rename_column
+    """DROP/RENAME COLUMN + DELETE-by-key on an encoded manifest
+    without re-encoding what survives: drop rewrites metadata + chunk
+    checksum only (surviving payloads bit-identical); rename is pure
+    metadata (checksum unchanged); delete rewrites only the chunks
+    whose zone map can contain a deleted key (chunk-granular
+    copy-on-write)."""
+    from .operators.evolve import delete_rows, drop_columns, rename_column
 
-    if not args.drop and not args.rename:
-        print(json.dumps({"error": "nothing to do: pass --drop and/or "
-                                   "--rename OLD=NEW"}))
+    if not args.drop and not args.rename and not args.delete:
+        print(json.dumps({"error": "nothing to do: pass --drop, "
+                                   "--rename OLD=NEW, and/or --delete"}))
         return 1
     spark = _spark(args)
     man = spark.read.parquet(args.input)
+    if args.delete:
+        man = delete_rows(man, args.delete, key=args.key)
     if args.drop:
         man = drop_columns(man, args.drop)
     for spec in args.rename or []:
@@ -366,6 +371,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drop", nargs="*", default=[], metavar="COL")
     p.add_argument("--rename", nargs="*", default=[],
                    metavar="OLD=NEW")
+    p.add_argument("--delete", nargs="*", default=[], metavar="KEY",
+                   help="delete rows by key (chunk-granular COW)")
+    p.add_argument("--key", default="doc_id",
+                   help="key column for --delete")
     p.set_defaults(fn=cmd_evolve)
 
     p = sub.add_parser("compact",

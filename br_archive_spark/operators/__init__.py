@@ -6,7 +6,8 @@ from .decode import (ChecksumError, agg_encoded, decode_files,
                      scan_range_files, scan_where)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
-from .evolve import add_column, drop_columns, rename_column
+from .evolve import (add_column, delete_rows, drop_columns,
+                     rename_column)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -17,6 +18,7 @@ __all__ = [
     "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
     "scan_range", "scan_range_files", "scan_where", "agg_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
+    "delete_rows",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

@@ -222,6 +222,119 @@ def add_column(encoded: DataFrame, values: DataFrame, name: str,
     return joined.mapInArrow(fn, out_schema)
 
 
+def delete_rows(encoded: DataFrame, keys: list[str],
+                key: str | None = None,
+                specs: list[tuple[str, str]] | None = None,
+                global_dict=None) -> DataFrame:
+    """Delete rows by key — chunk-granular copy-on-write (the Iceberg
+    COW analog, at chunk rather than file granularity).
+
+    Only chunks whose key zone map CAN contain a deleted key are
+    rewritten (decode → filter → re-encode through the normal codec
+    path, fresh stats/bounds/checksum); every other chunk passes
+    through byte-identical with no decode — at 100 TB a point delete
+    touches O(matching chunks), the same pruning contract as
+    ``lookup_docs``. A zone-map false positive (chunk in key range but
+    holding none of the keys) is detected after the key-entry decode
+    and passed through unchanged, so payload bytes only ever change
+    for chunks that actually lose rows; chunks losing ALL rows vanish
+    from the manifest. Unknown zone maps (``key_col`` mismatch or
+    pre-r3 manifest) conservatively rewrite-check — never skip.
+
+    ``key`` must be a string-kind column (the zone-map domain, same as
+    ``lookup_docs``). Re-encoded chunks keep their ``chunk_id``; under
+    ``mode="hash"`` content-addressing the id no longer equals the
+    content hash (documented in plans/lineage: resume is refused for
+    content-addressed manifests after in-place edits).
+    """
+    from pyspark.sql import functions as F
+
+    import pyarrow.compute as pc
+
+    from .chunk import decode_column, encode_column
+    from .decode import _rebuild, manifest_specs
+    from .encode import _entry_stats, _extract, _key_bounds, _n_values
+
+    if not keys:
+        return encoded
+    specs = specs or manifest_specs(encoded)
+    known = dict(specs)
+    if key is None:
+        key = specs[0][0]
+    if known.get(key) != "string":
+        raise ValueError(
+            f"delete_rows: key {key!r} must be a string-kind column "
+            f"(got {known.get(key)!r})")
+    lo, hi = min(keys), max(keys)
+    if "key_col" in encoded.columns:
+        cand = (F.col("key_col").isNull() | (F.col("key_col") != key)
+                | ((F.col("key_min") <= hi) & (F.col("key_max") >= lo)))
+    else:
+        cand = F.lit(True)
+    untouched = encoded.where(~cand)
+    touched = encoded.where(cand)
+    key_set = sorted(set(keys))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            out = []
+            for row in batch.to_pylist():
+                entries = {e["name"]: e for e in row["columns"]}
+                kdata, kvalid = decode_column(entries[key],
+                                              gdict=global_dict)
+                karr = _rebuild("string", kdata, row["n_rows"], kvalid)
+                mask = pc.invert(pc.is_in(
+                    karr, value_set=pa.array(key_set, karr.type)))
+                # treat a NULL key as not-deleted (mask null -> keep)
+                mask = pc.fill_null(mask, True)
+                n_keep = pc.sum(mask).as_py() or 0
+                if n_keep == row["n_rows"]:
+                    out.append(row)     # false positive: bytes untouched
+                    continue
+                if n_keep == 0:
+                    continue            # whole chunk deleted
+                cols = {}
+                for name, kind in specs:
+                    data, validity = decode_column(entries[name],
+                                                   gdict=global_dict)
+                    arr = _rebuild(kind, data, row["n_rows"], validity)
+                    cols[name] = arr.filter(mask)
+                tbl = pa.table(cols)
+                new_entries, new_stats = [], []
+                for name, kind in specs:
+                    data, validity = _extract(tbl, name, kind)
+                    e = encode_column(name, kind, data,
+                                      gdict=global_dict,
+                                      validity=validity)
+                    new_entries.append(e)
+                    new_stats.append(
+                        {**{k: e[k] for k in ("name", "kind", "codec",
+                                              "orig_bytes",
+                                              "enc_bytes")},
+                         **_entry_stats(kind, data, validity)})
+                kb = _key_bounds(tbl, specs, key)
+                row["columns"] = new_entries
+                if row.get("column_stats") is not None:
+                    row["column_stats"] = new_stats
+                row["n_rows"] = tbl.num_rows
+                row["n_values"] = _n_values(tbl, specs)
+                row["orig_bytes"] = sum(e["orig_bytes"]
+                                        for e in new_entries)
+                row["enc_bytes"] = sum(e["enc_bytes"]
+                                       for e in new_entries)
+                row["checksum"] = chunk_checksum(
+                    *[b for e in new_entries
+                      for b in (e["params"], e["payload"])])
+                row["checksum_algo"] = CHECKSUM_ALGO
+                row["key_col"], row["key_min"], row["key_max"] = kb
+                out.append(row)
+            if out:
+                yield pa.RecordBatch.from_pylist(out,
+                                                 schema=batch.schema)
+
+    return untouched.unionByName(touched.mapInArrow(fn, encoded.schema))
+
+
 def rename_column(encoded: DataFrame, old: str, new: str) -> DataFrame:
     """Rename a column in every chunk — metadata-only.
 

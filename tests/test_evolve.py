@@ -176,6 +176,90 @@ def test_drop_then_add_evolution_cycle(spark, encoded):
     assert got == exp
 
 
+def _keyed_table(spark, n=3000):
+    return spark.range(n).select(
+        F.format_string("doc-%05d", "id").alias("doc_id"),
+        F.col("id").alias("v"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"))
+
+
+@pytest.fixture(scope="module")
+def range_encoded(spark):
+    src = _keyed_table(spark)
+    specs = infer_specs(src)
+    enc = encode_table(src, specs=specs, mode="range", key="doc_id",
+                       target_values=400).cache()
+    enc.count()
+    yield src, specs, enc
+    enc.unpersist()
+
+
+def test_delete_rows_cow_touches_only_matching_chunks(spark,
+                                                      range_encoded):
+    from br_archive_spark.operators import delete_rows
+
+    src, specs, enc = range_encoded
+    # clustered deletes: zone maps confine the rewrite to few chunks
+    kill = [f"doc-{i:05d}" for i in range(100, 110)]
+    out = delete_rows(enc, kill, key="doc_id", specs=specs)
+    before = {r["chunk_id"]: r["checksum"]
+              for r in enc.select("chunk_id", "checksum").collect()}
+    after = {r["chunk_id"]: r["checksum"]
+             for r in out.select("chunk_id", "checksum").collect()}
+    rewritten = [c for c in after if after[c] != before[c]]
+    assert 1 <= len(rewritten) <= 2, rewritten
+    # every untouched chunk is BYTE-identical (checksum equality)
+    assert all(after[c] == before[c]
+               for c in after if c not in rewritten)
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    got = sorted(r["doc_id"] for r in dec.collect())
+    exp = sorted(r["doc_id"] for r in
+                 src.where(~F.col("doc_id").isin(kill)).collect())
+    assert got == exp
+
+
+def test_delete_rows_whole_chunk_vanishes(spark, range_encoded):
+    from br_archive_spark.operators import delete_rows
+
+    src, specs, enc = range_encoded
+    n_chunks = enc.count()
+    # delete every key of the first chunk (range mode: first ~400 ids
+    # live together) plus a couple of strays
+    kill = [f"doc-{i:05d}" for i in range(0, 500)]
+    out = delete_rows(enc, kill, key="doc_id", specs=specs)
+    assert out.count() < n_chunks
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    assert dec.count() == src.count() - 500
+    assert dec.where(F.col("doc_id") < "doc-00500").count() == 0
+
+
+def test_delete_rows_updates_stats_and_bounds(spark, range_encoded):
+    from br_archive_spark.operators import agg_encoded, delete_rows
+
+    src, specs, enc = range_encoded
+    kill = [f"doc-{i:05d}" for i in range(200, 300)]
+    out = delete_rows(enc, kill, key="doc_id", specs=specs)
+    row = agg_encoded(out, "v").first()
+    t = src.where(~F.col("doc_id").isin(kill)) \
+        .agg(F.count("v"), F.sum("v"), F.min("v"), F.max("v")).first()
+    assert (row["n_values"], int(row["vsum"]), row["vmin"],
+            row["vmax"]) == tuple(t)
+    # rewritten chunk's key bounds exclude the deleted range interior
+    assert decode_table(out, specs=specs, with_n_tok=False) \
+        .where(F.col("doc_id").isin(kill)).count() == 0
+
+
+def test_delete_rows_errors_and_noop(spark, range_encoded):
+    from br_archive_spark.operators import delete_rows
+
+    _src, specs, enc = range_encoded
+    assert delete_rows(enc, [], key="doc_id", specs=specs) is enc
+    with pytest.raises(ValueError, match="string-kind"):
+        delete_rows(enc, ["x"], key="v", specs=specs)
+
+
 def test_cli_evolve(spark, tmp_path, capsys):
     import json
     from argparse import Namespace
@@ -188,7 +272,8 @@ def test_cli_evolve(spark, tmp_path, capsys):
     encode_table(src, specs=infer_specs(src), mode="scan",
                  key="doc_id").write.parquet(man_dir)
     args = Namespace(input=man_dir, output=out_dir, drop=["w"],
-                     rename=["v=value"], master="local[2]",
+                     rename=["v=value"], delete=["3", "4"],
+                     key="doc_id", master="local[2]",
                      shuffle_partitions=4)
     assert cmd_evolve(args) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -196,7 +281,8 @@ def test_cli_evolve(spark, tmp_path, capsys):
     man = spark.read.parquet(out_dir)
     dec = decode_table(man, specs=manifest_specs(man),
                        with_n_tok=False, verify_checksums=True)
-    assert dec.count() == 500
+    assert dec.count() == 498
+    assert dec.where(F.col("doc_id").isin("3", "4")).count() == 0
 
 
 def test_rename_is_jvm_only(spark, encoded):
