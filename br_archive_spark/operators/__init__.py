@@ -7,7 +7,7 @@ from .decode import (ChecksumError, agg_encoded, decode_files,
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .evolve import (add_column, delete_rows, drop_columns,
-                     rename_column)
+                     rename_column, upsert_rows)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -18,7 +18,7 @@ __all__ = [
     "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
     "scan_range", "scan_range_files", "scan_where", "agg_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
-    "delete_rows",
+    "delete_rows", "upsert_rows",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

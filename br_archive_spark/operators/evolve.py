@@ -335,6 +335,62 @@ def delete_rows(encoded: DataFrame, keys: list[str],
     return untouched.unionByName(touched.mapInArrow(fn, encoded.schema))
 
 
+def upsert_rows(encoded: DataFrame, rows: DataFrame,
+                key: str | None = None,
+                specs: list[tuple[str, str]] | None = None,
+                global_dict=None, **encode_kwargs) -> DataFrame:
+    """MERGE/upsert: replace-or-insert ``rows`` by key.
+
+    Delete-then-append: :func:`delete_rows` rewrites only the chunks
+    whose zone map can contain an upserted key (copy-on-write), then
+    the incoming rows encode as FRESH chunks through ``encode_table``
+    (full codec auto-selection + stats) and union into the manifest —
+    the Iceberg MERGE shape at chunk granularity. The upsert batch's
+    keys transit the driver (one ``collect`` of the key column): the
+    batch is the SMALL side of a merge by construction — for
+    re-encoding a large fraction of the table, run a fresh encode
+    instead. Follow with ``compact_manifest`` when repeated small
+    upserts accumulate small chunks.
+    """
+    from .encode import encode_table
+
+    specs = specs or manifest_specs(encoded)
+    if key is None:
+        key = specs[0][0]
+    if key not in rows.columns:
+        raise ValueError(f"upsert_rows: rows is missing key {key!r}")
+    keys = [r[0] for r in rows.select(key).distinct().collect()]
+    if rows.count() != len(keys):
+        raise ValueError(
+            "upsert_rows: duplicate keys in the upsert batch")
+    remaining = delete_rows(encoded, keys, key=key, specs=specs,
+                            global_dict=global_dict)
+    # fresh chunks need ids disjoint from the existing manifest's
+    # (chunk_id is the join key for add_column and the compaction
+    # identity): namespace them under a deterministic batch tag —
+    # content-derived, so re-running the same upsert is idempotent
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    snap = encode_kwargs.pop("snapshot_id", "") or hashlib.md5(
+        "\x00".join(sorted(str(k) for k in keys)).encode()
+    ).hexdigest()[:12]
+    fresh = encode_table(rows, specs=specs, key=key,
+                         snapshot_id=snap,
+                         global_dict=global_dict, **encode_kwargs)
+    fresh = fresh.withColumn(
+        "chunk_id", F.concat(F.lit(snap + ":"), F.col("chunk_id")))
+    missing = set(remaining.columns) - set(fresh.columns)
+    if missing:
+        from pyspark.sql import functions as F
+
+        for m in missing:    # lineage columns absent on fresh encodes
+            fresh = fresh.withColumn(
+                m, F.lit(None).cast(remaining.schema[m].dataType))
+    return remaining.unionByName(fresh.select(*remaining.columns))
+
+
 def rename_column(encoded: DataFrame, old: str, new: str) -> DataFrame:
     """Rename a column in every chunk — metadata-only.
 

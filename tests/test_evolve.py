@@ -260,6 +260,53 @@ def test_delete_rows_errors_and_noop(spark, range_encoded):
         delete_rows(enc, ["x"], key="v", specs=specs)
 
 
+def test_upsert_rows_merge_semantics(spark, range_encoded):
+    from br_archive_spark.operators import upsert_rows
+
+    src, specs, enc = range_encoded
+    batch = spark.createDataFrame(
+        [("doc-00010", 999_010, "updated-10"),     # replace
+         ("doc-00777", 999_777, "updated-777"),    # replace
+         ("doc-99999", 999_999, "inserted")],      # insert
+        "doc_id string, v bigint, text string")
+    out = upsert_rows(enc, batch, key="doc_id", specs=specs,
+                      num_parts=2)
+    ids = out.select("chunk_id").collect()
+    assert len(ids) == len({r[0] for r in ids})   # no chunk_id collision
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    exp = (src.where(~F.col("doc_id").isin("doc-00010", "doc-00777"))
+           .unionByName(batch))
+    got = sorted(map(tuple, dec.collect()))
+    want = sorted(map(tuple, exp.collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_rows(enc, batch.unionByName(batch), key="doc_id",
+                    specs=specs)
+
+
+def test_upsert_is_idempotent_on_chunk_ids(spark, range_encoded):
+    """Same batch twice: the second upsert replaces the first's chunks
+    under the SAME deterministic tag — ids stay unique, content equal."""
+    from br_archive_spark.operators import upsert_rows
+
+    src, specs, enc = range_encoded
+    batch = spark.createDataFrame(
+        [("doc-00001", 1_000_001, "u1")],
+        "doc_id string, v bigint, text string")
+    once = upsert_rows(enc, batch, key="doc_id", specs=specs,
+                       num_parts=1)
+    twice = upsert_rows(once, batch, key="doc_id", specs=specs,
+                        num_parts=1)
+    ids = twice.select("chunk_id").collect()
+    assert len(ids) == len({r[0] for r in ids})
+    a = sorted(map(tuple, decode_table(
+        once, specs=specs, with_n_tok=False).collect()))
+    b = sorted(map(tuple, decode_table(
+        twice, specs=specs, with_n_tok=False).collect()))
+    assert a == b
+
+
 def test_cli_evolve(spark, tmp_path, capsys):
     import json
     from argparse import Namespace
