@@ -357,6 +357,35 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dmod").cast("long").alias("dmod")))
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert on an encoded manifest (operators/evolve.py::
+    upsert_rows, r3): every 10th document is replaced with an updated
+    body and two brand-new documents are inserted — a chunk-granular
+    copy-on-write delete (zone-map-pruned) plus fresh chunks for the
+    batch. Decode runs WITH checksum verification; the oracle computes
+    the same merge in SQL, so a corrupted rewrite, a lost row, or a
+    chunk-id collision all break the value hash."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            upsert_rows)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    specs = [("doc_id", "string"), ("text", "string")]
+    enc = encode_table(docs, specs=specs, mode="range", key="doc_id",
+                       num_parts=4, target_values=1 << 13)
+    updates = (docs.where(F.col("doc_id").cast("long") % 10 == 0)
+               .select("doc_id",
+                       F.concat(F.lit("UPDATED:"), "doc_id")
+                       .alias("text")))
+    inserts = spark.createDataFrame(
+        [("new-a", "inserted document a"),
+         ("new-b", "inserted document b")], "doc_id string, text string")
+    out = upsert_rows(enc, updates.unionByName(inserts), key="doc_id",
+                      specs=specs, num_parts=2)
+    return decode_table(out, specs=specs, with_n_tok=False,
+                        verify_checksums=True)
+
+
 def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric zone-map scan (r3): every int-backed column records
     per-chunk vmin/vmax in the payload-free ``column_stats``;
@@ -906,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_range_scan": q_numeric_range_scan,
         "agg_pushdown": q_agg_pushdown,
         "schema_evolution": q_schema_evolution,
+        "merge_upsert": q_merge_upsert,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1073,6 +1103,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(l_partkey AS BIGINT) AS token,
                    CAST(l_orderkey % 7 AS BIGINT) AS dmod
             FROM lineitem
+        """,
+        "merge_upsert": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'UPDATED:' || CAST(doc_id AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+            UNION ALL
+            SELECT 'new-a', 'inserted document a'
+            UNION ALL
+            SELECT 'new-b', 'inserted document b'
         """,
         "numeric_range_scan": """
             SELECT o_orderkey, o_custkey,
