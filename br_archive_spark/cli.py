@@ -128,10 +128,19 @@ def cmd_list(args) -> int:
 
 
 def cmd_verify(args) -> int:
-    from .operators.verify import verify_roundtrip
+    from .operators.verify import verify_roundtrip, verify_stats
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
+    if args.stats:
+        # trust-but-verify the stats lane: manifest aggregates vs a
+        # full decode (no source table needed)
+        res = verify_stats(man)
+        print(json.dumps(res, default=str))
+        return 0 if res["ok"] else 1
+    if not args.source:
+        print(json.dumps({"error": "--source required (or use --stats)"}))
+        return 1
     src = spark.read.parquet(args.source)
     res = verify_roundtrip(src, man,
                            global_dict=_load_gdict(args.global_dict))
@@ -328,7 +337,10 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("verify", help="full decode + equality vs source")
     p.add_argument("input")
-    p.add_argument("--source", required=True)
+    p.add_argument("--source", default=None)
+    p.add_argument("--stats", action="store_true",
+                   help="verify manifest column_stats against a full "
+                        "decode instead of comparing to a source table")
     p.add_argument("--global-dict", default=None, metavar="PATH")
     p.set_defaults(fn=cmd_verify)
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from .decode import decode_table
 
 __all__ = ["verify_roundtrip", "compression_report",
-           "table_checksum"]
+           "table_checksum", "verify_stats"]
 
 
 def verify_roundtrip(source: DataFrame, encoded: DataFrame,
@@ -102,3 +102,69 @@ def table_checksum(encoded: DataFrame) -> int:
     for r in rows:
         crc = crc32c_combine(crc, r["checksum"], r["enc_bytes"])
     return crc
+
+
+def verify_stats(encoded: DataFrame,
+                 specs: list[tuple[str, str]] | None = None) -> dict:
+    """Trust-but-verify for the numeric stats lane: queries answered
+    from the manifest (``scan_range`` pruning, ``agg_encoded``) are
+    only as correct as ``column_stats`` — this recomputes every
+    int-backed column's COUNT/SUM/MIN/MAX/null-count from a FULL
+    decode and diffs them against :func:`agg_encoded`.
+
+    Returns ``{"ok": bool, "columns": {name: {"ok": bool, lanes...}}}``.
+    A null manifest ``vsum`` with values present (the declared
+    int64-overflow fallback) is reported as ``sum_declined`` and does
+    not fail verification — it is the documented contract, not a
+    corruption. Analog of the reference's `-t` test mode generalized
+    from payload checksums to derived metadata.
+    """
+    from .decode import _int_view, agg_encoded, manifest_specs
+    from .encode import _int_kind
+
+    specs = specs or manifest_specs(encoded)
+    dec = decode_table(encoded, specs=specs, with_n_tok=False)
+    out, all_ok = {}, True
+    for name, kind in specs:
+        if not _int_kind(kind):
+            continue
+        extra_nulls = 0
+        if kind == "int_list":
+            # inner explode drops null AND empty rows (an empty list
+            # is not a null); count null ROWS separately — stats count
+            # null rows plus null elements
+            extra_nulls = dec.where(F.col(name).isNull()).count()
+            lane = dec.select(F.explode(name).alias("e")) \
+                .select(F.col("e").cast("long").alias("x"))
+        else:
+            lane = dec.select(_int_view(name, kind).alias("x"))
+        truth = lane.agg(
+            F.count("x").alias("n_values"),
+            F.coalesce(
+                F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)),
+                F.lit(0)).alias("elem_nulls"),
+            F.min("x").alias("vmin"), F.max("x").alias("vmax"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("vsum")
+        ).collect()[0]
+        truth = {"n_values": truth["n_values"],
+                 "n_nulls": truth["elem_nulls"] + extra_nulls,
+                 "vmin": truth["vmin"], "vmax": truth["vmax"],
+                 "vsum": truth["vsum"]}
+        man = agg_encoded(encoded, name).collect()[0]
+        col = {"sum_declined": False}
+        ok = True
+        for lane_name in ("n_values", "n_nulls", "vmin", "vmax"):
+            m, t = man[lane_name], truth[lane_name]
+            col[lane_name] = {"manifest": m, "decoded": t}
+            ok &= m == t
+        if man["vsum"] is None and (man["n_values"] or 0) > 0:
+            col["sum_declined"] = True
+        else:
+            mv = None if man["vsum"] is None else int(man["vsum"])
+            tv = None if truth["vsum"] is None else int(truth["vsum"])
+            col["vsum"] = {"manifest": mv, "decoded": tv}
+            ok &= mv == tv
+        col["ok"] = ok
+        all_ok &= ok
+        out[name] = col
+    return {"ok": bool(all_ok), "columns": out}

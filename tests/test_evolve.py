@@ -187,8 +187,11 @@ def _keyed_table(spark, n=3000):
 def range_encoded(spark):
     src = _keyed_table(spark)
     specs = infer_specs(src)
+    # pin num_parts: chunk layout must not depend on the session's
+    # shuffle-partitions conf (the whole-chunk-delete test needs the
+    # first ~375-row chunk fully inside the deleted key range)
     enc = encode_table(src, specs=specs, mode="range", key="doc_id",
-                       target_values=400).cache()
+                       num_parts=8, target_values=400).cache()
     enc.count()
     yield src, specs, enc
     enc.unpersist()

@@ -331,6 +331,57 @@ def test_pre_stats_manifest_degrades_not_breaks(spark):
         agg_encoded(old, "v")
 
 
+def test_verify_stats_green_and_catches_forgery(spark, encoded):
+    """verify_stats cross-checks manifest aggregates against a full
+    decode; a forged bound must flip ok to False."""
+    from br_archive_spark.operators.verify import verify_stats
+
+    _src, specs, enc = encoded
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert set(res["columns"]) == {"okey", "ckey", "price", "d", "ts"}
+    # forge one chunk's vmin for ckey
+    forged = enc.withColumn(
+        "column_stats",
+        F.expr("transform(column_stats, s -> "
+               "  CASE WHEN s.name = 'ckey' THEN named_struct("
+               "    'name', s.name, 'kind', s.kind, 'codec', s.codec,"
+               "    'orig_bytes', s.orig_bytes, 'enc_bytes', s.enc_bytes,"
+               "    'vmin', CAST(-999 AS BIGINT), 'vmax', s.vmax,"
+               "    'vsum', s.vsum, 'n_vals', s.n_vals,"
+               "    'null_count', s.null_count) ELSE s END)"))
+    res2 = verify_stats(forged, specs=specs)
+    assert not res2["ok"]
+    assert not res2["columns"]["ckey"]["ok"]
+    assert res2["columns"]["price"]["ok"]
+
+
+def test_verify_stats_int_list_and_cli(spark, tmp_path, capsys):
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_verify
+
+    df = spark.range(400).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.transform(F.sequence(F.lit(1),
+                                   (F.col("id") % 4).cast("int") + 1),
+                        lambda x: F.when(x % 3 == 0, None)
+                        .otherwise(x.cast("int")))).alias("tokens"))
+    specs = [("doc_id", "string"), ("tokens", "int_list")]
+    man_dir = str(tmp_path / "man")
+    from br_archive_spark.operators import encode_table
+    encode_table(df, specs=specs, mode="scan",
+                 target_values=100).write.parquet(man_dir)
+    args = Namespace(input=man_dir, stats=True, source=None,
+                     global_dict=None, master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_verify(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["columns"]["tokens"]["ok"]
+
+
 # ---- hypothesis fuzz of the stats lane (no Spark; pure kernel) ----
 
 from hypothesis import given, settings  # noqa: E402
