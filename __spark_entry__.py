@@ -763,6 +763,24 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, jaccard_threshold=0.35)
 
 
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the engine-portable md5 hash family — the
+    VALUE-CHECKED form of the MinHash pipeline (the fast xxhash64 form
+    above is rows-only by nature). Signatures, band keys, the candidate
+    pair set, and the signature-agreement count are bit-reproducible in
+    DuckDB, so the whole shingle→minhash→band→bucket-join→verify
+    pipeline gets an exact oracle. Agreement is returned as the integer
+    ``match16`` (matches out of 16) rather than the double estimate."""
+    from br_archive_spark.functions.dedup import minhash_lsh_pairs_md5
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs_md5(docs, jaccard_threshold=0.5)
+    return pairs.select(
+        F.col("id").alias("doc_a"), F.col("id2").alias("doc_b"),
+        F.round(F.col("est_jaccard") * 16).cast("long").alias("match16"))
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs — rows-only (xxhash64 is Spark-specific).
 
@@ -959,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_pairs": q_simhash_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
@@ -970,6 +989,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "multimodal_features": q_multimodal_features,
     }
+
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4,
+                        shingle_k: int = 5) -> str:
+    """DuckDB SQL reproducing ``minhash_lsh_pairs_md5`` bit-for-bit:
+    the 60-bit md5-prefix hash family is computed as
+    ``('0x'||substr(md5(j||':'||s),1,15))::bigint`` — the same integer
+    Spark's ``conv(substr(md5(..),1,15),16,10)`` yields. Band keys are
+    the raw value concat (no engine-local hash), so the candidate pair
+    set matches exactly. The shingle floor ``greatest(.., 1)`` mirrors
+    the Spark side's guard (Spark's sequence(1,0) steps backward)."""
+    k = num_hashes
+    rpb = k // bands
+    mins = ",\n                       ".join(
+        f"min(('0x'||substr(md5('{j}:'||s),1,15))::bigint) AS h{j}"
+        for j in range(k))
+    band_sel = "\n                UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS bk FROM mh".format(
+            b=b, key="||','||".join(
+                f"h{j}::varchar" for j in range(b * rpb, (b + 1) * rpb)))
+        for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END" for j in range(k))
+    return f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([substr(text, i, {shingle_k})
+                           for i in generate_series(
+                               1, greatest(length(text) - {shingle_k - 1},
+                                           1))])) AS s
+                FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                      FROM documents)
+            ),
+            mh AS (
+                SELECT doc_id,
+                       {mins}
+                FROM sh GROUP BY doc_id
+            ),
+            bands AS (
+                {band_sel}
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bk = b.bk
+                 AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST({agree} AS BIGINT) AS match16
+            FROM cand c
+            JOIN mh x ON x.doc_id = c.doc_a
+            JOIN mh y ON y.doc_id = c.doc_b
+            WHERE {agree} >= {k // 2}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1499,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
                    ).h, 0) AS fp
             FROM documents
         """,
+        "minhash_pairs_md5": _minhash_md5_oracle(),
         "jaccard_pairs": """
             WITH sets AS (
                 SELECT doc_id AS id,

@@ -16,7 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["exact_dedup", "char_shingles", "word_shingles",
-           "minhash_signature", "minhash_lsh_pairs", "simhash",
+           "minhash_signature", "minhash_lsh_pairs",
+           "minhash_lsh_pairs_md5", "simhash",
            "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs",
            "embedding_neardup_lsh"]
 
@@ -131,6 +132,83 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                      .where(F.col("count") > max_bucket).select("bk"))
         banded = banded.join(F.broadcast(oversized), "bk", "left_anti")
     # candidates carry only (id, id2): the distinct stays narrow
+    cand = (banded.join(banded.select(F.col("id").alias("id2"),
+                                      F.col("bk").alias("bk2")),
+                        (F.col("bk") == F.col("bk2"))
+                        & (F.col("id") < F.col("id2")))
+            .select("id", "id2").distinct())
+    pairs = (cand
+             .join(sig, "id")
+             .join(sig.select(F.col("id").alias("id2"),
+                              F.col("sig").alias("sig2")), "id2"))
+    est = pairs.select(
+        "id", "id2",
+        (F.size(F.filter(
+            F.zip_with("sig", "sig2", lambda a, b: (a == b).cast("int")),
+            lambda x: x == 1)) / F.lit(num_hashes)).alias("est_jaccard"))
+    return est.where(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def minhash_lsh_pairs_md5(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", num_hashes: int = 16,
+                          bands: int = 4, shingle_k: int = 5,
+                          jaccard_threshold: float = 0.5,
+                          max_bucket: int = 0) -> DataFrame:
+    """:func:`minhash_lsh_pairs` with an ENGINE-PORTABLE hash family —
+    the value-checkable form of the MinHash pipeline.
+
+    The fast path's ``xxhash64`` + multiplicative mixing cannot be
+    reproduced by another SQL engine, so the driver can only row-count
+    it. Here each of the ``num_hashes`` families is the 60-bit prefix
+    of ``md5(j || ':' || shingle)`` — both Spark
+    (``conv(substr(md5(..),1,15),16,10)``) and DuckDB
+    (``('0x'||substr(md5(..),1,15))::bigint``) yield the identical
+    integer, so signatures, band keys (the raw value concat — no
+    engine-local ``hash()``), the candidate-pair SET, and the estimated
+    Jaccard (k a power of two → the division is exact in binary) are
+    all bit-reproducible and the whole pipeline gets an exact oracle.
+
+    Same scale shape as the fast path (bucketed equality self-join,
+    optional degenerate-bucket cap); k string-hashes per shingle
+    instead of one, so at 100 TB prefer :func:`minhash_lsh_pairs` and
+    use this form as the cross-engine conformance harness.
+    """
+    rows_per_band = num_hashes // bands
+    c = F.col(text_col)
+    # guard floor at 1 (not 0): Spark's sequence(1, 0) would step
+    # BACKWARD to [1, 0]; DuckDB's generate_series(1, 0) is empty —
+    # floor 1 gives both engines exactly one ''/whole-text shingle
+    n = F.greatest(F.length(c) - (shingle_k - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: c.substr(i, F.lit(shingle_k))))
+
+    def lane(j: int):
+        # NOTE: must be a closure factory returning a ONE-argument
+        # lambda — `lambda s, j=j:` has arity 2, which pyspark treats
+        # as transform's (element, index) form and silently binds j to
+        # the element INDEX column instead of the seed
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), s)), 1, 15),
+            16, 10).cast("long")
+
+    sig = df.select(F.col(id_col).alias("id"), shingles.alias("_sh")) \
+        .select("id", F.array(*[
+            F.array_min(F.transform("_sh", lane(j)))
+            for j in range(num_hashes)]).alias("sig")).cache()
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", F.transform(
+                         F.slice("sig", b * rows_per_band + 1,
+                                 rows_per_band),
+                         lambda x: x.cast("string"))).alias("bh"))
+            for b in range(bands)])).alias("bk"))
+    if max_bucket:
+        oversized = (banded.groupBy("bk").count()
+                     .where(F.col("count") > max_bucket).select("bk"))
+        banded = banded.join(F.broadcast(oversized), "bk", "left_anti")
     cand = (banded.join(banded.select(F.col("id").alias("id2"),
                                       F.col("bk").alias("bk2")),
                         (F.col("bk") == F.col("bk2"))
