@@ -795,6 +795,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, max_hamming=6)
 
 
+def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with the engine-portable md5 family — the VALUE-CHECKED
+    form of the SimHash pipeline: 32-bit set-semantics signature,
+    block-pair buckets, exact ``bit_count(xor)`` hamming, all integer
+    arithmetic reproducible in DuckDB."""
+    from br_archive_spark.functions.dedup import simhash_pairs_md5
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    pairs = simhash_pairs_md5(docs, max_hamming=6)
+    return pairs.select(F.col("id").alias("doc_a"),
+                        F.col("id2").alias("doc_b"),
+                        F.col("hamming").cast("long").alias("hamming"))
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard over a small id range; integer
     intersection/union sizes are engine-portable → full oracle."""
@@ -979,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1573,6 +1589,62 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs_md5": _minhash_md5_oracle(),
+        # simhash_pairs_md5: 32-bit set-semantics simhash, same md5
+        # low-32 hash family as Spark; block-pair buckets (8 nibble
+        # blocks), exact bit_count(xor) hamming — all integer-exact
+        "simhash_pairs_md5": """
+            WITH sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct([substr(text, i, 5)
+                           for i in generate_series(
+                               1, greatest(length(text) - 4, 1))])) AS s
+                FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                      FROM documents)
+            ),
+            hh AS (
+                SELECT doc_id,
+                       ('0x'||substr(md5('s:'||s),1,15))::BIGINT
+                           & 4294967295 AS h
+                FROM sh
+            ),
+            bits AS (
+                SELECT doc_id, bb.b AS b,
+                       sum(CASE WHEN (h >> bb.b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS c
+                FROM hh, (SELECT unnest(generate_series(0, 31)) AS b) bb
+                GROUP BY doc_id, bb.b
+            ),
+            sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN c > 0
+                                THEN (CAST(1 AS BIGINT) << b)
+                                ELSE 0 END) AS BIGINT) AS sig
+                FROM bits GROUP BY doc_id
+            ),
+            pidx AS (
+                SELECT ii.i AS i, jj.j AS j
+                FROM (SELECT unnest(generate_series(0, 7)) AS i) ii,
+                     (SELECT unnest(generate_series(0, 7)) AS j) jj
+                WHERE ii.i < jj.j
+            ),
+            keys AS (
+                SELECT s.doc_id, p.i * 8 + p.j AS t,
+                       ((s.sig >> (p.i * 4)) & 15)
+                           | (((s.sig >> (p.j * 4)) & 15) << 4) AS bk
+                FROM sig s, pidx p
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM keys a JOIN keys b
+                  ON a.t = b.t AND a.bk = b.bk AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sig x ON x.doc_id = c.doc_a
+            JOIN sig y ON y.doc_id = c.doc_b
+            WHERE bit_count(xor(x.sig, y.sig)) <= 6
+        """,
         "jaccard_pairs": """
             WITH sets AS (
                 SELECT doc_id AS id,

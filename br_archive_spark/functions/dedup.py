@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 __all__ = ["exact_dedup", "char_shingles", "word_shingles",
            "minhash_signature", "minhash_lsh_pairs",
            "minhash_lsh_pairs_md5", "simhash",
-           "simhash_pairs", "jaccard_pairs", "embedding_neardup_pairs",
+           "simhash_pairs", "simhash_pairs_md5", "jaccard_pairs",
+           "embedding_neardup_pairs",
            "embedding_neardup_lsh"]
 
 
@@ -354,6 +355,81 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             for i in range(blocks) for j in range(i + 1, blocks)]
     buckets = sigs.select(
         "id", "sig", F.explode(F.array(*keys)).alias("tb"))
+    if max_bucket:
+        oversized = (buckets.groupBy("tb").count()
+                     .where(F.col("count") > max_bucket).select("tb"))
+        buckets = buckets.join(F.broadcast(oversized), "tb", "left_anti")
+    cand = (buckets.select("id", "tb")
+            .join(buckets.select(F.col("id").alias("id2"),
+                                 F.col("tb").alias("tb2")),
+                  (F.col("tb") == F.col("tb2"))
+                  & (F.col("id") < F.col("id2")))
+            .select("id", "id2").distinct())
+    return (cand
+            .join(sigs, "id")
+            .join(sigs.select(F.col("id").alias("id2"),
+                              F.col("sig").alias("sig2")), "id2")
+            .withColumn("hamming",
+                        F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id", "id2", "hamming"))
+
+
+def simhash_pairs_md5(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 6,
+                      blocks: int = 8, shingle_k: int = 5,
+                      max_bucket: int = 0) -> DataFrame:
+    """:func:`simhash_pairs` with an ENGINE-PORTABLE hash family — the
+    value-checkable conformance twin (same role as
+    :func:`minhash_lsh_pairs_md5` for MinHash).
+
+    32-bit signature over DISTINCT shingles (set semantics so a plain
+    SQL GROUP BY reproduces the per-bit counters without duplicate
+    weighting); the shingle hash is the low 32 bits of the 60-bit md5
+    prefix, bit-identical in DuckDB. Block-pair bucketing (Manku
+    WWW'07) over 8 nibble blocks guarantees recall through
+    hamming <= blocks-2 = 6; candidates come from equality joins and
+    hamming is exact ``bit_count(xor)`` — every value integer-exact
+    cross-engine.
+    """
+    c = F.col(text_col)
+    n = F.greatest(F.length(c) - (shingle_k - 1), F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: c.substr(i, F.lit(shingle_k))))
+    hashes = F.transform(
+        shingles,
+        lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), s)), 1, 15),
+            16, 10).cast("long").bitwiseAND(
+                F.lit(0xFFFFFFFF).cast("long")))
+    n_bits = 32
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(n_bits)])
+    counters = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(
+                h.bitwiseAND(m) != 0,
+                F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))))
+    sig_expr = F.aggregate(
+        F.zip_with(counters, masks,
+                   lambda cnt, m: F.when(cnt > 0, m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda s, x: s.bitwiseOR(x))
+    sigs = df.select(F.col(id_col).alias("id"),
+                     sig_expr.alias("sig")).cache()
+    bw = n_bits // blocks
+
+    def block(i: int):
+        return F.shiftrightunsigned("sig", i * bw).bitwiseAND(
+            F.lit((1 << bw) - 1).cast("long"))
+
+    keys = [F.struct(F.lit(i * blocks + j).alias("t"),
+                     block(i).bitwiseOR(
+                         F.shiftleft(block(j), bw)).alias("b"))
+            for i in range(blocks) for j in range(i + 1, blocks)]
+    buckets = sigs.select("id", F.explode(F.array(*keys)).alias("tb"))
     if max_bucket:
         oversized = (buckets.groupBy("tb").count()
                      .where(F.col("count") > max_bucket).select("tb"))
