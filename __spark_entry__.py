@@ -878,6 +878,45 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN with a DRIVER-SIDE literal hyperplane family
+    (hashlib md5 → ±1 matrix) — the VALUE-CHECKED form of knn_lsh.
+    The sketch projection is a left fold over (emb[d] · ±1) literals,
+    bit-reproducible in DuckDB, so buckets — and hence the candidate
+    set and ranks — match exactly."""
+    from br_archive_spark.functions.similarity import (hyperplane_family,
+                                                       lsh_topk)
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    queries = emb.where(F.col("vec_id") < 20)
+    out = lsh_topk(emb, queries, k=5,
+                   family=hyperplane_family(8, 64, salt=0))
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
+def q_embedding_neardup_lsh_md5(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH near-dup pairs with driver-side
+    literal families — the VALUE-CHECKED form of
+    embedding_neardup_lsh (same plan shape: bucket equality self-join,
+    never a cross join)."""
+    from br_archive_spark.functions.dedup import embedding_neardup_lsh
+    from br_archive_spark.functions.similarity import hyperplane_family
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    pairs = embedding_neardup_lsh(
+        emb, threshold=0.2, planes=6, tables=4, max_bucket=0,
+        families=[hyperplane_family(6, 64, salt=t) for t in range(4)])
+    return pairs.select(
+        "id", "id2",
+        F.round(F.col("cosine") * 10000).cast("long").alias("cos_bp"))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length sequence packing (concatenate token stream in
     doc_id order, cut every 512): the op between a deduped token table
@@ -1000,6 +1039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_lsh_md5": q_knn_lsh_md5,
+        "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "token_histogram": q_token_histogram,
@@ -1059,6 +1100,73 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4,
             JOIN mh y ON y.doc_id = c.doc_b
             WHERE {agree} >= {k // 2}
         """
+
+
+def _lsh_bucket_sql(fam: list[list[float]]) -> str:
+    """DuckDB expression for the literal-hyperplane sign sketch of
+    ``emb``: per plane, a ``list_reduce`` left fold over
+    emb[d] · (±1) — the same operand order as the Spark side's
+    ``aggregate`` fold, hence bit-identical doubles and sign bits."""
+    def proj(w):
+        lits = "[" + ",".join(str(int(x)) for x in w) + "]"
+        return ("list_reduce(list_transform(list_zip(emb, " + lits
+                + "), z -> z[1] * z[2]), (a,b) -> a + b)")
+    return "(" + " + ".join(
+        f"CASE WHEN {proj(w)} > 0 THEN {1 << p} ELSE 0 END"
+        for p, w in enumerate(fam)) + ")"
+
+
+def _knn_lsh_md5_oracle() -> str:
+    from br_archive_spark.functions.similarity import hyperplane_family
+
+    bucket = _lsh_bucket_sql(hyperplane_family(8, 64, salt=0))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        s AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.emb, c.emb) AS cosine
+            FROM s q JOIN s c ON q.bucket = c.bucket
+            WHERE q.vec_id < 20 AND q.vec_id != c.vec_id
+        )
+        SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank
+        FROM (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM scored)
+        WHERE rnk <= 5
+    """
+
+
+def _emb_lsh_md5_oracle() -> str:
+    from br_archive_spark.functions.similarity import hyperplane_family
+
+    buckets = [_lsh_bucket_sql(hyperplane_family(6, 64, salt=t))
+               for t in range(4)]
+    sel = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
+    union = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tab, b{t} AS bucket FROM s"
+        for t in range(4))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings),
+        s AS (SELECT vec_id, emb, {sel} FROM e),
+        buck AS ({union}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id, b.vec_id AS id2
+            FROM buck a JOIN buck b
+              ON a.tab = b.tab AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT c.id, c.id2,
+               CAST(ROUND(list_cosine_similarity(x.emb, y.emb) * 10000)
+                    AS BIGINT) AS cos_bp
+        FROM cand c
+        JOIN e x ON x.vec_id = c.id
+        JOIN e y ON y.vec_id = c.id2
+        WHERE list_cosine_similarity(x.emb, y.emb) >= 0.2
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1739,6 +1847,8 @@ def oracle_sql() -> dict[str, str]:
                    ) % 1000 AS INT) AS mill
             FROM hx, generate_series(0, 15) AS g(i)
         """,
+        "knn_lsh_md5": _knn_lsh_md5_oracle(),
+        "embedding_neardup_lsh_md5": _emb_lsh_md5_oracle(),
         "knn_cosine": """
             WITH e AS (SELECT vec_id,
                               CAST(embedding AS DOUBLE[]) AS emb

@@ -231,7 +231,9 @@ def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.95,
                           planes: int = 6, tables: int = 4,
-                          max_bucket: int = 5_000) -> DataFrame:
+                          max_bucket: int = 5_000,
+                          families: list[list[list[float]]] | None = None
+                          ) -> DataFrame:
     """Embedding near-duplicate pairs, LSH-bucketed — the scale path.
 
     Multi-table random-hyperplane LSH: each vector gets ``tables``
@@ -250,13 +252,17 @@ def embedding_neardup_lsh(emb: DataFrame, id_col: str = "vec_id",
     :func:`minhash_lsh_pairs`). Pairs found by several tables dedupe on
     the narrow (id, id2) before the exact-cosine join.
     """
-    from .similarity import _sketch, with_norm
+    from .similarity import _sketch, _sketch_lit, with_norm
 
+    # families: optional per-table literal hyperplane matrices (from
+    # similarity.hyperplane_family with salt=t) replacing the in-plan
+    # xxhash64 weights — the engine-portable, value-checkable form
     base = with_norm(emb, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         F.col("_norm").alias("n"),
         F.array(*[
-            _sketch(vec_col, planes, salt=t) for t in range(tables)
+            _sketch_lit(vec_col, families[t]) if families is not None
+            else _sketch(vec_col, planes, salt=t) for t in range(tables)
         ]).alias("_sk")).cache()
     buck = base.select(
         "id",

@@ -19,7 +19,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "lsh_topk"]
+__all__ = ["with_norm", "cosine_topk", "lsh_topk", "hyperplane_family"]
+
+
+def hyperplane_family(planes: int, dim: int,
+                      salt: int = 0) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix derived DRIVER-SIDE from
+    ``hashlib.md5`` — engine-neutral, so an external SQL engine given
+    the same literal matrix reproduces the sketch bit-for-bit (the
+    value-checkable alternative to the in-plan ``xxhash64`` weights of
+    :func:`_sketch`). The matrix is tiny (planes × dim) and ships in
+    the plan as literals — broadcast-free and identical on every
+    executor."""
+    import hashlib
+
+    return [[1.0 if hashlib.md5(f"{salt}:{p}:{d}".encode()).digest()[0]
+             & 1 else -1.0
+             for d in range(dim)]
+            for p in range(planes)]
+
+
+def _sketch_lit(vec_col: str, fam: list[list[float]]):
+    """Sign sketch against a LITERAL weight matrix (see
+    :func:`hyperplane_family`). The projection is the same
+    left-to-right ``aggregate`` fold as :func:`_dot`, so another
+    engine folding the identical literals in order gets bit-identical
+    doubles — and therefore identical sign bits."""
+    acc = F.lit(0).cast("long")
+    for b, w in enumerate(fam):
+        wl = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), wl, lambda v, m: v * m),
+            F.lit(0.0), lambda a, x: a + x)
+        acc = acc.bitwiseOR(
+            F.when(proj > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return acc
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -89,18 +124,25 @@ def _sketch(vec_col: str, planes: int, salt: int | None = None):
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             planes: int = 12, dim: int = 64) -> DataFrame:
+             planes: int = 12, dim: int = 64,
+             family: list[list[float]] | None = None) -> DataFrame:
     """Approximate top-k: exact cosine restricted to same-LSH-bucket
     candidates (single-probe). Recall < 1 by construction; compare with
-    :func:`cosine_topk` to measure."""
+    :func:`cosine_topk` to measure.
+
+    ``family``: optional literal hyperplane matrix (from
+    :func:`hyperplane_family`) replacing the in-plan xxhash64 weights —
+    use when the sketch must be reproducible outside Spark."""
+    sk = (_sketch_lit(vec_col, family) if family is not None
+          else _sketch(vec_col, planes))
     c = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         F.col("_norm").alias("_cn"),
-        _sketch(vec_col, planes).alias("_bucket"))
+        sk.alias("_bucket"))
     q = with_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
-        _sketch(vec_col, planes).alias("_qbucket"))
+        sk.alias("_qbucket"))
     scored = (c.join(q, F.col("_bucket") == F.col("_qbucket"))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine",
