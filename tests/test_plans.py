@@ -190,3 +190,16 @@ def test_lookup_range_prunes_before_decode(spark):
     enc = encode_table(src, mode="range", num_parts=4)
     plan = _plan(lookup_range(enc, "d1", "d2"))
     assert "key_min" in plan and "key_max" in plan
+
+
+def test_md5_twins_have_no_cartesian_product(spark, queries):
+    """The engine-portable `_md5` conformance twins must keep the SAME
+    scale shape as their xxhash64 fast paths: candidates from equality
+    joins on band/block/bucket keys — a CartesianProduct or
+    BroadcastNestedLoopJoin means the portable form silently
+    degenerated into all-pairs."""
+    for name in ("minhash_pairs_md5", "simhash_pairs_md5",
+                 "embedding_neardup_lsh_md5", "knn_lsh_md5"):
+        plan = _plan(queries[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
