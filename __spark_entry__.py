@@ -386,6 +386,47 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                         verify_checksums=True)
 
 
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot log + time travel (operators/snapshots.py): commit v1,
+    MERGE-commit v2 (chunk-granular COW upsert — only rewritten chunks
+    land in v2's append-only seq directory), then read BOTH snapshots
+    back — v1 must still decode to the pre-merge table byte-for-byte
+    (checksum-verified) while the head shows the merge. The oracle
+    reproduces both versions in SQL, so a commit that leaks v2 chunks
+    into v1 (or loses v1 chunks) breaks the value hash."""
+    import tempfile
+
+    from br_archive_spark.operators import (commit_snapshot, decode_table,
+                                            encode_table, load_snapshot,
+                                            upsert_rows)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    specs = [("doc_id", "string"), ("text", "string")]
+    tbl = tempfile.mkdtemp(prefix="bra_snap_")
+    enc = encode_table(docs, specs=specs, mode="range", key="doc_id",
+                       num_parts=4, target_values=1 << 13)
+    r1 = commit_snapshot(enc, tbl, op="encode")
+    updates = (docs.where(F.col("doc_id").cast("long") % 10 == 0)
+               .select("doc_id",
+                       F.concat(F.lit("UPDATED:"), "doc_id")
+                       .alias("text")))
+    inserts = spark.createDataFrame(
+        [("new-a", "inserted document a"),
+         ("new-b", "inserted document b")], "doc_id string, text string")
+    man2 = upsert_rows(load_snapshot(spark, tbl),
+                       updates.unionByName(inserts), key="doc_id",
+                       specs=specs, num_parts=2)
+    commit_snapshot(man2, tbl, op="upsert")
+    v1 = decode_table(load_snapshot(spark, tbl, r1["snapshot_id"]),
+                      specs=specs, with_n_tok=False,
+                      verify_checksums=True)
+    v2 = decode_table(load_snapshot(spark, tbl), specs=specs,
+                      with_n_tok=False, verify_checksums=True)
+    return (v1.withColumn("version", F.lit(1).cast("int"))
+            .unionByName(v2.withColumn("version", F.lit(2).cast("int"))))
+
+
 def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric zone-map scan (r3): every int-backed column records
     per-chunk vmin/vmax in the payload-free ``column_stats``;
@@ -1008,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown": q_agg_pushdown,
         "schema_evolution": q_schema_evolution,
         "merge_upsert": q_merge_upsert,
+        "time_travel": q_time_travel,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1311,6 +1353,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'new-a', 'inserted document a'
             UNION ALL
             SELECT 'new-b', 'inserted document b'
+        """,
+        "time_travel": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   CAST(1 AS INT) AS version
+            FROM documents
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'UPDATED:' || CAST(doc_id AS VARCHAR)
+                        ELSE text END AS text,
+                   CAST(2 AS INT) AS version
+            FROM documents
+            UNION ALL
+            SELECT 'new-a', 'inserted document a', CAST(2 AS INT)
+            UNION ALL
+            SELECT 'new-b', 'inserted document b', CAST(2 AS INT)
         """,
         "numeric_range_scan": """
             SELECT o_orderkey, o_custkey,

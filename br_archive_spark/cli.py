@@ -70,6 +70,20 @@ def cmd_decode(args) -> int:
     if os.path.exists(args.output) and not args.yes:
         print(json.dumps({"error": f"{args.output} exists (use -y)"}))
         return 1
+    if getattr(args, "at", None) is not None:
+        # time travel: input is a snapshot table dir; decode the head
+        # (--at with no id) or the named snapshot
+        from .operators.decode import decode_table, manifest_specs
+        from .operators.snapshots import load_snapshot
+
+        man = load_snapshot(spark, args.input, args.at or None)
+        decode_table(man, specs=manifest_specs(man), with_n_tok=False,
+                     global_dict=gd).write.mode(
+            "overwrite" if args.yes else "errorifexists"
+        ).parquet(args.output)
+        print(json.dumps(
+            {"rows": spark.read.parquet(args.output).count()}))
+        return 0
     if args.mode == "direct":
         # bulk path: tasks read manifest shards and write decoded
         # shards in-process (operators.decode.decode_files)
@@ -125,6 +139,33 @@ def cmd_list(args) -> int:
                       "ratio": totals["enc_bytes"] / totals["orig_bytes"]}))
     compression_report(man).show(50, truncate=False)
     return 0
+
+
+def cmd_snapshot(args) -> int:
+    # import the submodule explicitly: operators/__init__ re-exports a
+    # FUNCTION named `snapshots`, which shadows the module attribute
+    from .operators.snapshots import (commit_snapshot, expire_snapshots,
+                                      rollback, snapshots)
+
+    spark = _spark(args)
+    if args.action == "log":
+        for r in snapshots(spark, args.table).collect():
+            print(json.dumps(r.asDict()))
+        return 0
+    if args.action == "commit":
+        man = spark.read.parquet(args.manifest)
+        row = commit_snapshot(man, args.table, op=args.op,
+                              rewrite=args.rewrite)
+        print(json.dumps(row))
+        return 0
+    if args.action == "rollback":
+        print(json.dumps(rollback(spark, args.table, args.id)))
+        return 0
+    if args.action == "expire":
+        print(json.dumps(expire_snapshots(
+            spark, args.table, keep_last=args.keep)))
+        return 0
+    return 1
 
 
 def cmd_verify(args) -> int:
@@ -329,7 +370,36 @@ def main(argv: list[str] | None = None) -> int:
                    default="direct",
                    help="direct: tasks read/write shards in-process; "
                         "spark: JVM scan + job-committed write")
+    p.add_argument("--at", nargs="?", const="", default=None,
+                   metavar="SNAPSHOT_ID",
+                   help="treat input as a snapshot table dir and "
+                        "decode as of the given snapshot (no id: "
+                        "the current head)")
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("snapshot",
+                       help="snapshot log / commit / rollback / expire")
+    snapsub = p.add_subparsers(dest="action", required=True)
+    q = snapsub.add_parser("log", help="print the commit log")
+    q.add_argument("table")
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("commit",
+                           help="commit a manifest as the new head")
+    q.add_argument("manifest")
+    q.add_argument("table")
+    q.add_argument("--op", default="commit")
+    q.add_argument("--rewrite", action="store_true",
+                   help="consolidate all chunks into the fresh seq "
+                        "dir (in-table compaction)")
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("rollback", help="make an old snapshot head")
+    q.add_argument("table")
+    q.add_argument("id")
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("expire", help="GC unreferenced history")
+    q.add_argument("table")
+    q.add_argument("--keep", type=int, default=2)
+    q.set_defaults(fn=cmd_snapshot)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
     p.add_argument("input")

@@ -8,6 +8,8 @@ from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .evolve import (add_column, delete_rows, drop_columns,
                      rename_column, upsert_rows)
+from .snapshots import (commit_snapshot, expire_snapshots,
+                        load_snapshot, rollback, snapshots)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -19,6 +21,8 @@ __all__ = [
     "scan_range", "scan_range_files", "scan_where", "agg_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
     "delete_rows", "upsert_rows",
+    "commit_snapshot", "snapshots", "load_snapshot", "rollback",
+    "expire_snapshots",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

@@ -352,6 +352,7 @@ def upsert_rows(encoded: DataFrame, rows: DataFrame,
     instead. Follow with ``compact_manifest`` when repeated small
     upserts accumulate small chunks.
     """
+    from .decode import manifest_specs
     from .encode import encode_table
 
     specs = specs or manifest_specs(encoded)

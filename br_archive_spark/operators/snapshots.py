@@ -1,0 +1,291 @@
+"""Iceberg-style snapshot log + time travel over encoded manifests.
+
+The reference's container is one sequential archive file whose header
+carries the entry count and whose footer locates the header
+(``src/lib_bra_types.h:28-46``, ``src/io/lib_bra_io_file_ctx.c:289-421``)
+— a single immutable "snapshot". This module generalizes that to the
+table-format contract the north star names (Iceberg-stored inputs):
+a *versioned* encoded table where every commit is immutable, reads are
+reproducible as of any retained snapshot, and writes never rewrite
+history.
+
+Layout under ``table_dir``::
+
+    data/seq=N/        chunk rows (manifest schema) — APPEND-ONLY:
+                       each commit writes ONLY the chunks not already
+                       present in its parent snapshot
+    _index/<id>/       per-snapshot chunk list (chunk_id, checksum,
+                       seq) — metadata-only, payload-free
+    _log/NNNNNNNN-<id>.parquet
+                       one small file per commit: seq, snapshot id,
+                       parent, op, stats
+
+Scale design (the reason for this shape):
+
+* **Commit cost is proportional to the DELTA, not the table.** The
+  new-chunk set comes from a left-anti join of the manifest against
+  the parent's index on ``(chunk_id, checksum)`` — chunk-granular COW
+  operators (``upsert_rows``/``delete_rows``/``add_column``) pass
+  untouched chunks through byte-identical, so at 100 TB a small MERGE
+  commits only its rewritten chunks.
+* **Time travel reads are partition-pruned.** A snapshot's index
+  records the ``seq`` directory holding each chunk; ``load_snapshot``
+  reads only those ``data/seq=N`` directories and semi-joins the
+  (broadcast, metadata-small) index — unrelated commits are never
+  scanned.
+* **Snapshots are content-addressed.** The snapshot id derives from
+  the manifest's GF(2)-combined table checksum (:func:`table_checksum`
+  — the reference's CRC-combine generalized to table scope), so
+  re-committing identical content is a metadata-only no-op and
+  ``rollback`` is a log append, never a data move.
+* **Space reclamation composes with compaction.**
+  ``commit_snapshot(..., rewrite=True)`` consolidates the live table
+  into one fresh ``seq`` directory; :func:`expire_snapshots` then
+  drops ``seq`` directories no retained snapshot references.
+
+Single-writer (one driver) is assumed for commits, as with Iceberg's
+optimistic single-committer default; readers need no coordination.
+Paths must be Spark-visible (local or any Hadoop-supported FS).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .fsutil import path_tag, resolve_fs, write_parquet_atomic
+
+__all__ = ["commit_snapshot", "snapshots", "load_snapshot",
+           "rollback", "expire_snapshots"]
+
+_LOG_RE = re.compile(r"(\d{8})-([0-9a-f]{16})\.parquet$")
+
+_LOG_SCHEMA = pa.schema([
+    ("seq", pa.int64()),
+    ("snapshot_id", pa.string()),
+    ("parent_id", pa.string()),
+    ("op", pa.string()),
+    ("n_chunks", pa.int64()),
+    ("enc_bytes", pa.int64()),
+    ("committed_at", pa.float64()),
+])
+
+
+def _read_log(spark: SparkSession, table_dir: str) -> list[dict]:
+    """All log rows, seq-ascending. Empty list for a fresh table."""
+    fs, rel = resolve_fs(f"{table_dir}/_log")
+    from pyarrow.fs import FileSelector, FileType
+
+    if fs.get_file_info(rel).type != FileType.Directory:
+        return []
+    import pyarrow.parquet as pq
+
+    rows = []
+    for info in fs.get_file_info(FileSelector(rel)):
+        if _LOG_RE.search(info.path):
+            t = pq.read_table(info.path, filesystem=fs)
+            rows.extend(t.to_pylist())
+    rows.sort(key=lambda r: r["seq"])
+    return rows
+
+
+def _append_log(table_dir: str, row: dict) -> None:
+    from .fsutil import ensure_dir
+
+    t = pa.Table.from_pylist([row], schema=_LOG_SCHEMA)
+    name = f"{row['seq']:08d}-{row['snapshot_id']}.parquet"
+    ensure_dir(f"{table_dir}/_log")
+    write_parquet_atomic(t, f"{table_dir}/_log/{name}")
+
+
+def _index_path(table_dir: str, sid: str) -> str:
+    return f"{table_dir}/_index/{sid}"
+
+
+def _index_exists(table_dir: str, sid: str) -> bool:
+    from pyarrow.fs import FileType
+
+    fs, rel = resolve_fs(_index_path(table_dir, sid))
+    return fs.get_file_info(rel).type == FileType.Directory
+
+
+def commit_snapshot(manifest: DataFrame, table_dir: str,
+                    op: str = "commit", rewrite: bool = False) -> dict:
+    """Commit ``manifest`` as the table's new head snapshot.
+
+    Writes only the chunks absent from the current head (left-anti on
+    ``(chunk_id, checksum)``) into ``data/seq=N/``, a payload-free
+    chunk index under ``_index/<id>/``, and one log row. Committing
+    content identical to an existing snapshot reuses its data and
+    index outright (content addressing). Returns the log row.
+
+    ``rewrite=True`` is in-table compaction: ALL chunks are rewritten
+    into the fresh ``seq`` directory and the content id's index is
+    repointed there (same content, one consolidated location), so a
+    following :func:`expire_snapshots` reclaims every prior ``seq``
+    directory the history no longer references.
+    """
+    spark = manifest.sparkSession
+    from .verify import table_checksum
+
+    log = _read_log(spark, table_dir)
+    head = log[-1] if log else None
+    seq = (head["seq"] + 1) if head else 1
+    st = manifest.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("enc_bytes"), F.lit(0)).alias("b")).collect()[0]
+    crc = table_checksum(manifest)
+    sid = path_tag(f"{crc:08x}:{st['n']}:{st['b']}")
+
+    key = ["chunk_id", "checksum"]
+    if rewrite:
+        manifest.write.mode("errorifexists").parquet(
+            f"{table_dir}/data/seq={seq}")
+        idx = manifest.select(
+            *key, F.lit(seq).cast("long").alias("seq"))
+        idx.write.mode("overwrite").parquet(_index_path(table_dir, sid))
+    elif not _index_exists(table_dir, sid):
+        if head:
+            pidx = spark.read.parquet(
+                _index_path(table_dir, head["snapshot_id"]))
+            new_rows = manifest.join(F.broadcast(pidx), key, "left_anti")
+            idx = (manifest.select(*key)
+                   .join(F.broadcast(pidx.withColumnRenamed("seq", "pseq")),
+                         key, "left")
+                   .select(*key, F.coalesce("pseq", F.lit(seq))
+                           .cast("long").alias("seq")))
+        else:
+            new_rows = manifest
+            idx = manifest.select(
+                *key, F.lit(seq).cast("long").alias("seq"))
+        if new_rows.limit(1).count():
+            new_rows.write.mode("errorifexists").parquet(
+                f"{table_dir}/data/seq={seq}")
+        idx.write.mode("errorifexists").parquet(
+            _index_path(table_dir, sid))
+
+    row = {"seq": seq, "snapshot_id": sid,
+           "parent_id": head["snapshot_id"] if head else None,
+           "op": op, "n_chunks": int(st["n"]),
+           "enc_bytes": int(st["b"]), "committed_at": time.time()}
+    _append_log(table_dir, row)
+    return row
+
+
+def snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The commit log as a DataFrame (the ``unbra -l`` analog for
+    table history), seq-ascending."""
+    rows = _read_log(spark, table_dir)
+    if not rows:
+        raise FileNotFoundError(f"no snapshot log under {table_dir}")
+    return spark.createDataFrame(
+        pa.Table.from_pylist(rows, schema=_LOG_SCHEMA).to_pandas()) \
+        .orderBy("seq")
+
+
+def load_snapshot(spark: SparkSession, table_dir: str,
+                  snapshot_id: str | None = None) -> DataFrame:
+    """Manifest DataFrame as of ``snapshot_id`` (default: head).
+
+    Reads only the ``data/seq=N`` directories the snapshot's index
+    references (directory-level pruning), semi-joined against the
+    broadcast index on ``(chunk_id, checksum, seq)`` — including
+    ``seq`` so a content-identical chunk rewritten under a later
+    commit can never double-match. The result is a full-fidelity
+    manifest: every downstream operator (decode, lookups, zone-map
+    scans, evolve, compaction) composes with it unchanged.
+    """
+    log = _read_log(spark, table_dir)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log under {table_dir}")
+    sid = snapshot_id or log[-1]["snapshot_id"]
+    if not _index_exists(table_dir, sid):
+        raise FileNotFoundError(
+            f"snapshot {sid} has no index under {table_dir} "
+            "(unknown id, or expired by expire_snapshots)")
+    idx = spark.read.parquet(_index_path(table_dir, sid))
+    seqs = sorted(r["seq"] for r in idx.select("seq").distinct().collect())
+    if not seqs:  # empty-table snapshot
+        from .encode import MANIFEST_SPARK_SCHEMA
+
+        return spark.createDataFrame([], MANIFEST_SPARK_SCHEMA)
+    data = (spark.read.option("basePath", f"{table_dir}/data")
+            .parquet(*[f"{table_dir}/data/seq={s}" for s in seqs]))
+    return (data.join(F.broadcast(idx),
+                      ["chunk_id", "checksum", "seq"], "left_semi")
+            .drop("seq"))
+
+
+def rollback(spark: SparkSession, table_dir: str,
+             snapshot_id: str) -> dict:
+    """Make ``snapshot_id`` the head again — a pure log append (the
+    target's data and index already exist; nothing moves)."""
+    log = _read_log(spark, table_dir)
+    prior = [r for r in log if r["snapshot_id"] == snapshot_id]
+    if not prior:
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} not in the log of {table_dir}")
+    if not _index_exists(table_dir, snapshot_id):
+        raise FileNotFoundError(
+            f"snapshot {snapshot_id} was expired; cannot roll back")
+    head = log[-1]
+    row = dict(prior[-1])
+    row.update({"seq": head["seq"] + 1,
+                "parent_id": head["snapshot_id"],
+                "op": "rollback", "committed_at": time.time()})
+    _append_log(table_dir, row)
+    return row
+
+
+def expire_snapshots(spark: SparkSession, table_dir: str,
+                     keep_last: int = 2) -> dict:
+    """Garbage-collect history: keep the most recent ``keep_last``
+    DISTINCT snapshot ids, delete ``_index`` dirs of expired ones and
+    every ``data/seq=N`` directory no retained snapshot references.
+
+    A ``seq`` directory shared by retained and expired snapshots is
+    kept whole (chunk-level space amplification); to reclaim it fully,
+    ``compact_manifest`` + ``commit_snapshot`` first — compaction
+    rewrites the live table into one fresh ``seq`` directory, after
+    which prior directories become unreferenced. The log itself is
+    never rewritten (history stays auditable); loading an expired id
+    raises.
+    """
+    from pyarrow.fs import FileSelector, FileType
+
+    log = _read_log(spark, table_dir)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log under {table_dir}")
+    retained: list[str] = []
+    for r in reversed(log):
+        if r["snapshot_id"] not in retained:
+            retained.append(r["snapshot_id"])
+        if len(retained) >= keep_last:
+            break
+    keep_seqs: set[int] = set()
+    for sid in retained:
+        idx = spark.read.parquet(_index_path(table_dir, sid))
+        keep_seqs |= {r["seq"] for r in
+                      idx.select("seq").distinct().collect()}
+    dropped_idx, dropped_seqs = [], []
+    fs, rel = resolve_fs(f"{table_dir}/_index")
+    for info in fs.get_file_info(FileSelector(rel)):
+        sid = info.path.rsplit("/", 1)[-1]
+        if info.type == FileType.Directory and sid not in retained:
+            fs.delete_dir(info.path)
+            dropped_idx.append(sid)
+    dfs, drel = resolve_fs(f"{table_dir}/data")
+    if dfs.get_file_info(drel).type == FileType.Directory:
+        for info in dfs.get_file_info(FileSelector(drel)):
+            m = re.search(r"seq=(\d+)$", info.path)
+            if (info.type == FileType.Directory and m
+                    and int(m.group(1)) not in keep_seqs):
+                dfs.delete_dir(info.path)
+                dropped_seqs.append(int(m.group(1)))
+    return {"retained": retained, "dropped_indexes": dropped_idx,
+            "dropped_seq_dirs": sorted(dropped_seqs),
+            "kept_seq_dirs": sorted(keep_seqs)}

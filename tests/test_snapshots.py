@@ -1,0 +1,211 @@
+"""Snapshot log + time travel (operators/snapshots.py).
+
+The table-format generalization of the reference's immutable archive:
+commits are append-only and delta-sized, any retained snapshot loads
+reproducibly, rollback is a log append, expire reclaims unreferenced
+commit directories. Verified end to end through decode equality.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from br_archive_spark.operators import (commit_snapshot, decode_table,
+                                        encode_table, expire_snapshots,
+                                        infer_specs, load_snapshot,
+                                        rollback, snapshots, upsert_rows)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("body-"), F.col("id")).alias("text"))
+
+
+SPECS = [("doc_id", "string"), ("text", "string")]
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    src = _docs(spark)
+    enc = encode_table(src, specs=SPECS, mode="range", key="doc_id",
+                       num_parts=4, target_values=100)
+    row = commit_snapshot(enc, d, op="encode")
+    return d, src, row
+
+
+def test_commit_load_roundtrip(spark, table):
+    d, src, row = table
+    assert row["seq"] == 1 and row["parent_id"] is None
+    man = load_snapshot(spark, d)
+    out = decode_table(man, specs=SPECS, with_n_tok=False,
+                       verify_checksums=True)
+    assert _sorted_rows(out) == _sorted_rows(src)
+
+
+def test_upsert_commit_is_delta_sized(spark, table):
+    d, src, r1 = table
+    man1 = load_snapshot(spark, d)
+    updates = spark.createDataFrame(
+        [("7", "UPDATED-7"), ("999", "inserted")],
+        "doc_id string, text string")
+    man2 = upsert_rows(man1, updates, key="doc_id", specs=SPECS,
+                       num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+    assert r2["seq"] == 2 and r2["parent_id"] == r1["snapshot_id"]
+
+    # append-only delta: seq=2 holds only the rewritten + fresh chunks
+    delta = spark.read.parquet(os.path.join(d, "data", "seq=2"))
+    total = man2.count()
+    assert 0 < delta.count() < total
+
+    # both snapshots load with full fidelity
+    v1 = decode_table(load_snapshot(spark, d, r1["snapshot_id"]),
+                      specs=SPECS, with_n_tok=False)
+    assert _sorted_rows(v1) == _sorted_rows(src)
+    v2 = decode_table(load_snapshot(spark, d), specs=SPECS,
+                      with_n_tok=False, verify_checksums=True)
+    expect = {r[0]: r[1] for r in _sorted_rows(src)}
+    expect["7"] = "UPDATED-7"
+    expect["999"] = "inserted"
+    assert {r[0]: r[1] for r in _sorted_rows(v2)} == expect
+
+    log = snapshots(spark, d).collect()
+    assert [r["seq"] for r in log] == [1, 2]
+    assert log[1]["op"] == "upsert"
+
+
+def test_identical_recommit_is_metadata_only(spark, table):
+    d, _src, r1 = table
+    man = load_snapshot(spark, d)
+    r2 = commit_snapshot(man, d, op="recommit")
+    assert r2["snapshot_id"] == r1["snapshot_id"]  # content-addressed
+    assert r2["seq"] == 2
+    assert not os.path.exists(os.path.join(d, "data", "seq=2"))
+
+
+def test_rollback_and_expire(spark, table):
+    d, src, r1 = table
+    man1 = load_snapshot(spark, d)
+    man2 = upsert_rows(
+        man1, spark.createDataFrame([("7", "X")],
+                                    "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+    rb = rollback(spark, d, r1["snapshot_id"])
+    assert rb["seq"] == 3 and rb["parent_id"] == r2["snapshot_id"]
+
+    head = decode_table(load_snapshot(spark, d), specs=SPECS,
+                        with_n_tok=False)
+    assert _sorted_rows(head) == _sorted_rows(src)
+
+    # expire everything but the (rolled-back) head: v2's index and its
+    # delta-only seq dir go away, v1 stays loadable
+    res = expire_snapshots(spark, d, keep_last=1)
+    assert res["retained"] == [r1["snapshot_id"]]
+    assert r2["snapshot_id"] in res["dropped_indexes"]
+    assert res["dropped_seq_dirs"] == [2]
+    again = decode_table(load_snapshot(spark, d), specs=SPECS,
+                         with_n_tok=False, verify_checksums=True)
+    assert _sorted_rows(again) == _sorted_rows(src)
+    with pytest.raises(FileNotFoundError):
+        load_snapshot(spark, d, r2["snapshot_id"])
+    with pytest.raises(FileNotFoundError):
+        rollback(spark, d, r2["snapshot_id"])
+
+
+def test_compact_then_expire_reclaims_history(spark, tmp_path):
+    """The documented reclamation path: a rewrite commit consolidates
+    the live table into one fresh seq dir, expire then drops every
+    prior dir."""
+    d = str(tmp_path / "tbl")
+    src = _docs(spark, 300)
+    enc = encode_table(src, specs=SPECS, mode="range", key="doc_id",
+                       num_parts=4, target_values=64)
+    commit_snapshot(enc, d)
+    man = load_snapshot(spark, d)
+    man2 = upsert_rows(
+        man, spark.createDataFrame([("5", "Y")],
+                                   "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    commit_snapshot(man2, d, op="upsert")
+
+    r3 = commit_snapshot(load_snapshot(spark, d), d, op="compact",
+                         rewrite=True)
+    res = expire_snapshots(spark, d, keep_last=1)
+    assert res["kept_seq_dirs"] == [r3["seq"]]
+    assert set(res["dropped_seq_dirs"]) == {1, 2}
+    out = decode_table(load_snapshot(spark, d), specs=SPECS,
+                       with_n_tok=False, verify_checksums=True)
+    expect = {r[0]: r[1] for r in _sorted_rows(src)}
+    expect["5"] = "Y"
+    assert {r[0]: r[1] for r in _sorted_rows(out)} == expect
+
+
+def test_unknown_snapshot_raises(spark, table):
+    d, _src, _r1 = table
+    with pytest.raises(FileNotFoundError):
+        load_snapshot(spark, d, "0" * 16)
+    with pytest.raises(FileNotFoundError):
+        rollback(spark, d, "0" * 16)
+    with pytest.raises(FileNotFoundError):
+        snapshots(spark, str(_r1) + "-nope")
+
+
+def test_cli_snapshot_surface(spark, tmp_path, capsys):
+    """Drive the snapshot lifecycle through the CLI entry points:
+    commit, log, rollback, expire, and decode --at."""
+    import json
+
+    from br_archive_spark.cli import main
+
+    src = _docs(spark, 200)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=SPECS, mode="scan",
+                 target_values=64).write.parquet(man_dir)
+    tbl = str(tmp_path / "tbl")
+    base = ["--master", "local[2]", "--shuffle-partitions", "4"]
+
+    assert main(base + ["snapshot", "commit", man_dir, tbl]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["seq"] == 1
+
+    # second commit of modified content
+    man2 = upsert_rows(
+        load_snapshot(spark, tbl),
+        spark.createDataFrame([("3", "Z")], "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    man2_dir = str(tmp_path / "man2")
+    man2.write.parquet(man2_dir)
+    assert main(base + ["snapshot", "commit", man2_dir, tbl,
+                        "--op", "upsert"]) == 0
+    capsys.readouterr()
+
+    assert main(base + ["snapshot", "log", tbl]) == 0
+    log_rows = [json.loads(ln) for ln in
+                capsys.readouterr().out.strip().splitlines()]
+    assert [r["seq"] for r in log_rows] == [1, 2]
+
+    out1 = str(tmp_path / "out1")
+    assert main(base + ["decode", tbl, "-o", out1, "--at",
+                        r1["snapshot_id"]]) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(out1).select("doc_id", "text")
+    assert _sorted_rows(got) == _sorted_rows(src)
+
+    assert main(base + ["snapshot", "rollback", tbl,
+                        r1["snapshot_id"]]) == 0
+    capsys.readouterr()
+    head = decode_table(load_snapshot(spark, tbl), specs=SPECS,
+                        with_n_tok=False)
+    assert _sorted_rows(head) == _sorted_rows(src)
+
+    assert main(base + ["snapshot", "expire", tbl, "--keep", "1"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["retained"] == [r1["snapshot_id"]]
