@@ -427,6 +427,43 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(v2.withColumn("version", F.lit(2).cast("int"))))
 
 
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (operators/snapshots.py::
+    snapshot_diff): commit v1, MERGE-commit v2, then read the change
+    feed v1→v2 from the index symmetric difference — only the chunks
+    present in exactly one snapshot decode, so the cost is
+    delta-proportional (a 0.1%-of-chunks MERGE diffs 0.2% of the
+    table, never two full scans). Carried-over COW rows decode on
+    both sides and cancel in the full-row anti-joins; the oracle is
+    the exact expected add/del row set."""
+    import tempfile
+
+    from br_archive_spark.operators import (commit_snapshot, encode_table,
+                                            load_snapshot, snapshot_diff,
+                                            upsert_rows)
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    specs = [("doc_id", "string"), ("text", "string")]
+    tbl = tempfile.mkdtemp(prefix="bra_cdc_")
+    enc = encode_table(docs, specs=specs, mode="range", key="doc_id",
+                       num_parts=4, target_values=1 << 13)
+    r1 = commit_snapshot(enc, tbl, op="encode")
+    updates = (docs.where(F.col("doc_id").cast("long") % 10 == 0)
+               .select("doc_id",
+                       F.concat(F.lit("UPDATED:"), "doc_id")
+                       .alias("text")))
+    inserts = spark.createDataFrame(
+        [("new-a", "inserted document a"),
+         ("new-b", "inserted document b")], "doc_id string, text string")
+    man2 = upsert_rows(load_snapshot(spark, tbl),
+                       updates.unionByName(inserts), key="doc_id",
+                       specs=specs, num_parts=2)
+    r2 = commit_snapshot(man2, tbl, op="upsert")
+    return snapshot_diff(spark, tbl, r1["snapshot_id"],
+                         r2["snapshot_id"], specs=specs)
+
+
 def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric zone-map scan (r3): every int-backed column records
     per-chunk vmin/vmax in the payload-free ``column_stats``;
@@ -1050,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": q_schema_evolution,
         "merge_upsert": q_merge_upsert,
         "time_travel": q_time_travel,
+        "snapshot_changes": q_snapshot_changes,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1369,6 +1407,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'new-a', 'inserted document a', CAST(2 AS INT)
             UNION ALL
             SELECT 'new-b', 'inserted document b', CAST(2 AS INT)
+        """,
+        "snapshot_changes": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   'UPDATED:' || CAST(doc_id AS VARCHAR) AS text,
+                   'add' AS op
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                   'del' AS op
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT 'new-a', 'inserted document a', 'add'
+            UNION ALL
+            SELECT 'new-b', 'inserted document b', 'add'
         """,
         "numeric_range_scan": """
             SELECT o_orderkey, o_custkey,

@@ -145,7 +145,7 @@ def cmd_snapshot(args) -> int:
     # import the submodule explicitly: operators/__init__ re-exports a
     # FUNCTION named `snapshots`, which shadows the module attribute
     from .operators.snapshots import (commit_snapshot, expire_snapshots,
-                                      rollback, snapshots)
+                                      rollback, snapshot_diff, snapshots)
 
     spark = _spark(args)
     if args.action == "log":
@@ -164,6 +164,22 @@ def cmd_snapshot(args) -> int:
     if args.action == "expire":
         print(json.dumps(expire_snapshots(
             spark, args.table, keep_last=args.keep)))
+        return 0
+    if args.action == "diff":
+        from pyspark.sql import functions as F
+
+        diff = snapshot_diff(spark, args.table, getattr(args, "from"),
+                             args.to or None)
+        if args.output:
+            diff.write.mode("errorifexists").parquet(args.output)
+            print(json.dumps(
+                {"rows": spark.read.parquet(args.output).count()}))
+        else:
+            counts = {r["op"]: r["n"] for r in
+                      diff.groupBy("op").agg(
+                          F.count(F.lit(1)).alias("n")).collect()}
+            print(json.dumps({"add": counts.get("add", 0),
+                              "del": counts.get("del", 0)}))
         return 0
     return 1
 
@@ -399,6 +415,17 @@ def main(argv: list[str] | None = None) -> int:
     q = snapsub.add_parser("expire", help="GC unreferenced history")
     q.add_argument("table")
     q.add_argument("--keep", type=int, default=2)
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("diff",
+                           help="row-level change feed between two "
+                                "snapshots (delta chunks only)")
+    q.add_argument("table")
+    q.add_argument("from", metavar="FROM_ID")
+    q.add_argument("to", nargs="?", default=None, metavar="TO_ID",
+                   help="default: current head")
+    q.add_argument("-o", "--output", default=None,
+                   help="write the feed as parquet instead of "
+                        "printing add/del counts")
     q.set_defaults(fn=cmd_snapshot)
 
     p = sub.add_parser("list", help="manifest stats without decoding")

@@ -9,7 +9,8 @@ from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
 from .evolve import (add_column, delete_rows, drop_columns,
                      rename_column, upsert_rows)
 from .snapshots import (commit_snapshot, expire_snapshots,
-                        load_snapshot, rollback, snapshots)
+                        incremental_manifest, load_snapshot, rollback,
+                        snapshot_diff, snapshots)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -22,7 +23,7 @@ __all__ = [
     "manifest_specs", "add_column", "drop_columns", "rename_column",
     "delete_rows", "upsert_rows",
     "commit_snapshot", "snapshots", "load_snapshot", "rollback",
-    "expire_snapshots",
+    "expire_snapshots", "incremental_manifest", "snapshot_diff",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from br_archive_spark.operators import (commit_snapshot, decode_table,
                                         encode_table, expire_snapshots,
-                                        infer_specs, load_snapshot,
-                                        rollback, snapshots, upsert_rows)
+                                        incremental_manifest, infer_specs,
+                                        load_snapshot, rollback,
+                                        snapshot_diff, snapshots,
+                                        upsert_rows)
 
 
 def _docs(spark, n=400):
@@ -146,6 +148,73 @@ def test_compact_then_expire_reclaims_history(spark, tmp_path):
     expect = {r[0]: r[1] for r in _sorted_rows(src)}
     expect["5"] = "Y"
     assert {r[0]: r[1] for r in _sorted_rows(out)} == expect
+
+
+def test_incremental_manifest_is_delta_only(spark, table):
+    """incremental_manifest returns exactly the chunks v2 added (the
+    rewritten COW chunks + fresh insert chunks), decodable standalone,
+    and NEVER chunks carried over from v1."""
+    d, src, r1 = table
+    man1 = load_snapshot(spark, d)
+    updates = spark.createDataFrame(
+        [("7", "UPDATED-7"), ("999", "inserted")],
+        "doc_id string, text string")
+    man2 = upsert_rows(man1, updates, key="doc_id", specs=SPECS,
+                       num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+
+    inc = incremental_manifest(spark, d, r1["snapshot_id"],
+                               r2["snapshot_id"])
+    # the delta = v2 chunks minus v1 chunks, exactly — identity is
+    # (chunk_id, checksum): a COW rewrite keeps the chunk_id but
+    # changes the content checksum
+    key = ["chunk_id", "checksum"]
+    v1_ids = {tuple(r) for r in man1.select(*key).collect()}
+    v2_ids = {tuple(r)
+              for r in load_snapshot(spark, d).select(*key).collect()}
+    inc_ids = {tuple(r) for r in inc.select(*key).collect()}
+    assert inc_ids == v2_ids - v1_ids and inc_ids
+
+    # decoded delta rows contain the changed + inserted keys
+    rows = decode_table(inc, specs=SPECS, with_n_tok=False)
+    got = {r[0]: r[1] for r in _sorted_rows(rows)}
+    assert got["7"] == "UPDATED-7" and got["999"] == "inserted"
+
+    # from == to → empty manifest, decodes to zero rows
+    same = incremental_manifest(spark, d, r2["snapshot_id"],
+                                r2["snapshot_id"])
+    assert same.count() == 0
+
+
+def test_snapshot_diff_exact_row_cdc(spark, table):
+    """snapshot_diff emits the exact row-level change feed: carried
+    COW rows cancel, updates appear as del+add, inserts as add."""
+    d, src, r1 = table
+    man1 = load_snapshot(spark, d)
+    updates = spark.createDataFrame(
+        [("7", "UPDATED-7"), ("999", "inserted")],
+        "doc_id string, text string")
+    man2 = upsert_rows(man1, updates, key="doc_id", specs=SPECS,
+                       num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+
+    diff = snapshot_diff(spark, d, r1["snapshot_id"],
+                         r2["snapshot_id"], specs=SPECS)
+    got = _sorted_rows(diff)
+    assert got == sorted([("7", "body-7", "del"),
+                          ("7", "UPDATED-7", "add"),
+                          ("999", "inserted", "add")])
+
+    # diff of a snapshot against itself is empty
+    assert snapshot_diff(spark, d, r2["snapshot_id"],
+                         r2["snapshot_id"], specs=SPECS).count() == 0
+
+    # reverse direction swaps add/del
+    rev = _sorted_rows(snapshot_diff(spark, d, r2["snapshot_id"],
+                                     r1["snapshot_id"], specs=SPECS))
+    assert rev == sorted([("7", "body-7", "add"),
+                          ("7", "UPDATED-7", "del"),
+                          ("999", "inserted", "del")])
 
 
 def test_unknown_snapshot_raises(spark, table):
