@@ -217,6 +217,78 @@ def test_snapshot_diff_exact_row_cdc(spark, table):
                           ("999", "inserted", "del")])
 
 
+def test_snapshot_model_random_history(spark, tmp_path):
+    """Model-based check over a randomized commit history: a seeded
+    sequence of upserts, deletes, and rollbacks runs against both the
+    table and a plain in-memory dict model. Afterwards EVERY recorded
+    snapshot must still decode (checksum-verified) to the model state
+    captured at its commit, and snapshot_diff between consecutive
+    snapshots must equal the model-level diff — history is immutable
+    no matter how it was produced."""
+    import random
+
+    from br_archive_spark.operators import delete_rows
+
+    rng = random.Random(0xB7A)
+    d = str(tmp_path / "tbl")
+    model = {str(i): f"body-{i}" for i in range(250)}
+
+    def df_of(rows):
+        return spark.createDataFrame(list(rows.items()),
+                                     "doc_id string, text string")
+
+    enc = encode_table(df_of(model), specs=SPECS, mode="range",
+                       key="doc_id", num_parts=3, target_values=64)
+    r = commit_snapshot(enc, d, op="encode")
+    history = [(r["snapshot_id"], dict(model))]
+
+    next_id = 1000
+    for _step in range(4):
+        op = rng.choice(["upsert", "delete", "rollback"])
+        if op == "rollback" and len(history) > 1:
+            target = rng.choice(history[:-1])
+            rollback(spark, d, target[0])
+            model = dict(target[1])
+            history.append((target[0], dict(model)))
+            continue
+        man = load_snapshot(spark, d)
+        if op == "delete":
+            keys = rng.sample(sorted(model), k=min(7, len(model)))
+            man2 = delete_rows(man, keys, key="doc_id", specs=SPECS)
+            for k in keys:
+                model.pop(k)
+        else:
+            batch = {}
+            for k in rng.sample(sorted(model), k=5):
+                batch[k] = model[k] + "+u"
+            for _ in range(3):
+                batch[str(next_id)] = f"ins-{next_id}"
+                next_id += 1
+            man2 = upsert_rows(man, df_of(batch), key="doc_id",
+                               specs=SPECS, num_parts=1)
+            model.update(batch)
+        r = commit_snapshot(man2, d, op=op)
+        history.append((r["snapshot_id"], dict(model)))
+
+    # every recorded snapshot still reproduces its model state
+    for sid, state in history:
+        out = decode_table(load_snapshot(spark, d, sid), specs=SPECS,
+                           with_n_tok=False, verify_checksums=True)
+        assert {r[0]: r[1] for r in out.collect()} == state, sid
+
+    # consecutive diffs equal the model diff (skip no-op transitions:
+    # a rollback re-commits an EXISTING id, and diff(id, id) == empty)
+    for (sa, a), (sb, b) in zip(history, history[1:]):
+        got = {(r["doc_id"], r["text"], r["op"])
+               for r in snapshot_diff(spark, d, sa, sb,
+                                      specs=SPECS).collect()}
+        want = ({(k, v, "add") for k, v in b.items()
+                 if a.get(k) != v}
+                | {(k, v, "del") for k, v in a.items()
+                   if b.get(k) != v})
+        assert got == want, (sa, sb)
+
+
 def test_unknown_snapshot_raises(spark, table):
     d, _src, _r1 = table
     with pytest.raises(FileNotFoundError):
