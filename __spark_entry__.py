@@ -427,6 +427,29 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(v2.withColumn("version", F.lit(2).cast("int"))))
 
 
+def q_tokenize_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full upstream pipeline: raw documents → frequency-ranked
+    tokenization (functions/text.py::tokenize_corpus — engine-portable
+    regex, rank 1 = most frequent word, OOV→0, vocab driver-capped
+    like build_global_dict) → encode → decode → exact token equality.
+    One plan end to end: the word count is one map-side-combined
+    aggregate, id mapping a broadcast join, the per-doc re-collect the
+    single content shuffle; then the token arrays ride the normal
+    codec suite."""
+    from br_archive_spark.functions.text import tokenize_corpus
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "source")
+    tok, _vocab = tokenize_corpus(docs, vocab_size=512)
+    enc = encode_table(tok, num_parts=4, target_values=1 << 15)
+    dec = decode_table(enc)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"), "source")
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("int").alias("token"), "source"))
+
+
 def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level CDC between snapshots (operators/snapshots.py::
     snapshot_diff): commit v1, MERGE-commit v2, then read the change
@@ -1088,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
+        "tokenize_encode": q_tokenize_encode,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1407,6 +1431,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'new-a', 'inserted document a', CAST(2 AS INT)
             UNION ALL
             SELECT 'new-b', 'inserted document b', CAST(2 AS INT)
+        """,
+        "tokenize_encode": """
+            WITH w AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS word,
+                     generate_subscripts(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         1) - 1 AS pos
+              FROM documents
+            ), v AS (
+              SELECT word,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word)
+                         AS token_id
+              FROM w GROUP BY word
+              ORDER BY COUNT(*) DESC, word LIMIT 512
+            )
+            SELECT w.doc_id, CAST(w.pos AS INT) AS pos,
+                   CAST(COALESCE(v.token_id, 0) AS INT) AS token,
+                   w.source
+            FROM w LEFT JOIN v USING (word)
         """,
         "snapshot_changes": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

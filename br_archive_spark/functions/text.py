@@ -17,7 +17,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = ["token_count", "occurrence_count", "punct_count",
-           "quality_score", "lang_id", "fingerprint", "LANG_MARKERS"]
+           "quality_score", "lang_id", "fingerprint", "LANG_MARKERS",
+           "tokenize_corpus"]
 
 
 def token_count(text: Column | str) -> Column:
@@ -123,3 +124,71 @@ def fingerprint(text: Column | str, modulus: int = 1_000_000_007) -> Column:
              % modulus).alias("h"),
             ((acc["p"] * 31) % modulus).alias("p")),
         lambda acc: acc["h"])
+
+
+def tokenize_corpus(docs, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    source_col: str | None = "source",
+                    pattern: str = "[a-z0-9]+",
+                    vocab_size: int = 1 << 16):
+    """Raw documents → the north-star token-table shape
+    ``(doc_id, tokens:array<int>, n_tok, source)`` plus the vocab.
+
+    The upstream producer of everything the codec engine encodes: a
+    frequency-ranked vocabulary (rank 1 = most frequent word — the
+    skew the dictionary codecs exploit; ties broken by word so ids
+    are deterministic), words outside the top ``vocab_size`` → OOV
+    id 0. The default ``pattern`` is engine-portable regex (same
+    semantics in Java regex and RE2/DuckDB), so the whole pipeline
+    has an exact SQL oracle.
+
+    Scale shape (100 TB): word extraction and counting are one
+    map-side-combined aggregate (shuffle bounded by DISTINCT words);
+    the rank assignment first caps to ``vocab_size`` via
+    ``orderBy().limit()`` (a TakeOrdered at the driver — the same
+    driver-capped contract as ``build_global_dict``) so the
+    single-partition ranking window only ever sees ``vocab_size``
+    rows; id mapping is a BROADCAST join against that capped vocab;
+    the per-doc re-collect is the one content shuffle, keyed by
+    ``id_col`` (uniform). No per-row Python anywhere.
+
+    Returns ``(token_table, vocab)`` where vocab is
+    ``(word, token_id, n_occurrences)``.
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) if source_col else F.lit("corpus"))
+        .alias("source"),
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit(pattern), 0).alias("_words"))
+    exploded = words.select(
+        "doc_id", "source",
+        F.posexplode_outer("_words").alias("pos", "word"))
+    counts = (exploded.where(F.col("word").isNotNull())
+              .groupBy("word")
+              .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    capped = counts.orderBy(F.col("n_occurrences").desc(),
+                            F.col("word")).limit(vocab_size)
+    vocab = capped.withColumn(
+        "token_id",
+        F.row_number().over(
+            Window.orderBy(F.col("n_occurrences").desc(),
+                           F.col("word")))).select(
+        "word", "token_id", "n_occurrences")
+    mapped = (exploded
+              .join(F.broadcast(vocab.select("word", "token_id")),
+                    "word", "left")
+              .groupBy("doc_id", "source")
+              .agg(F.sort_array(F.collect_list(F.struct(
+                  "pos", F.coalesce("token_id", F.lit(0))
+                  .alias("tid")))).alias("_s")))
+    token_table = mapped.select(
+        "doc_id",
+        F.transform(
+            F.filter("_s", lambda x: x["pos"].isNotNull()),
+            lambda x: x["tid"].cast("int")).alias("tokens"),
+        "source").withColumn("n_tok", F.size("tokens")).select(
+        "doc_id", "tokens", "n_tok", "source")
+    return token_table, vocab

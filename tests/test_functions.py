@@ -219,3 +219,51 @@ def test_simhash_recall_vs_exact_jaccard(spark, docs):
     assert len(exact) >= 7
     recall = len(exact & sim) / len(exact)
     assert recall >= 0.9, f"recall {recall:.2f}"
+
+
+def test_tokenize_corpus_shape_and_ranks(spark):
+    from br_archive_spark.functions.text import tokenize_corpus
+
+    docs = spark.createDataFrame(
+        [("1", "the cat sat on the mat", "a"),
+         ("2", "THE CAT!!! ate...", "a"),
+         ("3", "", "b"),              # empty text -> empty tokens
+         ("4", "!!! ???", "b"),       # punctuation only -> empty
+         ("5", "zzz unique words here", "b")],
+        "doc_id string, text string, source string")
+    tok, vocab = tokenize_corpus(docs, vocab_size=4)
+    v = {r["word"]: (r["token_id"], r["n_occurrences"])
+         for r in vocab.collect()}
+    # 'the' (3) then 'cat' (2); remaining ties at count 1 broken by
+    # word order; vocab capped to 4
+    assert v["the"] == (1, 3) and v["cat"] == (2, 2)
+    assert len(v) == 4 and all(1 <= tid <= 4 for tid, _ in v.values())
+
+    rows = {r["doc_id"]: (r["tokens"], r["n_tok"], r["source"])
+            for r in tok.collect()}
+    assert set(rows) == {"1", "2", "3", "4", "5"}
+    assert rows["3"][0] == [] and rows["3"][1] == 0
+    assert rows["4"][0] == [] and rows["4"][1] == 0
+    # lowercasing folds THE/CAT onto the same ids; OOV -> 0
+    t1, t2 = rows["1"][0], rows["2"][0]
+    assert t1[0] == 1 and t1[4] == 1 and t1[1] == 2  # the..the / cat
+    assert t2[0] == 1 and t2[1] == 2
+    assert 0 in t2 or 0 in t1  # something fell out of the tiny vocab
+    # every id in range, positions preserved in order
+    assert rows["5"][1] == 4 and all(0 <= t <= 4 for t in rows["5"][0])
+
+
+def test_tokenize_corpus_feeds_encode_roundtrip(spark):
+    from br_archive_spark.functions.text import tokenize_corpus
+    from br_archive_spark.operators import encode_table, verify_roundtrip
+
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "), F.col("id").cast("string"),
+                 F.lit(" alpha alpha")).alias("text"),
+        F.lit("gen").alias("source"))
+    tok, _ = tokenize_corpus(docs, vocab_size=64)
+    tok = tok.cache()
+    enc = encode_table(tok, num_parts=2, target_values=256)
+    res = verify_roundtrip(tok, enc)
+    assert res["ok"] and res["mismatched_rows"] == 0

@@ -185,6 +185,12 @@ def test_incremental_manifest_is_delta_only(spark, table):
                                 r2["snapshot_id"])
     assert same.count() == 0
 
+    # directory-pruning lock: the incremental read must touch ONLY the
+    # delta's seq directory — v1's data files never appear in the scan
+    # (the payload-free _index files are metadata, expected)
+    files = [f for f in inc.inputFiles() if "/data/" in f]
+    assert files and all("/data/seq=2/" in f for f in files), files
+
 
 def test_snapshot_diff_exact_row_cdc(spark, table):
     """snapshot_diff emits the exact row-level change feed: carried
