@@ -1048,6 +1048,22 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("split", "source"))
 
 
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (functions/packing.py::
+    stratified_sample) — the domain-mixing step: keep 100% of src0,
+    50% of src1, 10% of src2, drop everything else, via an
+    md5-cutoff that is a pure function of the id (no RNG, no
+    shuffle; the filter folds into the scan). Exact oracle: the same
+    hex comparison in DuckDB."""
+    from br_archive_spark.functions.packing import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source")
+    out = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.1})
+    return out.select("doc_id", "source")
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequencies over the tokenized corpus (map-side
     partial aggregation bounds the shuffle to the vocab)."""
@@ -1112,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
         "tokenize_encode": q_tokenize_encode,
+        "domain_mix_sample": q_domain_mix_sample,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1960,6 +1977,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY 1, 2
             ORDER BY 1, 2
+        """,
+        "domain_mix_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, source
+            FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+                  CASE source WHEN 'src0' THEN 'g'
+                              WHEN 'src1' THEN '8000'
+                              WHEN 'src2' THEN '199a'
+                              ELSE '' END
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,

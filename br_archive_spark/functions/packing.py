@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences", "train_val_split", "token_histogram"]
+__all__ = ["pack_sequences", "train_val_split", "token_histogram",
+           "stratified_sample"]
 
 
 def pack_sequences(df: DataFrame, max_len: int,
@@ -163,3 +164,32 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens",
     if top_k:
         return hist.orderBy(F.col("freq").desc(), "token").limit(top_k)
     return hist
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str = "source",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-stratum sampling — the domain-mixing step of
+    a training pipeline (keep fraction f_s of each source s to hit a
+    target mixture).
+
+    A row survives iff ``md5(id)`` is lexicographically below its
+    stratum's hex cutoff ``hex(round(65536 * f_s))`` (4 hex chars →
+    1/65536 granularity; ``f >= 1`` → the sentinel ``"g"``, above
+    every hex digest). Like :func:`train_val_split`, a pure function
+    of the id: no RNG, no shuffle, no state — identical output on any
+    engine, any run, any cluster size, and a pushdown-friendly filter
+    (Catalyst folds the map lookup + comparison into the scan).
+    Strata absent from ``fractions`` are dropped (fraction 0).
+    """
+    def cutoff(f: float) -> str:
+        if f >= 1.0:
+            return "g"
+        return format(max(int(round(f * 65536)), 0), "04x")
+
+    pairs = []
+    for s, f in sorted(fractions.items()):
+        pairs += [F.lit(s), F.lit(cutoff(f))]
+    cut = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(""))
+    return df.where(F.md5(F.col(id_col).cast("string")) < cut)

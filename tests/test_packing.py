@@ -84,3 +84,28 @@ def test_token_histogram_counts(spark):
     assert got == {1: 2, 2: 2, 3: 1}
     top1 = token_histogram(df, top_k=1).collect()
     assert len(top1) == 1 and top1[0]["freq"] == 2
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from br_archive_spark.functions.packing import stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string"))
+        .alias("source"))
+    fr = {"s0": 1.0, "s1": 0.5, "s2": 0.1, "s3": 0.0}
+    out = stratified_sample(docs, fr, strata_col="source")
+    rows = out.groupBy("source").count().collect()
+    got = {r["source"]: r["count"] for r in rows}
+    assert got.get("s0") == 1000          # f=1 keeps everything
+    assert "s3" not in got                # f=0 drops everything
+    assert 400 <= got["s1"] <= 600        # ~50% of 1000
+    assert 50 <= got["s2"] <= 160         # ~10% of 1000
+    # deterministic: re-running yields the identical id set
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs, fr, strata_col="source").collect()}
+    assert a == b
+    # strata absent from the dict are dropped
+    extra = docs.withColumn("source", F.lit("unknown"))
+    assert stratified_sample(extra, fr, strata_col="source").count() == 0
