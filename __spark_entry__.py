@@ -172,7 +172,7 @@ def q_roundtrip_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_roundtrip_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-table round trip of raw TPC-H orders through auto-inferred
     specs — exercises the temporal (date32 days / timestamp[us] micros)
-    and decimal (unscaled-int64) kinds added in r3 (VERDICT r2
+    and decimal (unscaled-int64) kinds added in r3, plus the bool kind (0/1 int lane) (VERDICT r2
     "missing" #2; the reference compresses arbitrary bytes,
     src/io/lib_bra_io_file_chunks.c:169-312). Output formats temporal/
     decimal values to engine-portable scalars; the round-trip itself is
@@ -185,7 +185,8 @@ def q_roundtrip_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(12,2)").alias("o_price"),
         F.col("o_orderdate").alias("o_ts"),
         F.col("o_orderdate").cast("date").alias("o_date"),
-        "o_orderpriority")
+        "o_orderpriority",
+        (F.col("o_orderstatus") == "F").alias("is_fulfilled"))
     specs = infer_specs(orders)
     enc = encode_table(orders, specs=specs, num_parts=4)
     dec = decode_table(enc, specs=specs, with_n_tok=False)
@@ -197,7 +198,7 @@ def q_roundtrip_orders_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.date_format(F.col("o_date").cast("timestamp"),
                       "yyyy-MM-dd").alias("date_str"),
-        "o_orderpriority")
+        "o_orderpriority", "is_fulfilled")
 
 
 def q_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,7 +1356,8 @@ def oracle_sql() -> dict[str, str]:
                    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
                    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
                        AS date_str,
-                   o_orderpriority
+                   o_orderpriority,
+                   o_orderstatus = 'F' AS is_fulfilled
             FROM orders
         """,
         "roundtrip_hash_mode": """

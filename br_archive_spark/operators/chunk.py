@@ -27,6 +27,8 @@ with kinds:
   (embedding vectors); values go through the float suite
   (byte-shuffle + zstd), bit-exact.
 * ``float``     — a flat float64 column.
+* ``bool``      — a flat boolean column, mapped to a 0/1 int stream
+  (RLE/bit-pack are natural fits).
 * ``date`` / ``timestamp`` / ``decimal(p,s)`` — temporal and decimal
   columns, mapped losslessly to integer streams (date32 days,
   timestamp[us] epoch micros, decimal unscaled value with p <= 18) and
@@ -67,7 +69,7 @@ __all__ = ["encode_column", "decode_column", "decode_column_rows",
 
 def int_like(kind: str) -> bool:
     """Kinds whose chunk representation is a flat int64 stream."""
-    return kind in ("int", "date", "timestamp") \
+    return kind in ("int", "date", "timestamp", "bool") \
         or kind.startswith("decimal")
 
 
@@ -147,8 +149,8 @@ def encode_column(name: str, kind: str, data,
         codec, p, b = encode_int_auto(data, codecs)
         params = pack_frames([codec.encode(), p])
         payload = b
-        orig = {"int": 4, "date": 4, "timestamp": 8}.get(kind, 16) \
-            * len(data)
+        orig = {"int": 4, "date": 4, "timestamp": 8,
+                "bool": 1}.get(kind, 16) * len(data)
         vcodec = codec
         lcodec = ""
     elif kind in ("string", "binary"):

@@ -55,6 +55,7 @@ def _arrow_type(kind: str):
         "float": pa.float64(),
         "date": pa.date32(),
         "timestamp": pa.timestamp("us"),
+        "bool": pa.bool_(),
     }[kind]
 
 
@@ -114,6 +115,11 @@ def _rebuild(kind: str, data, n_rows: int, validity=None) -> pa.Array:
             return pa.array(np.asarray(data), type=pa.int64(),
                             mask=~row_valid)
         return pa.array(data, type=pa.int64())
+    if kind == "bool":
+        values = np.asarray(data, dtype=np.int64) != 0
+        if vbuf is not None:
+            return pa.array(values, type=pa.bool_(), mask=~row_valid)
+        return pa.array(values, type=pa.bool_())
     if kind in ("date", "timestamp") or kind.startswith("decimal"):
         # int64 stream back to its typed storage via raw buffers
         # (pa.array() refuses plain ints for temporal/decimal types)
@@ -615,7 +621,8 @@ def _decoded_spark_schema(specs: list[tuple[str, str]],
                        "float_list": "array<float>",
                        "double_list": "array<double>",
                        "float": "double",
-                       "date": "date", "timestamp": "timestamp"}[kind]
+                       "date": "date", "timestamp": "timestamp",
+                       "bool": "boolean"}[kind]
         parts.append(f"{name} {spark_t}")
     if with_n_tok:
         parts.append("n_tok int")

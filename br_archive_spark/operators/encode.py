@@ -220,6 +220,14 @@ def _extract(tbl: pa.Table, name: str, kind: str):
             col = pc.fill_null(col, 0)
         data = col.to_numpy(zero_copy_only=False).astype(np.int64)
         return data, (None if row_valid is None else (row_valid, None))
+    if kind == "bool":
+        row_valid = None
+        if col.null_count:
+            row_valid = np.asarray(pc.is_valid(col))
+            col = pc.fill_null(col, False)
+        data = col.cast(pa.int8()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return data, (None if row_valid is None else (row_valid, None))
     if kind in ("date", "timestamp"):
         # lossless int mapping: date32 -> days, timestamp -> epoch
         # micros. Normalize the unit FIRST: Spark's own Arrow batches
@@ -271,7 +279,7 @@ def _extract(tbl: pa.Table, name: str, kind: str):
 _SPARK_TYPE_TO_KIND = {
     "string": "string", "binary": "binary",
     "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
-    "float": "float", "double": "float",
+    "float": "float", "double": "float", "boolean": "bool",
     "date": "date", "timestamp": "timestamp",
     "timestamp_ntz": "timestamp",
     # no array<bigint>: int_list rebuilds as array<int32> (the mandated
@@ -316,7 +324,7 @@ def _n_values(tbl: pa.Table, specs: list[tuple[str, str]]) -> int:
 def _int_kind(kind: str) -> bool:
     """Kinds whose decoded values are (mapped to) integers — the kinds
     that carry numeric zone-map/aggregate stats in ``column_stats``."""
-    return kind in ("int", "date", "timestamp", "int_list") \
+    return kind in ("int", "date", "timestamp", "bool", "int_list") \
         or kind.startswith("decimal")
 
 

@@ -107,3 +107,28 @@ def test_infer_specs_full_orders_roundtrip(spark):
     a = orders.orderBy("o_orderkey").collect()
     b = dec.orderBy("o_orderkey").collect()
     assert a == b
+
+
+def test_bool_kind_roundtrip_with_nulls(spark):
+    """bool kind (r3): 0/1 int lane, RLE-friendly; nulls carried by the
+    nv. wrapper; decoded Spark type is boolean."""
+    src = spark.range(1500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 97 == 0, None)
+        .otherwise(F.col("id") % 7 < 3).alias("flag"),
+        (F.col("id") % 2 == 0).alias("even"))
+    specs = infer_specs(src)
+    assert ("flag", "bool") in specs and ("even", "bool") in specs
+    enc = encode_table(src, specs=specs, num_parts=2,
+                       target_values=256)
+    dec = decode_table(enc, specs=specs, with_n_tok=False)
+    assert dict(dec.dtypes)["flag"] == "boolean"
+    exp = sorted(tuple(r) for r in src.collect())
+    got = sorted(tuple(r) for r in dec.collect())
+    assert got == exp
+    # a constant-ish boolean column must compress far below 1 byte/val
+    st = (enc.selectExpr("explode(column_stats) s")
+          .where("s.name = 'even'")
+          .selectExpr("sum(s.enc_bytes) eb", "sum(s.n_vals) n")
+          .first())
+    assert st["eb"] / st["n"] < 0.5
