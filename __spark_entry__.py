@@ -1065,6 +1065,40 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate strip (functions/cleaning.py::
+    remove_boilerplate): a synthetic per-source banner + a global
+    footer are welded onto every document, then dropped again because
+    their corpus-wide paragraph counts exceed max_repeats — one
+    explode + one count shuffle (bounded by distinct paragraphs) +
+    one per-doc re-collect; pure codegen string ops. The oracle runs
+    the identical paragraph-count rule in SQL."""
+    from br_archive_spark.functions.cleaning import remove_boilerplate
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("BANNER-"), F.col("source"), F.lit("\n"),
+                 F.col("text"), F.lit("\nCOPYRIGHT FOOTER"))
+        .alias("text"))
+    return remove_boilerplate(docs, max_repeats=1) \
+        .select("doc_id", "text")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (functions/cleaning.py::
+    contaminated_ids): every 37th document plays the held-out eval
+    set; any corpus document sharing an 8-word-gram with it is
+    flagged. Probe n-grams broadcast; the corpus scans ONCE with
+    n-grams generated inline (sequence+slice codegen); the only
+    shuffle is the final distinct."""
+    from br_archive_spark.functions.cleaning import contaminated_ids
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    probes = docs.where(F.col("doc_id").cast("long") % 37 == 0)
+    return contaminated_ids(docs, probes, n=8).orderBy("doc_id")
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequencies over the tokenized corpus (map-side
     partial aggregation bounds the shuffle to the vocab)."""
@@ -1130,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "tokenize_encode": q_tokenize_encode,
         "domain_mix_sample": q_domain_mix_sample,
+        "boilerplate_removal": q_boilerplate_removal,
+        "decontaminate": q_decontaminate,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -1988,6 +2024,51 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'src1' THEN '8000'
                               WHEN 'src2' THEN '199a'
                               ELSE '' END
+        """,
+        "boilerplate_removal": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     'BANNER-' || source || chr(10) || text ||
+                     chr(10) || 'COPYRIGHT FOOTER' AS t
+              FROM documents
+            ), p AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS para,
+                     generate_subscripts(string_split(t, chr(10)), 1)
+                         AS pos
+              FROM d
+            ), c AS (
+              SELECT para, COUNT(*) AS cnt FROM p GROUP BY para
+            ), k AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean
+              FROM p JOIN c USING (para)
+              WHERE cnt <= 1
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(k.clean, '') AS text
+            FROM d LEFT JOIN k USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH w AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ), wi AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+              FROM w
+            ), pg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g
+              FROM wi WHERE CAST(doc_id AS BIGINT) % 37 = 0
+            ), dg AS (
+              SELECT DISTINCT doc_id, array_to_string(ws[i:i+7], ' ')
+                         AS g
+              FROM wi
+            )
+            SELECT DISTINCT doc_id
+            FROM dg JOIN pg USING (g)
+            ORDER BY doc_id
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,
