@@ -303,6 +303,32 @@ def q_random_access_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("token").cast("long").alias("token")))
 
 
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership pruning via the per-chunk key bloom
+    (operators/bloom.py, r3): on a HASH layout every partition spans
+    the full key range, so the min/max zone map keeps every chunk —
+    the bloom's Catalyst bit tests (literal element_at/mask probes on
+    the manifest scan, no payload bytes) prune to the chunks that can
+    actually hold the keys, and the absent probes (ids that exist in
+    no document) return zero rows without decoding the table. A bloom
+    false positive costs one wasted chunk decode, never a wrong row —
+    the oracle checks exact results for the present keys and absence
+    for the rest."""
+    from br_archive_spark.operators import encode_table, lookup_docs
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    enc = encode_table(docs, specs=[("doc_id", "string"),
+                                    ("text", "string")],
+                       mode="hash", num_parts=8, target_values=1 << 13)
+    wanted = ["3", "77", "210", "499",          # present at sf>=0.01
+              "3x-absent", "77-absent"]         # inside the lex range
+    out = lookup_docs(enc, wanted,
+                      specs=[("doc_id", "string"), ("text", "string")],
+                      with_n_tok=False)
+    return out.select("doc_id", F.md5("text").alias("text_md5"))
+
+
 def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range scan over the encoded table: zone-map pruning keeps the
     decode to chunks overlapping [lo, hi] (the range form of the
@@ -1155,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_direct": q_roundtrip_direct,
         "roundtrip_global_dict": q_roundtrip_global_dict,
         "random_access_lookup": q_random_access_lookup,
+        "bloom_point_lookup": q_bloom_point_lookup,
         "range_scan": q_range_scan,
         "numeric_range_scan": q_numeric_range_scan,
         "agg_pushdown": q_agg_pushdown,
@@ -1438,6 +1465,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE CAST(l_orderkey AS VARCHAR)
                   IN ('1','7','32','33','1000','4711')
+        """,
+        "bloom_point_lookup": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(text) AS text_md5
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) IN ('3', '77', '210', '499')
         """,
         "range_scan": """
             SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,

@@ -1,0 +1,159 @@
+"""Per-chunk Bloom filters on the zone-map key column.
+
+The reference skips entries it can prove irrelevant from metadata alone
+(``src/io/lib_bra_io_file_ctx.c:596-602``); the manifest's
+``key_min``/``key_max`` zone map is that proof for RANGE predicates.
+Bloom sidecars extend it to MEMBERSHIP: on a hash-layout table every
+partition spans the full key range, so min/max bounds only prune
+*within* a partition — a probe for an ABSENT key (the common case in
+incremental ingest: "which of these new ids already exist?") still
+decodes one chunk per partition. The bloom answers "definitely not in
+this chunk" across partitions, independent of layout.
+
+Representation: ``key_bloom: array<long>`` in the manifest (not
+binary) so the PROBE is pure Catalyst — ``element_at(bloom, word) &
+mask`` bit tests compiled into the manifest scan's filter, no Python
+and no payload bytes touched. Sizing: 16 bits/key, power-of-two words,
+k=4 probes → ~0.24% false-positive rate per chunk (a false positive
+costs one wasted chunk decode — correctness never depends on the
+bloom; absent/null blooms mean "may match", the manifest's standard
+degrade rule).
+
+Hashing must be identical in the vectorized builder (NumPy, encode
+UDF) and the scalar prober (driver, plain Python) — both implement the
+same fold-16-byte-blocks + xorshift-multiply mix over the first
+``_MAX_KEY`` bytes (longer keys fold their length in; blooms need
+dispersion, not cryptography).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["build_bloom", "probe_positions", "bloom_sizes",
+           "hash_key"]
+
+_MASK = (1 << 64) - 1
+_C1 = 0x9E3779B97F4A7C15          # splitmix64 constants
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+_MAX_KEY = 64                     # bytes of key hashed (tail folded as len)
+_BITS_PER_KEY = 16
+_K = 4
+_MIN_BITS, _MAX_BITS = 1 << 10, 1 << 16
+
+
+def _mix_int(h: int) -> int:
+    h = (h ^ (h >> 30)) * _C2 & _MASK
+    h = (h ^ (h >> 27)) * _C3 & _MASK
+    return h ^ (h >> 31)
+
+
+def _mix_np(h: np.ndarray) -> np.ndarray:
+    h = h.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(_C2)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(_C3)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def hash_key(key: str | bytes) -> int:
+    """Scalar (driver-side) key hash; bit-identical to the vectorized
+    builder's per-row hash."""
+    b = key.encode() if isinstance(key, str) else bytes(key)
+    n = len(b)
+    b = b[:_MAX_KEY].ljust(_MAX_KEY, b"\x00")   # fixed 8-word window
+    h = (n * _C1) & _MASK
+    for i in range(0, _MAX_KEY, 8):
+        w = int.from_bytes(b[i:i + 8], "little")
+        h = _mix_int(h ^ w)
+    return h
+
+
+def _hash_np(blob: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Vectorized per-row hash over an Arrow-style (blob, offsets)
+    string column — same function as :func:`hash_key`, no per-row
+    Python. O(rows × min(maxlen, 64)) via a padded 2D gather."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    if isinstance(blob, (bytes, bytearray, memoryview)):
+        blob = np.frombuffer(blob, np.uint8)
+    else:
+        blob = np.asarray(blob, dtype=np.uint8)
+    lens = np.diff(offsets)
+    n = len(lens)
+    if n == 0:
+        return np.empty(0, np.uint64)
+    eff = np.minimum(lens, _MAX_KEY)
+    pos = np.arange(_MAX_KEY, dtype=np.int64)      # fixed 8-word window
+    idx = offsets[:-1, None] + pos[None, :]
+    valid = pos[None, :] < eff[:, None]
+    padded = np.zeros((n, _MAX_KEY), np.uint8)
+    if len(blob):
+        np.copyto(padded, blob[np.minimum(idx, len(blob) - 1)],
+                  where=valid)
+    words = padded.view("<u8")                     # (n, 8)
+    h = (lens.astype(np.uint64) * np.uint64(_C1))
+    with np.errstate(over="ignore"):
+        for j in range(words.shape[1]):
+            h = _mix_np(h ^ words[:, j])
+    return h
+
+
+def _geometry(n_keys: int) -> tuple[int, int]:
+    """(m_bits, k) sized for the chunk: 16 bits/key, power-of-two m."""
+    m = 1 << max(int(n_keys * _BITS_PER_KEY - 1).bit_length(), 0)
+    m = min(max(m, _MIN_BITS), _MAX_BITS)
+    return m, _K
+
+
+def build_bloom(blob, offsets) -> list[int]:
+    """Bloom words (int64 list, power-of-two length) for one chunk's
+    key column. k derived positions per key via double hashing."""
+    h1 = _hash_np(blob, offsets)
+    if len(h1) == 0:
+        return [0] * (_MIN_BITS // 64)
+    m, k = _geometry(len(h1))
+    h2 = _mix_np(h1 ^ np.uint64(_C1)) | np.uint64(1)
+    words = np.zeros(m // 64, np.uint64)
+    mm = np.uint64(m - 1)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = (h1 + np.uint64(i) * h2) & mm
+        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+    return words.view(np.int64).tolist()
+
+
+def _signed(v: int) -> int:
+    v &= _MASK
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def bloom_sizes() -> list[int]:
+    """All bloom geometries the builder can emit (m_bits,
+    power-of-two). Probe plans enumerate these with a literal CASE —
+    chunks size blooms individually, and ANSI mode forbids the
+    wrap-around long arithmetic that would compute positions
+    per-chunk, so the wrap math stays driver-side in Python."""
+    out, m = [], _MIN_BITS
+    while m <= _MAX_BITS:
+        out.append(m)
+        m <<= 1
+    return out
+
+
+def probe_positions(key: str, m_bits: int) -> list[tuple[int, int]]:
+    """``(word_index_1based, signed_int64_mask)`` pairs a chunk's
+    bloom of geometry ``m_bits`` must ALL contain for ``key`` to
+    possibly be present — int literals for Spark's
+    ``element_at(key_bloom, idx) & mask != 0``."""
+    h1 = hash_key(key)
+    h2 = _mix_int(h1 ^ _C1) | 1
+    out = []
+    for i in range(_K):
+        pos = (h1 + i * h2) & _MASK & (m_bits - 1)
+        out.append(((pos >> 6) + 1, _signed(1 << (pos & 63))))
+    return out

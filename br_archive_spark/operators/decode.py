@@ -210,6 +210,59 @@ def _zone_prune(encoded: DataFrame, key: str, lo: str, hi: str) -> DataFrame:
         | ((F.col("key_min") <= hi) & (F.col("key_max") >= lo)))
 
 
+def _bloom_prune(encoded: DataFrame, key: str,
+                 doc_ids: list[str]) -> DataFrame:
+    """Membership pruning by the per-chunk key bloom (operators/
+    bloom.py) — the zone map's complement: min/max bounds prune by
+    RANGE (weak on hash layouts, where every partition spans the full
+    key space), the bloom prunes by MEMBERSHIP regardless of layout,
+    and probes for absent keys drop every chunk.
+
+    Entirely Catalyst: per probe key the driver contributes two int64
+    literals, the plan computes ``pos_i = (h1 + i*h2) &
+    (size(key_bloom)*64 - 1)`` and bit-tests ``element_at`` words —
+    Java long arithmetic wraps mod 2^64, matching the builder's uint64
+    math. Same silent-miss rule as the zone map: a chunk whose bounds
+    describe a different column, predates blooms (null), or trips any
+    bit test stays/goes accordingly — correctness never depends on
+    the bloom (false positives only cost a wasted decode).
+    """
+    from functools import reduce as _reduce
+    from operator import or_
+
+    from pyspark.sql import functions as F
+
+    from .bloom import bloom_sizes, probe_positions
+
+    if "key_bloom" not in encoded.columns \
+            or "key_col" not in encoded.columns or not doc_ids:
+        return encoded
+
+    def probe_for_size(kstr: str, m_bits: int):
+        # exact wrap-around arithmetic happens HERE in Python; the
+        # plan sees only int literals (ANSI-safe, constant-foldable)
+        tests = [
+            F.element_at(F.col("key_bloom"), F.lit(widx))
+            .bitwiseAND(F.lit(mask)) != 0
+            for widx, mask in probe_positions(kstr, m_bits)]
+        return _reduce(lambda a, b: a & b, tests)
+
+    probes = []
+    for kstr in doc_ids:
+        sized = None
+        for m_bits in bloom_sizes():          # 7 power-of-two sizes
+            cond = F.size("key_bloom") == m_bits // 64
+            hit = probe_for_size(str(kstr), m_bits)
+            sized = F.when(cond, hit) if sized is None \
+                else sized.when(cond, hit)
+        probes.append(sized.otherwise(F.lit(True)))  # unknown size: keep
+    return encoded.where(
+        F.col("key_col").isNull()
+        | (F.col("key_col") != key)
+        | F.col("key_bloom").isNull()
+        | _reduce(or_, probes))
+
+
 def lookup_docs(encoded: DataFrame, doc_ids: list[str],
                 specs: list[tuple[str, str]] | None = None,
                 key: str = "doc_id",
@@ -217,11 +270,14 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
                 global_dict=None) -> DataFrame:
     """Random-access decode: fetch specific documents by key.
 
-    Two-level pruning, no full decode:
+    Pruning before any full decode:
     1. chunk pruning via the manifest zone map (``key_min``/``key_max``)
        — a plain ``WHERE`` that parquet row-group stats satisfy without
        reading payload bytes;
-    2. row filtering after decoding only the surviving chunks.
+    2. chunk MEMBERSHIP pruning via the per-chunk key bloom
+       (:func:`_bloom_prune`) — effective where the zone map is
+       layout-blind (hash layouts; probes for absent keys);
+    3. row filtering after decoding only the surviving chunks.
 
     The cluster-scale analog of the reference's skip-without-decode
     (``src/io/lib_bra_io_file_ctx.c:596-602``) plus FSST's
@@ -230,7 +286,8 @@ def lookup_docs(encoded: DataFrame, doc_ids: list[str],
     from pyspark.sql import functions as F
 
     lo, hi = min(doc_ids), max(doc_ids)
-    pruned = _zone_prune(encoded, key, lo, hi)
+    pruned = _bloom_prune(_zone_prune(encoded, key, lo, hi),
+                          key, doc_ids)
     dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     return dec.where(F.col(key).isin(doc_ids))
@@ -568,7 +625,8 @@ def lookup_rows(encoded: DataFrame, doc_ids: list[str],
     lo, hi = wanted[0], wanted[-1]
     if value_kind not in ("string", "binary"):
         raise ValueError("value_kind must be 'string' or 'binary'")
-    pruned = _zone_prune(encoded, key, lo, hi)
+    pruned = _bloom_prune(_zone_prune(encoded, key, lo, hi),
+                          key, wanted)
 
     def fetch(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.compute as pc

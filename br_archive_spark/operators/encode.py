@@ -116,6 +116,11 @@ MANIFEST_SCHEMA = pa.schema([
     ("key_col", pa.string()),
     ("key_min", pa.string()),
     ("key_max", pa.string()),
+    # membership sidecar for key_col (operators/bloom.py): per-chunk
+    # bloom words, ~16 bits/key, null/empty = "may match" (the same
+    # degrade rule as null numeric bounds). Stored as array<long> so
+    # probes are pure Catalyst bit tests on the manifest scan.
+    ("key_bloom", pa.list_(pa.int64())),
 ])
 
 MANIFEST_SPARK_SCHEMA = (
@@ -128,7 +133,8 @@ MANIFEST_SPARK_SCHEMA = (
     "column_stats array<struct<name:string,kind:string,codec:string,"
     "orig_bytes:long,enc_bytes:long,"
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long>>, "
-    "key_col string, key_min string, key_max string"
+    "key_col string, key_min string, key_max string, "
+    "key_bloom array<long>"
 )
 
 
@@ -443,6 +449,13 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     gdict=global_dict, validity=validity))
                 stats.append(_entry_stats(kind, data, validity))
             key_bounds = _key_bounds(tbl, specs, key)
+            key_bloom = None
+            if key_bounds[0]:
+                from .bloom import build_bloom
+
+                kblob, koffs = _extract(
+                    tbl, key_bounds[0], "string")[0]
+                key_bloom = build_bloom(kblob, koffs)
             # cover params too: codec tags, offsets streams, and the
             # null-validity bitmaps all live there — a flipped mask bit
             # must fail verification just like a flipped payload byte
@@ -477,6 +490,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 "key_col": key_bounds[0],
                 "key_min": key_bounds[1],
                 "key_max": key_bounds[2],
+                "key_bloom": key_bloom,
             }
             return pa.RecordBatch.from_pylist([row], schema=MANIFEST_SCHEMA)
 

@@ -76,6 +76,8 @@ def drop_columns(encoded: DataFrame, cols: list[str]) -> DataFrame:
                     row["key_col"] = None
                     row["key_min"] = None
                     row["key_max"] = None
+                    if "key_bloom" in row:
+                        row["key_bloom"] = None
                 out.append(row)
             yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
 
@@ -327,6 +329,17 @@ def delete_rows(encoded: DataFrame, keys: list[str],
                       for b in (e["params"], e["payload"])])
                 row["checksum_algo"] = CHECKSUM_ALGO
                 row["key_col"], row["key_min"], row["key_max"] = kb
+                if "key_bloom" in row:
+                    # refresh membership alongside the bounds — a
+                    # stale bloom is only over-approximate (it still
+                    # contains deleted keys) but must track the chunk
+                    row["key_bloom"] = None
+                    if kb[0]:
+                        from .bloom import build_bloom
+
+                        kblob, koffs = _extract(tbl, kb[0],
+                                                "string")[0]
+                        row["key_bloom"] = build_bloom(kblob, koffs)
                 out.append(row)
             if out:
                 yield pa.RecordBatch.from_pylist(out,

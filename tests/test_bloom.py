@@ -1,0 +1,119 @@
+"""Per-chunk key Bloom filters (operators/bloom.py) — membership
+pruning where the zone map is layout-blind, plus the hash-parity
+contract between the vectorized builder and the scalar prober."""
+
+import random
+import string
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from br_archive_spark.operators import (decode_table, delete_rows,
+                                        drop_columns, encode_table,
+                                        lookup_docs)
+from br_archive_spark.operators.bloom import (_hash_np, bloom_sizes,
+                                              build_bloom, hash_key,
+                                              probe_positions)
+from br_archive_spark.operators.decode import _bloom_prune, _zone_prune
+
+SPECS = [("doc_id", "string"), ("text", "string")]
+
+
+def _col(keys):
+    blob = b"".join(k.encode() for k in keys)
+    offs = np.cumsum([0] + [len(k.encode()) for k in keys]) \
+        .astype(np.int64)
+    return blob, offs
+
+
+def test_hash_parity_scalar_vs_vectorized():
+    rng = random.Random(11)
+    keys = [""] + ["x" * 63, "x" * 64, "x" * 65, "x" * 200] + [
+        "".join(rng.choices(string.printable, k=rng.randint(1, 90)))
+        for _ in range(2000)]
+    blob, offs = _col(keys)
+    hv = _hash_np(np.frombuffer(blob, np.uint8).copy(), offs)
+    assert [int(x) for x in hv] == [hash_key(k) for k in keys]
+
+
+def _member(words, key):
+    m = len(words) * 64
+    uw = np.array(words, np.int64).view(np.uint64)
+    return all(int(uw[widx - 1]) & (mask & ((1 << 64) - 1))
+               for widx, mask in probe_positions(key, m))
+
+
+def test_bloom_no_false_negatives_and_fpr():
+    keys = [f"doc-{i:06d}" for i in range(4000)]
+    words = build_bloom(*_col(keys))
+    assert len(words) * 64 in bloom_sizes()
+    assert all(_member(words, k) for k in keys), "false negative"
+    absent = [f"nope-{i}" for i in range(20000)]
+    fpr = sum(_member(words, a) for a in absent) / len(absent)
+    assert fpr < 0.02, fpr
+
+
+def test_bloom_prunes_hash_layout(spark):
+    """The scenario zone maps cannot help with: hash layout, every
+    partition spans the full key range — membership pruning must cut
+    the probed chunks to ~the chunks actually holding the keys, and
+    an absent-key probe (inside the lexicographic range, so the zone
+    map keeps everything) must drop (almost) every chunk."""
+    docs = spark.range(5000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("text-"), "id").alias("text"))
+    enc = encode_table(docs, specs=SPECS, mode="hash", num_parts=8,
+                       target_values=256).cache()
+    total = enc.count()
+    present = ["17", "4321"]
+    zp = _zone_prune(enc, "doc_id", min(present), max(present))
+    bp = _bloom_prune(zp, "doc_id", present)
+    assert zp.count() == total          # zone map is blind here
+    assert bp.count() <= len(present) + 1
+
+    got = sorted(tuple(r) for r in
+                 lookup_docs(enc, present, specs=SPECS,
+                             with_n_tok=False).collect())
+    assert got == [("17", "text-17"), ("4321", "text-4321")]
+
+    # absent keys chosen INSIDE the key range (lexicographic)
+    absent = ["123x", "30abc", "449z"]
+    za = _zone_prune(enc, "doc_id", min(absent), max(absent))
+    assert za.count() == total
+    assert _bloom_prune(za, "doc_id", absent).count() <= 1  # fp budget
+    assert lookup_docs(enc, absent, specs=SPECS,
+                       with_n_tok=False).count() == 0
+
+
+def test_bloom_degrades_without_column(spark):
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("t-"), "id").alias("text"))
+    enc = encode_table(docs, specs=SPECS, mode="hash", num_parts=2,
+                       target_values=128)
+    legacy = enc.drop("key_bloom")      # pre-bloom manifest
+    out = lookup_docs(legacy, ["7", "499"], specs=SPECS,
+                      with_n_tok=False)
+    assert sorted(r["doc_id"] for r in out.collect()) == ["499", "7"]
+
+
+def test_bloom_tracks_cow_delete_and_column_drop(spark):
+    docs = spark.range(800).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("t-"), "id").alias("text"))
+    enc = encode_table(docs, specs=SPECS, mode="hash", num_parts=2,
+                       target_values=128).cache()
+    # COW delete rewrites chunks; lookups stay exact afterwards
+    man2 = delete_rows(enc, ["5", "700"], key="doc_id", specs=SPECS)
+    assert lookup_docs(man2, ["5", "700"], specs=SPECS,
+                       with_n_tok=False).count() == 0
+    assert lookup_docs(man2, ["6"], specs=SPECS,
+                       with_n_tok=False).count() == 1
+    # decode equality over the whole table (bloom refresh kept rows)
+    assert decode_table(man2, specs=SPECS, with_n_tok=False) \
+        .count() == 798
+
+    # dropping the zone-map column nulls the bloom with the bounds
+    man3 = drop_columns(enc, ["doc_id"])
+    row = man3.select("key_col", "key_bloom").first()
+    assert row["key_col"] is None and row["key_bloom"] is None
