@@ -21,7 +21,7 @@ degrade rule).
 
 Hashing must be identical in the vectorized builder (NumPy, encode
 UDF) and the scalar prober (driver, plain Python) — both implement the
-same fold-16-byte-blocks + xorshift-multiply mix over the first
+same fold-8-byte-words + splitmix mix over the first
 ``_MAX_KEY`` bytes (longer keys fold their length in; blooms need
 dispersion, not cryptography).
 """
@@ -65,10 +65,12 @@ def hash_key(key: str | bytes) -> int:
     builder's per-row hash."""
     b = key.encode() if isinstance(key, str) else bytes(key)
     n = len(b)
-    b = b[:_MAX_KEY].ljust(_MAX_KEY, b"\x00")   # fixed 8-word window
+    b = b[:_MAX_KEY]
+    nw = (len(b) + 7) // 8                      # words THIS key folds
+    b = b.ljust(nw * 8, b"\x00")
     h = (n * _C1) & _MASK
-    for i in range(0, _MAX_KEY, 8):
-        w = int.from_bytes(b[i:i + 8], "little")
+    for i in range(nw):
+        w = int.from_bytes(b[8 * i:8 * i + 8], "little")
         h = _mix_int(h ^ w)
     return h
 
@@ -87,18 +89,21 @@ def _hash_np(blob: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, np.uint64)
     eff = np.minimum(lens, _MAX_KEY)
-    pos = np.arange(_MAX_KEY, dtype=np.int64)      # fixed 8-word window
+    nw = (eff + 7) // 8                        # words per key
+    width = int(nw.max()) * 8 or 8             # gather only what exists
+    pos = np.arange(width, dtype=np.int64)
     idx = offsets[:-1, None] + pos[None, :]
     valid = pos[None, :] < eff[:, None]
-    padded = np.zeros((n, _MAX_KEY), np.uint8)
+    padded = np.zeros((n, width), np.uint8)
     if len(blob):
         np.copyto(padded, blob[np.minimum(idx, len(blob) - 1)],
                   where=valid)
-    words = padded.view("<u8")                     # (n, 8)
+    words = padded.view("<u8")                 # (n, width//8)
     h = (lens.astype(np.uint64) * np.uint64(_C1))
     with np.errstate(over="ignore"):
         for j in range(words.shape[1]):
-            h = _mix_np(h ^ words[:, j])
+            # only keys long enough fold word j (scalar parity)
+            h = np.where(nw > j, _mix_np(h ^ words[:, j]), h)
     return h
 
 
@@ -117,14 +122,20 @@ def build_bloom(blob, offsets) -> list[int]:
         return [0] * (_MIN_BITS // 64)
     m, k = _geometry(len(h1))
     h2 = _mix_np(h1 ^ np.uint64(_C1)) | np.uint64(1)
-    words = np.zeros(m // 64, np.uint64)
     mm = np.uint64(m - 1)
+    pos = np.empty(k * len(h1), np.int64)
     for i in range(k):
         with np.errstate(over="ignore"):
-            pos = (h1 + np.uint64(i) * h2) & mm
-        np.bitwise_or.at(words, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
-    return words.view(np.int64).tolist()
+            pos[i * len(h1):(i + 1) * len(h1)] = \
+                ((h1 + np.uint64(i) * h2) & mm).astype(np.int64)
+    # dense bit set via boolean fancy assignment (duplicate-safe, no
+    # ufunc.at scatter), then LSB-first packbits — on little-endian,
+    # byte-packed bits viewed as int64 place bit (pos & 63) of word
+    # (pos >> 6) exactly where the probe's `1 << (pos & 63)` looks
+    bits = np.zeros(m, bool)
+    bits[pos] = True
+    return np.packbits(bits, bitorder="little") \
+        .view(np.int64).tolist()
 
 
 def _signed(v: int) -> int:
