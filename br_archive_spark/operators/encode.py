@@ -420,7 +420,8 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     part_from_task: bool = False,
                     track_file: bool = False,
                     str_codecs: tuple[str, ...] | None = None,
-                    global_dict=None, key: str | None = None):
+                    global_dict=None, key: str | None = None,
+                    bloom: bool = True):
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         task_part = 0
@@ -450,7 +451,7 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 stats.append(_entry_stats(kind, data, validity))
             key_bounds = _key_bounds(tbl, specs, key)
             key_bloom = None
-            if key_bounds[0]:
+            if bloom and key_bounds[0]:
                 from .bloom import build_bloom
 
                 kblob, koffs = _extract(
@@ -541,8 +542,12 @@ def encode_table(df: DataFrame,
                  mode: str = "scan",
                  track_input_file: bool = False,
                  str_codecs: tuple[str, ...] | None = None,
-                 global_dict=None) -> DataFrame:
+                 global_dict=None, bloom: bool = True) -> DataFrame:
     """Encode ``df`` into a manifest DataFrame of compressed chunks.
+
+    ``bloom=False`` skips the per-chunk key bloom sidecar
+    (operators/bloom.py) — lookups then degrade to zone-map-only
+    pruning; use for write-once tables never point-probed.
 
     ``global_dict``: a :class:`~br_archive_spark.codecs.gdict.GlobalDict`
     (from ``build_global_dict``) shared by every chunk — token values
@@ -579,7 +584,8 @@ def encode_table(df: DataFrame,
                              part_from_task=True,
                              track_file=track_input_file,
                              str_codecs=str_codecs,
-                             global_dict=global_dict, key=key)
+                             global_dict=global_dict, key=key,
+                             bloom=bloom)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
     if mode == "range":
         # range-clustered layout: one repartitionByRange shuffle (range
@@ -597,7 +603,8 @@ def encode_table(df: DataFrame,
         fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                              part_from_task=True,
                              str_codecs=str_codecs,
-                             global_dict=global_dict, key=key)
+                             global_dict=global_dict, key=key,
+                             bloom=bloom)
         return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
     if mode != "hash":
         raise ValueError(f"unknown encode mode {mode!r}")
@@ -611,7 +618,7 @@ def encode_table(df: DataFrame,
                 .sortWithinPartitions("_part", key))
     fn = _make_encode_fn(specs, target_values, snapshot_id, codecs,
                          str_codecs=str_codecs, global_dict=global_dict,
-                         key=key)
+                         key=key, bloom=bloom)
     return prepared.mapInArrow(fn, MANIFEST_SPARK_SCHEMA)
 
 

@@ -117,3 +117,15 @@ def test_bloom_tracks_cow_delete_and_column_drop(spark):
     man3 = drop_columns(enc, ["doc_id"])
     row = man3.select("key_col", "key_bloom").first()
     assert row["key_col"] is None and row["key_bloom"] is None
+
+
+def test_bloom_knob_off(spark):
+    docs = spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("t-"), "id").alias("text"))
+    enc = encode_table(docs, specs=SPECS, num_parts=2,
+                       target_values=64, bloom=False)
+    assert enc.where(F.col("key_bloom").isNotNull()).count() == 0
+    # lookups degrade to zone-map pruning, stay correct
+    out = lookup_docs(enc, ["7"], specs=SPECS, with_n_tok=False)
+    assert [r["doc_id"] for r in out.collect()] == ["7"]
