@@ -8,9 +8,10 @@ from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .evolve import (add_column, delete_rows, drop_columns,
                      rename_column, upsert_rows)
-from .snapshots import (commit_snapshot, expire_snapshots,
-                        incremental_manifest, load_snapshot, rollback,
-                        snapshot_diff, snapshots)
+from .snapshots import (CommitConflict, commit_snapshot,
+                        expire_snapshots, incremental_manifest,
+                        load_snapshot, rollback, snapshot_diff,
+                        snapshots)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -24,6 +25,7 @@ __all__ = [
     "delete_rows", "upsert_rows",
     "commit_snapshot", "snapshots", "load_snapshot", "rollback",
     "expire_snapshots", "incremental_manifest", "snapshot_diff",
+    "CommitConflict",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

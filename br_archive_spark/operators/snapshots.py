@@ -61,7 +61,7 @@ from .fsutil import path_tag, resolve_fs, write_parquet_atomic
 
 __all__ = ["commit_snapshot", "snapshots", "load_snapshot",
            "rollback", "expire_snapshots", "incremental_manifest",
-           "snapshot_diff"]
+           "snapshot_diff", "CommitConflict"]
 
 _LOG_RE = re.compile(r"(\d{8})-([0-9a-f]{16})\.parquet$")
 
@@ -76,8 +76,11 @@ _LOG_SCHEMA = pa.schema([
 ])
 
 
-def _read_log(spark: SparkSession, table_dir: str) -> list[dict]:
-    """All log rows, seq-ascending. Empty list for a fresh table."""
+def _read_log(spark: SparkSession, table_dir: str,
+              all_rows: bool = False) -> list[dict]:
+    """Log rows, seq-ascending; empty list for a fresh table.
+    ``all_rows=True`` skips the duplicate-seq winner resolution (the
+    committer's conflict check needs to SEE the rival)."""
     fs, rel = resolve_fs(f"{table_dir}/_log")
     from pyarrow.fs import FileSelector, FileType
 
@@ -90,8 +93,19 @@ def _read_log(spark: SparkSession, table_dir: str) -> list[dict]:
         if _LOG_RE.search(info.path):
             t = pq.read_table(info.path, filesystem=fs)
             rows.extend(t.to_pylist())
-    rows.sort(key=lambda r: r["seq"])
-    return rows
+    rows.sort(key=lambda r: (r["seq"], r["snapshot_id"]))
+    if all_rows:
+        return rows
+    # a racing double-commit can leave two rows at one seq until the
+    # loser withdraws; every reader resolves it the same way the
+    # committer does — smallest snapshot id wins, the rest are
+    # invisible (commit_snapshot raises CommitConflict at the loser)
+    out, seen = [], set()
+    for r in rows:
+        if r["seq"] not in seen:
+            seen.add(r["seq"])
+            out.append(r)
+    return out
 
 
 def _append_log(table_dir: str, row: dict) -> None:
@@ -114,8 +128,14 @@ def _index_exists(table_dir: str, sid: str) -> bool:
     return fs.get_file_info(rel).type == FileType.Directory
 
 
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table between load and commit.
+    Reload the head snapshot, re-derive the manifest, and retry."""
+
+
 def commit_snapshot(manifest: DataFrame, table_dir: str,
-                    op: str = "commit", rewrite: bool = False) -> dict:
+                    op: str = "commit", rewrite: bool = False,
+                    expected_head: str | None = "-unchecked-") -> dict:
     """Commit ``manifest`` as the table's new head snapshot.
 
     Writes only the chunks absent from the current head (left-anti on
@@ -129,12 +149,30 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
     repointed there (same content, one consolidated location), so a
     following :func:`expire_snapshots` reclaims every prior ``seq``
     directory the history no longer references.
+
+    Concurrency: single-committer is the supported mode (Iceberg's
+    default posture), but two optimistic guards turn a racing writer
+    into a raised :class:`CommitConflict` instead of silent history
+    divergence: pass ``expected_head`` (the snapshot id this commit
+    was derived from; ``None`` for "expect an empty table") for a
+    CAS-style precondition, and after the log append the committer
+    re-reads the log — if another writer landed the same ``seq``, the
+    lexicographically-smallest snapshot id wins deterministically on
+    every reader and the loser removes its log row and raises. A
+    racing DATA write to the same ``seq`` dir already fails hard on
+    ``errorifexists``.
     """
     spark = manifest.sparkSession
     from .verify import table_checksum
 
     log = _read_log(spark, table_dir)
     head = log[-1] if log else None
+    if expected_head != "-unchecked-":
+        got = head["snapshot_id"] if head else None
+        if got != expected_head:
+            raise CommitConflict(
+                f"table {table_dir} head is {got!r}, expected "
+                f"{expected_head!r} — reload the head and retry")
     seq = (head["seq"] + 1) if head else 1
     st = manifest.agg(
         F.count(F.lit(1)).alias("n"),
@@ -174,6 +212,20 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
            "op": op, "n_chunks": int(st["n"]),
            "enc_bytes": int(st["b"]), "committed_at": time.time()}
     _append_log(table_dir, row)
+    # post-append winner check: if a racing writer landed the same
+    # seq, the smallest snapshot id wins (deterministic on every
+    # reader); the loser withdraws its log row and raises
+    rivals = [r for r in _read_log(spark, table_dir, all_rows=True)
+              if r["seq"] == seq]
+    if len(rivals) > 1:
+        winner = min(r["snapshot_id"] for r in rivals)
+        if winner != sid:
+            fs, rel = resolve_fs(
+                f"{table_dir}/_log/{seq:08d}-{sid}.parquet")
+            fs.delete_file(rel)
+            raise CommitConflict(
+                f"concurrent commit at seq {seq}: {winner} won; "
+                "reload the head and retry")
     return row
 
 

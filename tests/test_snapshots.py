@@ -356,3 +356,63 @@ def test_cli_snapshot_surface(spark, tmp_path, capsys):
     assert main(base + ["snapshot", "expire", tbl, "--keep", "1"]) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["retained"] == [r1["snapshot_id"]]
+
+
+def test_commit_conflict_guards(spark, table):
+    """Optimistic concurrency: a CAS precondition on the head, and
+    deterministic winner resolution if two commits land one seq."""
+    from br_archive_spark.operators import CommitConflict
+
+    d, src, r1 = table
+    man = load_snapshot(spark, d)
+    man2 = upsert_rows(
+        man, spark.createDataFrame([("7", "A")],
+                                   "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+
+    # stale expectation -> conflict, nothing committed
+    with pytest.raises(CommitConflict):
+        commit_snapshot(man2, d, op="upsert", expected_head="f" * 16)
+    assert snapshots(spark, d).count() == 1
+
+    # correct expectation commits
+    r2 = commit_snapshot(man2, d, op="upsert",
+                         expected_head=r1["snapshot_id"])
+    assert r2["parent_id"] == r1["snapshot_id"]
+
+    # simulate the true race window: a rival lands the SAME seq with a
+    # smaller id between our log read and our append — the loser must
+    # withdraw its row and raise; the rival stays head for every reader
+    import importlib
+    import shutil
+
+    # the operators package re-exports a FUNCTION named `snapshots`
+    # which shadows the module attribute — fetch the module itself
+    S = importlib.import_module("br_archive_spark.operators.snapshots")
+
+    shutil.copytree(os.path.join(d, "_index", r2["snapshot_id"]),
+                    os.path.join(d, "_index", "0" * 16))
+    orig_append = S._append_log
+
+    def race_append(table_dir, row):
+        orig_append(table_dir, {**row, "snapshot_id": "0" * 16,
+                                "op": "rival"})
+        orig_append(table_dir, row)
+
+    man3 = upsert_rows(
+        load_snapshot(spark, d, r2["snapshot_id"]),
+        spark.createDataFrame([("8", "B")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    S._append_log = race_append
+    try:
+        with pytest.raises(CommitConflict):
+            commit_snapshot(man3, d, op="upsert")
+    finally:
+        S._append_log = orig_append
+    log = snapshots(spark, d).collect()
+    assert log[-1]["snapshot_id"] == "0" * 16  # rival winner is head
+    # our withdrawn row is gone: exactly one log FILE per seq
+    files = sorted(os.listdir(os.path.join(d, "_log")))
+    seqs = [f.split("-")[0] for f in files]
+    assert seqs == sorted(set(seqs))
