@@ -145,7 +145,8 @@ def cmd_snapshot(args) -> int:
     # import the submodule explicitly: operators/__init__ re-exports a
     # FUNCTION named `snapshots`, which shadows the module attribute
     from .operators.snapshots import (commit_snapshot, expire_snapshots,
-                                      rollback, snapshot_diff, snapshots)
+                                      rollback, snapshot_diff,
+                                      snapshot_fsck, snapshots)
 
     spark = _spark(args)
     if args.action == "log":
@@ -165,6 +166,10 @@ def cmd_snapshot(args) -> int:
         print(json.dumps(expire_snapshots(
             spark, args.table, keep_last=args.keep)))
         return 0
+    if args.action == "fsck":
+        rep = snapshot_fsck(spark, args.table)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
     if args.action == "diff":
         from pyspark.sql import functions as F
 
@@ -415,6 +420,11 @@ def main(argv: list[str] | None = None) -> int:
     q = snapsub.add_parser("expire", help="GC unreferenced history")
     q.add_argument("table")
     q.add_argument("--keep", type=int, default=2)
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("fsck",
+                           help="index<->data consistency audit "
+                                "(metadata-only, no payload reads)")
+    q.add_argument("table")
     q.set_defaults(fn=cmd_snapshot)
     q = snapsub.add_parser("diff",
                            help="row-level change feed between two "

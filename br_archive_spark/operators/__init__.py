@@ -11,7 +11,7 @@ from .evolve import (add_column, delete_rows, drop_columns,
 from .snapshots import (CommitConflict, commit_snapshot,
                         expire_snapshots, incremental_manifest,
                         load_snapshot, rollback, snapshot_diff,
-                        snapshots)
+                        snapshot_fsck, snapshots)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -25,7 +25,7 @@ __all__ = [
     "delete_rows", "upsert_rows",
     "commit_snapshot", "snapshots", "load_snapshot", "rollback",
     "expire_snapshots", "incremental_manifest", "snapshot_diff",
-    "CommitConflict",
+    "CommitConflict", "snapshot_fsck",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

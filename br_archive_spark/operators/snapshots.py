@@ -61,7 +61,7 @@ from .fsutil import path_tag, resolve_fs, write_parquet_atomic
 
 __all__ = ["commit_snapshot", "snapshots", "load_snapshot",
            "rollback", "expire_snapshots", "incremental_manifest",
-           "snapshot_diff", "CommitConflict"]
+           "snapshot_diff", "CommitConflict", "snapshot_fsck"]
 
 _LOG_RE = re.compile(r"(\d{8})-([0-9a-f]{16})\.parquet$")
 
@@ -430,3 +430,70 @@ def expire_snapshots(spark: SparkSession, table_dir: str,
     return {"retained": retained, "dropped_indexes": dropped_idx,
             "dropped_seq_dirs": sorted(dropped_seqs),
             "kept_seq_dirs": sorted(keep_seqs)}
+
+
+def snapshot_fsck(spark: SparkSession, table_dir: str) -> dict:
+    """Consistency audit of a snapshot table — the table-scope analog
+    of the reference's archive test mode (``unbra -t``): verify the
+    metadata graph without decoding payloads.
+
+    Checks, all metadata-only joins (no payload bytes read):
+
+    * **missing** — index entries whose ``(chunk_id, checksum, seq)``
+      has no row in ``data/seq=N`` (lost/corrupt commit data: the
+      snapshot cannot be fully loaded) — per retained snapshot id.
+    * **orphans** — data rows no retained snapshot references
+      (reclaimable by ``commit(rewrite=True)`` + expire, or leftovers
+      of a withdrawn conflicting commit).
+    * **expired_parents** — log rows whose parent id no longer has an
+      index (history readable, lineage truncated — informational).
+
+    Returns a dict; ``ok`` is True iff no snapshot is missing chunks.
+    """
+    log = _read_log(spark, table_dir)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log under {table_dir}")
+    live = [r["snapshot_id"] for r in log
+            if _index_exists(table_dir, r["snapshot_id"])]
+    live = list(dict.fromkeys(live))
+    key3 = ["chunk_id", "checksum", "seq"]
+
+    from pyarrow.fs import FileSelector, FileType
+
+    dfs, drel = resolve_fs(f"{table_dir}/data")
+    seq_dirs = []
+    if dfs.get_file_info(drel).type == FileType.Directory:
+        for info in dfs.get_file_info(FileSelector(drel)):
+            m = re.search(r"seq=(\d+)$", info.path)
+            if info.type == FileType.Directory and m:
+                seq_dirs.append(int(m.group(1)))
+    if seq_dirs:
+        data = (spark.read.option("basePath", f"{table_dir}/data")
+                .parquet(*[f"{table_dir}/data/seq={s}"
+                           for s in sorted(seq_dirs)])
+                .select(*key3).cache())
+    else:
+        data = spark.createDataFrame(
+            [], "chunk_id string, checksum long, seq long").cache()
+
+    missing: dict[str, int] = {}
+    referenced = None
+    for sid in live:
+        idx = spark.read.parquet(_index_path(table_dir, sid))
+        n_missing = idx.join(data, key3, "left_anti").count()
+        if n_missing:
+            missing[sid] = n_missing
+        referenced = idx.select(*key3) if referenced is None \
+            else referenced.unionByName(idx.select(*key3))
+    orphans = (data.join(F.broadcast(referenced.distinct()),
+                         key3, "left_anti").count()
+               if referenced is not None else data.count())
+    expired_parents = [
+        r["parent_id"] for r in log
+        if r["parent_id"] and not _index_exists(table_dir,
+                                                r["parent_id"])]
+    data.unpersist()
+    return {"ok": not missing, "snapshots_checked": len(live),
+            "missing": missing, "orphan_chunks": int(orphans),
+            "expired_parents": sorted(set(expired_parents)),
+            "seq_dirs": sorted(seq_dirs)}

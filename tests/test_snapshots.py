@@ -416,3 +416,41 @@ def test_commit_conflict_guards(spark, table):
     files = sorted(os.listdir(os.path.join(d, "_log")))
     seqs = [f.split("-")[0] for f in files]
     assert seqs == sorted(set(seqs))
+
+
+def test_snapshot_fsck(spark, table):
+    from br_archive_spark.operators import snapshot_fsck
+
+    d, src, r1 = table
+    man2 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("7", "Z")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+
+    # healthy table: nothing missing, nothing orphaned
+    rep = snapshot_fsck(spark, d)
+    assert rep["ok"] and rep["missing"] == {} \
+        and rep["orphan_chunks"] == 0
+    assert rep["snapshots_checked"] == 2
+
+    # expire v1 -> its delta-only seq dirs may vanish; remaining
+    # shared dirs can hold chunks only v1 referenced = orphans
+    expire_snapshots(spark, d, keep_last=1)
+    rep2 = snapshot_fsck(spark, d)
+    assert rep2["ok"]                       # head still fully loadable
+    assert rep2["snapshots_checked"] == 1
+    assert r1["snapshot_id"] in rep2["expired_parents"]
+    assert rep2["orphan_chunks"] >= 1       # v1's superseded chunks
+
+    # destroy one data file -> fsck reports the head as missing chunks
+    seq_dir = os.path.join(d, "data", f"seq={r2['seq']}")
+    victim = max((f for f in os.listdir(seq_dir)
+                  if f.endswith(".parquet")),
+                 key=lambda f: os.path.getsize(
+                     os.path.join(seq_dir, f)))
+    os.remove(os.path.join(seq_dir, victim))
+    rep3 = snapshot_fsck(spark, d)
+    assert not rep3["ok"]
+    assert rep3["missing"].get(r2["snapshot_id"], 0) >= 1
