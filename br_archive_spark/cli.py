@@ -155,8 +155,12 @@ def cmd_snapshot(args) -> int:
         return 0
     if args.action == "commit":
         man = spark.read.parquet(args.manifest)
+        kw = {}
+        if args.expect is not None:
+            # "" means "expect an empty table" (first commit)
+            kw["expected_head"] = args.expect or None
         row = commit_snapshot(man, args.table, op=args.op,
-                              rewrite=args.rewrite)
+                              rewrite=args.rewrite, **kw)
         print(json.dumps(row))
         return 0
     if args.action == "rollback":
@@ -412,6 +416,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--rewrite", action="store_true",
                    help="consolidate all chunks into the fresh seq "
                         "dir (in-table compaction)")
+    q.add_argument("--expect", default=None, metavar="HEAD_ID",
+                   help="CAS precondition: fail with a conflict if "
+                        "the head is not this snapshot id (empty "
+                        "string: expect a fresh table)")
     q.set_defaults(fn=cmd_snapshot)
     q = snapsub.add_parser("rollback", help="make an old snapshot head")
     q.add_argument("table")
