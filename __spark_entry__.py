@@ -1125,6 +1125,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_ids(docs, probes, n=8).orderBy("doc_id")
 
 
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data pipeline as ONE composed Spark plan:
+    raw documents → boilerplate strip (corpus paragraph counts) →
+    test-set decontamination (8-gram overlap vs the every-37th-doc
+    probe set, broadcast semi-join) → frequency-ranked tokenization
+    (vocab 256, OOV→0) → columnar encode → decode → exact token
+    equality. Each stage is individually value-checked by its own
+    driver query; this one checks their COMPOSITION — the oracle is
+    the same four stages chained as CTEs in DuckDB."""
+    from br_archive_spark.functions.cleaning import (contaminated_ids,
+                                                     remove_boilerplate)
+    from br_archive_spark.functions.text import tokenize_corpus
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        "source")
+    clean = remove_boilerplate(docs, max_repeats=2)
+    probes = clean.where(F.col("doc_id").cast("long") % 37 == 0)
+    bad = contaminated_ids(clean, probes, n=8)
+    kept = clean.join(bad, "doc_id", "left_anti")
+    tok, _vocab = tokenize_corpus(kept, vocab_size=256)
+    enc = encode_table(tok, num_parts=4, target_values=1 << 15)
+    dec = decode_table(enc)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"), "source")
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("int").alias("token"),
+                    "source"))
+
+
 def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequencies over the tokenized corpus (map-side
     partial aggregation bounds the shuffle to the vocab)."""
@@ -1193,6 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": q_domain_mix_sample,
         "boilerplate_removal": q_boilerplate_removal,
         "decontaminate": q_decontaminate,
+        "pipeline_end_to_end": q_pipeline_end_to_end,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2102,6 +2134,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM dg JOIN pg USING (g)
             ORDER BY doc_id
+        """,
+        "pipeline_end_to_end": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source
+              FROM documents
+            ), p AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, chr(10))) AS para,
+                     generate_subscripts(string_split(text, chr(10)),
+                                         1) AS pos
+              FROM d
+            ), c AS (
+              SELECT para, COUNT(*) AS cnt FROM p GROUP BY para
+            ), k AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS clean
+              FROM p JOIN c USING (para) WHERE cnt <= 2
+              GROUP BY doc_id
+            ), cleaned AS (
+              SELECT d.doc_id, COALESCE(k.clean, '') AS text, d.source
+              FROM d LEFT JOIN k USING (doc_id)
+            ), w0 AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM cleaned
+            ), wi AS (
+              SELECT doc_id, ws,
+                     unnest(range(1, greatest(len(ws) - 6, 1))) AS i
+              FROM w0
+            ), pg AS (
+              SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g
+              FROM wi WHERE CAST(doc_id AS BIGINT) % 37 = 0
+            ), bad AS (
+              SELECT DISTINCT doc_id FROM wi JOIN pg
+                ON array_to_string(ws[i:i+7], ' ') = pg.g
+            ), kept AS (
+              SELECT * FROM w0
+              WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            ), words AS (
+              SELECT doc_id, source, unnest(ws) AS word,
+                     generate_subscripts(ws, 1) - 1 AS pos
+              FROM kept
+            ), v AS (
+              SELECT word,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word)
+                         AS tid
+              FROM words GROUP BY word
+              ORDER BY COUNT(*) DESC, word LIMIT 256
+            )
+            SELECT words.doc_id, CAST(words.pos AS INT) AS pos,
+                   CAST(COALESCE(v.tid, 0) AS INT) AS token,
+                   words.source
+            FROM words LEFT JOIN v USING (word)
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,
