@@ -193,6 +193,35 @@ def cmd_snapshot(args) -> int:
     return 1
 
 
+def cmd_tokenize(args) -> int:
+    """documents parquet -> the north-star token table (and vocab),
+    with the optional cleaning passes in the SAME plan."""
+    from pyspark.sql import functions as F
+
+    from .functions.cleaning import contaminated_ids, remove_boilerplate
+    from .functions.text import tokenize_corpus
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.strip_boilerplate is not None:
+        docs = remove_boilerplate(docs,
+                                  max_repeats=args.strip_boilerplate)
+    if args.decontaminate:
+        probes = spark.read.parquet(args.decontaminate)
+        bad = contaminated_ids(docs, probes, n=args.ngram)
+        docs = docs.join(bad, "doc_id", "left_anti")
+    tok, vocab = tokenize_corpus(docs, vocab_size=args.vocab_size)
+    tok.write.mode("errorifexists").parquet(args.output)
+    if args.vocab_out:
+        vocab.write.mode("errorifexists").parquet(args.vocab_out)
+    out = spark.read.parquet(args.output)
+    st = out.agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_tok").alias("tokens")).first()
+    print(json.dumps({"docs": int(st["docs"]),
+                      "tokens": int(st["tokens"] or 0)}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .operators.verify import verify_roundtrip, verify_stats
 
@@ -445,6 +474,25 @@ def main(argv: list[str] | None = None) -> int:
                    help="write the feed as parquet instead of "
                         "printing add/del counts")
     q.set_defaults(fn=cmd_snapshot)
+
+    p = sub.add_parser("tokenize",
+                       help="documents parquet -> token table "
+                            "(clean + decontaminate + tokenize in "
+                            "one plan)")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--vocab-size", type=int, default=1 << 16)
+    p.add_argument("--vocab-out", default=None,
+                   help="write the (word, token_id, count) vocab here")
+    p.add_argument("--strip-boilerplate", type=int, default=None,
+                   metavar="MAX_REPEATS",
+                   help="drop paragraphs occurring more than "
+                        "MAX_REPEATS times corpus-wide")
+    p.add_argument("--decontaminate", default=None, metavar="PROBES",
+                   help="parquet of probe docs; drop documents "
+                        "sharing any word n-gram with them")
+    p.add_argument("--ngram", type=int, default=8)
+    p.set_defaults(fn=cmd_tokenize)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
     p.add_argument("input")

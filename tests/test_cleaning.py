@@ -74,3 +74,36 @@ def test_contaminated_ids_plan_broadcasts_probes(spark):
     plan = _plan(contaminated_ids(docs, probes, n=8))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_cli_tokenize_full_pipeline(spark, tmp_path, capsys):
+    """CLI `tokenize`: strip boilerplate + decontaminate + tokenize
+    in one command; contaminated docs dropped, banners stripped."""
+    import json
+
+    from br_archive_spark.cli import main
+
+    docs = spark.createDataFrame([
+        ("1", "HEADER\nalpha beta gamma\nFOOTER", "a"),
+        ("2", "HEADER\ndelta epsilon zeta\nFOOTER", "a"),
+        ("3", "HEADER\nleak one two three four five six seven eight"
+              "\nFOOTER", "a"),
+    ], "doc_id string, text string, source string")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/docs")
+    spark.createDataFrame(
+        [("p", "one two three four five six seven eight")],
+        "doc_id string, text string").write.parquet(f"{d}/probes")
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "tokenize", f"{d}/docs", "-o", f"{d}/tok",
+               "--vocab-size", "32", "--vocab-out", f"{d}/vocab",
+               "--strip-boilerplate", "2",
+               "--decontaminate", f"{d}/probes"])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st == {"docs": 2, "tokens": 6}
+    tok = spark.read.parquet(f"{d}/tok")
+    assert set(tok.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    assert sorted((r["doc_id"], r["n_tok"])
+                  for r in tok.collect()) == [("1", 3), ("2", 3)]
+    assert spark.read.parquet(f"{d}/vocab").count() == 6
