@@ -210,7 +210,9 @@ def cmd_tokenize(args) -> int:
         probes = spark.read.parquet(args.decontaminate)
         bad = contaminated_ids(docs, probes, n=args.ngram)
         docs = docs.join(bad, "doc_id", "left_anti")
-    tok, vocab = tokenize_corpus(docs, vocab_size=args.vocab_size)
+    tok, vocab = tokenize_corpus(
+        docs, vocab_size=args.vocab_size,
+        source_col="source" if "source" in docs.columns else None)
     tok.write.mode("errorifexists").parquet(args.output)
     if args.vocab_out:
         vocab.write.mode("errorifexists").parquet(args.vocab_out)

@@ -34,9 +34,13 @@ def remove_boilerplate(docs: DataFrame, text_col: str = "text",
     the uniform ``id_col``. The hot loop is ``split``/``array_join``
     codegen; no per-row Python.
     """
+    # F.split takes a REGEX; quote sep (\Q...\E) so it is treated
+    # as the same literal array_join re-joins with — an unescaped
+    # sep like "." would explode per character and reassemble garbage
     paras = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep))
+        F.posexplode(F.split(F.col(text_col),
+                             "\\Q" + sep + "\\E"))
         .alias("_pos", "_para"))
     counts = paras.groupBy("_para").agg(
         F.count(F.lit(1)).alias("_cnt"))

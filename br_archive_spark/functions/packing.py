@@ -183,9 +183,13 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     Strata absent from ``fractions`` are dropped (fraction 0).
     """
     def cutoff(f: float) -> str:
-        if f >= 1.0:
+        v = int(round(f * 65536))
+        if v >= 65536:
+            # includes f just below 1.0 whose rounding hits 65536 —
+            # a 5-hex-char cutoff would compare lexicographically
+            # BELOW most digests and silently keep ~6%
             return "g"
-        return format(max(int(round(f * 65536)), 0), "04x")
+        return format(max(v, 0), "04x")
 
     pairs = []
     for s, f in sorted(fractions.items()):

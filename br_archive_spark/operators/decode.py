@@ -237,6 +237,12 @@ def _bloom_prune(encoded: DataFrame, key: str,
     if "key_bloom" not in encoded.columns \
             or "key_col" not in encoded.columns or not doc_ids:
         return encoded
+    if len(doc_ids) > 64:
+        # each probe contributes a 7-geometry CASE of 4 bit tests
+        # (~30 expression nodes); thousands of keys would blow up the
+        # plan (driver planning time, codegen 64KB method limit) past
+        # what the pruning saves — bulk probes keep zone maps only
+        return encoded
 
     def probe_for_size(kstr: str, m_bits: int):
         # exact wrap-around arithmetic happens HERE in Python; the

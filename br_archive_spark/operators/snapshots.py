@@ -165,48 +165,58 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
     spark = manifest.sparkSession
     from .verify import table_checksum
 
-    log = _read_log(spark, table_dir)
-    head = log[-1] if log else None
-    if expected_head != "-unchecked-":
-        got = head["snapshot_id"] if head else None
-        if got != expected_head:
-            raise CommitConflict(
-                f"table {table_dir} head is {got!r}, expected "
-                f"{expected_head!r} — reload the head and retry")
-    seq = (head["seq"] + 1) if head else 1
-    st = manifest.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("enc_bytes"), F.lit(0)).alias("b")).collect()[0]
-    crc = table_checksum(manifest)
-    sid = path_tag(f"{crc:08x}:{st['n']}:{st['b']}")
+    # the commit runs ~5 Spark actions over `manifest` (stats agg,
+    # table checksum, delta probe, data write, index write) — persist
+    # so a freshly built encode lineage executes ONCE, not per action
+    manifest = manifest.persist()
+    try:
+        log = _read_log(spark, table_dir)
+        head = log[-1] if log else None
+        if expected_head != "-unchecked-":
+            got = head["snapshot_id"] if head else None
+            if got != expected_head:
+                raise CommitConflict(
+                    f"table {table_dir} head is {got!r}, expected "
+                    f"{expected_head!r} — reload the head and retry")
+        seq = (head["seq"] + 1) if head else 1
+        st = manifest.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("enc_bytes"),
+                       F.lit(0)).alias("b")).collect()[0]
+        crc = table_checksum(manifest)
+        sid = path_tag(f"{crc:08x}:{st['n']}:{st['b']}")
 
-    key = ["chunk_id", "checksum"]
-    if rewrite:
-        manifest.write.mode("errorifexists").parquet(
-            f"{table_dir}/data/seq={seq}")
-        idx = manifest.select(
-            *key, F.lit(seq).cast("long").alias("seq"))
-        idx.write.mode("overwrite").parquet(_index_path(table_dir, sid))
-    elif not _index_exists(table_dir, sid):
-        if head:
-            pidx = spark.read.parquet(
-                _index_path(table_dir, head["snapshot_id"]))
-            new_rows = manifest.join(F.broadcast(pidx), key, "left_anti")
-            idx = (manifest.select(*key)
-                   .join(F.broadcast(pidx.withColumnRenamed("seq", "pseq")),
-                         key, "left")
-                   .select(*key, F.coalesce("pseq", F.lit(seq))
-                           .cast("long").alias("seq")))
-        else:
-            new_rows = manifest
+        key = ["chunk_id", "checksum"]
+        if rewrite:
+            manifest.write.mode("errorifexists").parquet(
+                f"{table_dir}/data/seq={seq}")
             idx = manifest.select(
                 *key, F.lit(seq).cast("long").alias("seq"))
-        if new_rows.limit(1).count():
-            new_rows.write.mode("errorifexists").parquet(
-                f"{table_dir}/data/seq={seq}")
-        idx.write.mode("errorifexists").parquet(
-            _index_path(table_dir, sid))
-
+            idx.write.mode("overwrite").parquet(
+                _index_path(table_dir, sid))
+        elif not _index_exists(table_dir, sid):
+            if head:
+                pidx = spark.read.parquet(
+                    _index_path(table_dir, head["snapshot_id"]))
+                new_rows = manifest.join(F.broadcast(pidx), key,
+                                         "left_anti")
+                idx = (manifest.select(*key)
+                       .join(F.broadcast(
+                           pidx.withColumnRenamed("seq", "pseq")),
+                           key, "left")
+                       .select(*key, F.coalesce("pseq", F.lit(seq))
+                               .cast("long").alias("seq")))
+            else:
+                new_rows = manifest
+                idx = manifest.select(
+                    *key, F.lit(seq).cast("long").alias("seq"))
+            if new_rows.limit(1).count():
+                new_rows.write.mode("errorifexists").parquet(
+                    f"{table_dir}/data/seq={seq}")
+            idx.write.mode("errorifexists").parquet(
+                _index_path(table_dir, sid))
+    finally:
+        manifest.unpersist()
     row = {"seq": seq, "snapshot_id": sid,
            "parent_id": head["snapshot_id"] if head else None,
            "op": op, "n_chunks": int(st["n"]),
@@ -349,8 +359,19 @@ def snapshot_diff(spark: SparkSession, table_dir: str,
 
     aman = _manifest_for_index(spark, table_dir, added_chunks)
     rman = _manifest_for_index(spark, table_dir, removed_chunks)
-    specs = specs or manifest_specs(
-        aman if aman.limit(1).count() else rman)
+    if specs is None:
+        # empty symmetric difference (content-identical snapshots,
+        # e.g. across a rollback) must return an empty feed, not
+        # crash manifest_specs on an empty manifest — fall back to
+        # one chunk of the to-snapshot for the schema
+        for cand in (aman, rman,
+                     _manifest_for_index(spark, table_dir,
+                                         tidx.limit(1))):
+            if cand.limit(1).count():
+                specs = manifest_specs(cand)
+                break
+        else:
+            return spark.createDataFrame([], "op string")
     cols = [s[0] for s in specs]
     arows = decode_table(aman, specs=specs, with_n_tok=False) \
         .select(*cols)

@@ -129,3 +129,17 @@ def test_bloom_knob_off(spark):
     # lookups degrade to zone-map pruning, stay correct
     out = lookup_docs(enc, ["7"], specs=SPECS, with_n_tok=False)
     assert [r["doc_id"] for r in out.collect()] == ["7"]
+
+
+def test_bloom_probe_cap_bulk_lookup(spark):
+    """Regression: bulk probes (>64 keys) skip bloom pruning (plan-size
+    guard) but lookups stay correct."""
+    docs = spark.range(2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("t-"), "id").alias("text"))
+    enc = encode_table(docs, specs=SPECS, mode="hash", num_parts=4,
+                       target_values=256).cache()
+    keys = [str(i) for i in range(0, 2000, 20)]       # 100 keys
+    assert _bloom_prune(enc, "doc_id", keys).count() == enc.count()
+    out = lookup_docs(enc, keys, specs=SPECS, with_n_tok=False)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(keys)

@@ -107,3 +107,40 @@ def test_cli_tokenize_full_pipeline(spark, tmp_path, capsys):
     assert sorted((r["doc_id"], r["n_tok"])
                   for r in tok.collect()) == [("1", 3), ("2", 3)]
     assert spark.read.parquet(f"{d}/vocab").count() == 6
+
+
+def test_remove_boilerplate_regex_metachar_sep(spark):
+    """Regression: sep is treated literally (split regex is \\Q-quoted)
+    — '.' must split on dots, not on every character."""
+    docs = spark.createDataFrame([
+        ("1", "COMMON.unique one.COMMON", "a"),
+        ("2", "COMMON.unique two.COMMON", "a"),
+    ], "doc_id string, text string, source string")
+    out = {r["doc_id"]: r["text"]
+           for r in remove_boilerplate(docs, sep=".",
+                                       max_repeats=4).collect()}
+    assert out == {"1": "COMMON.unique one.COMMON",
+                   "2": "COMMON.unique two.COMMON"}
+    out1 = {r["doc_id"]: r["text"]
+            for r in remove_boilerplate(docs, sep=".",
+                                        max_repeats=1).collect()}
+    assert out1 == {"1": "unique one", "2": "unique two"}
+
+
+def test_cli_tokenize_without_source_column(spark, tmp_path, capsys):
+    """Regression: input without a `source` column defaults it."""
+    import json
+
+    from br_archive_spark.cli import main
+
+    spark.createDataFrame([("1", "alpha beta"), ("2", "gamma")],
+                          "doc_id string, text string") \
+        .write.parquet(str(tmp_path / "docs"))
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "tokenize", str(tmp_path / "docs"),
+               "-o", str(tmp_path / "tok")])
+    assert rc == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st == {"docs": 2, "tokens": 3}
+    tok = spark.read.parquet(str(tmp_path / "tok"))
+    assert {r["source"] for r in tok.collect()} == {"corpus"}

@@ -109,3 +109,17 @@ def test_stratified_sample_deterministic_and_exact(spark):
     # strata absent from the dict are dropped
     extra = docs.withColumn("source", F.lit("unknown"))
     assert stratified_sample(extra, fr, strata_col="source").count() == 0
+
+
+def test_stratified_sample_near_one_fraction(spark):
+    """Regression: fractions just below 1.0 must keep ~everything —
+    round(f*65536)==65536 must clamp to the 'g' sentinel, never emit
+    a 5-hex-char cutoff that lexicographically drops ~94%."""
+    from br_archive_spark.functions.packing import stratified_sample
+
+    docs = spark.range(1000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("s").alias("source"))
+    out = stratified_sample(docs, {"s": 0.999995},
+                            strata_col="source")
+    assert out.count() >= 999

@@ -454,3 +454,13 @@ def test_snapshot_fsck(spark, table):
     rep3 = snapshot_fsck(spark, d)
     assert not rep3["ok"]
     assert rep3["missing"].get(r2["snapshot_id"], 0) >= 1
+
+
+def test_snapshot_diff_identical_snapshots_no_specs(spark, table):
+    """Regression: diff of content-identical snapshots with specs=None
+    (the CLI path) returns an empty feed instead of crashing
+    manifest_specs on an empty manifest."""
+    d, _src, r1 = table
+    same = snapshot_diff(spark, d, r1["snapshot_id"],
+                         r1["snapshot_id"])
+    assert same.count() == 0
