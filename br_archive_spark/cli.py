@@ -145,8 +145,9 @@ def cmd_snapshot(args) -> int:
     # import the submodule explicitly: operators/__init__ re-exports a
     # FUNCTION named `snapshots`, which shadows the module attribute
     from .operators.snapshots import (commit_snapshot, expire_snapshots,
-                                      rollback, snapshot_diff,
-                                      snapshot_fsck, snapshots)
+                                      recluster_snapshot, rollback,
+                                      snapshot_diff, snapshot_fsck,
+                                      snapshots)
 
     spark = _spark(args)
     if args.action == "log":
@@ -169,6 +170,11 @@ def cmd_snapshot(args) -> int:
     if args.action == "expire":
         print(json.dumps(expire_snapshots(
             spark, args.table, keep_last=args.keep)))
+        return 0
+    if args.action == "recluster":
+        print(json.dumps(recluster_snapshot(
+            spark, args.table, key=args.key,
+            num_parts=args.num_parts)))
         return 0
     if args.action == "fsck":
         rep = snapshot_fsck(spark, args.table)
@@ -459,6 +465,15 @@ def main(argv: list[str] | None = None) -> int:
     q = snapsub.add_parser("expire", help="GC unreferenced history")
     q.add_argument("table")
     q.add_argument("--keep", type=int, default=2)
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("recluster",
+                           help="rewrite the head range-clustered on "
+                                "a key (tight zone maps for range "
+                                "reads); expire reclaims the old "
+                                "layout")
+    q.add_argument("table")
+    q.add_argument("--key", default="doc_id")
+    q.add_argument("--num-parts", type=int, default=None)
     q.set_defaults(fn=cmd_snapshot)
     q = snapsub.add_parser("fsck",
                            help="index<->data consistency audit "

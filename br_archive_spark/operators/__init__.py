@@ -10,8 +10,8 @@ from .evolve import (add_column, delete_rows, drop_columns,
                      rename_column, upsert_rows)
 from .snapshots import (CommitConflict, commit_snapshot,
                         expire_snapshots, incremental_manifest,
-                        load_snapshot, rollback, snapshot_diff,
-                        snapshot_fsck, snapshots)
+                        load_snapshot, recluster_snapshot, rollback,
+                        snapshot_diff, snapshot_fsck, snapshots)
 from .verify import (compression_report, table_checksum,
                      verify_roundtrip)
 
@@ -25,7 +25,7 @@ __all__ = [
     "delete_rows", "upsert_rows",
     "commit_snapshot", "snapshots", "load_snapshot", "rollback",
     "expire_snapshots", "incremental_manifest", "snapshot_diff",
-    "CommitConflict", "snapshot_fsck",
+    "CommitConflict", "snapshot_fsck", "recluster_snapshot",
     "ChecksumError",
     "verify_roundtrip", "compression_report", "table_checksum",
     "MANIFEST_SPARK_SCHEMA", "TOKEN_SPECS",

@@ -61,7 +61,7 @@ from .fsutil import path_tag, resolve_fs, write_parquet_atomic
 
 __all__ = ["commit_snapshot", "snapshots", "load_snapshot",
            "rollback", "expire_snapshots", "incremental_manifest",
-           "snapshot_diff", "CommitConflict", "snapshot_fsck"]
+           "snapshot_diff", "CommitConflict", "snapshot_fsck", "recluster_snapshot"]
 
 _LOG_RE = re.compile(r"(\d{8})-([0-9a-f]{16})\.parquet$")
 
@@ -518,3 +518,36 @@ def snapshot_fsck(spark: SparkSession, table_dir: str) -> dict:
             "missing": missing, "orphan_chunks": int(orphans),
             "expired_parents": sorted(set(expired_parents)),
             "seq_dirs": sorted(seq_dirs)}
+
+
+def recluster_snapshot(spark: SparkSession, table_dir: str,
+                       key: str,
+                       specs: list[tuple[str, str]] | None = None,
+                       num_parts: int | None = None,
+                       target_values: int = 1 << 20,
+                       **encode_kwargs) -> dict:
+    """Rewrite the head snapshot range-clustered on ``key`` — the
+    Iceberg ``rewrite_data_files`` with a sort order: decode the live
+    table, ``repartitionByRange(key)`` + in-partition sort through
+    ``encode_table(mode="range")``, and commit the result. Content is
+    unchanged (the CDC feed vs the prior head is empty at row level);
+    the LAYOUT changes: every chunk's zone map becomes a tight,
+    near-disjoint key interval, so ``lookup_range``/``lookup_docs``
+    decode O(matching chunks) where a hash/ingest-ordered layout
+    decodes O(partitions). Follow with :func:`expire_snapshots` to
+    reclaim the old layout's directories.
+
+    One full decode + one range shuffle + one encode — the standard
+    price of a table-maintenance rewrite; run it on the cadence reads
+    justify, not per commit.
+    """
+    from .decode import decode_table, manifest_specs
+    from .encode import encode_table
+
+    man = load_snapshot(spark, table_dir)
+    specs = specs or manifest_specs(man)
+    rows = decode_table(man, specs=specs, with_n_tok=False)
+    enc = encode_table(rows, specs=specs, key=key, mode="range",
+                       num_parts=num_parts,
+                       target_values=target_values, **encode_kwargs)
+    return commit_snapshot(enc, table_dir, op="recluster")

@@ -464,3 +464,38 @@ def test_snapshot_diff_identical_snapshots_no_specs(spark, table):
     same = snapshot_diff(spark, d, r1["snapshot_id"],
                          r1["snapshot_id"])
     assert same.count() == 0
+
+
+def test_recluster_snapshot_tightens_pruning(spark, tmp_path):
+    """recluster_snapshot: content identical (empty CDC vs prior
+    head), layout range-clustered — a narrow range read decodes far
+    fewer chunks than under the scattered hash layout."""
+    from br_archive_spark.operators import (lookup_range,
+                                            recluster_snapshot,
+                                            snapshot_diff)
+    from br_archive_spark.operators.decode import _zone_prune
+
+    d = str(tmp_path / "tbl")
+    src = spark.range(2000).select(
+        F.format_string("%05d", F.col("id")).alias("doc_id"),
+        F.concat(F.lit("b-"), "id").alias("text"))
+    enc = encode_table(src, specs=SPECS, mode="hash", key="doc_id",
+                       num_parts=8, target_values=128)
+    r1 = commit_snapshot(enc, d, op="encode")
+    before = _zone_prune(load_snapshot(spark, d), "doc_id",
+                         "00100", "00140").count()
+
+    r2 = recluster_snapshot(spark, d, key="doc_id", specs=SPECS,
+                            num_parts=8, target_values=128)
+    assert r2["op"] == "recluster"
+    # identical content: the row-level change feed is empty
+    assert snapshot_diff(spark, d, r1["snapshot_id"],
+                         r2["snapshot_id"], specs=SPECS).count() == 0
+    after = _zone_prune(load_snapshot(spark, d), "doc_id",
+                        "00100", "00140").count()
+    assert after < before / 3, (before, after)
+    # and the data still reads correctly through the new layout
+    got = lookup_range(load_snapshot(spark, d), "00100", "00105",
+                       specs=SPECS, with_n_tok=False)
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        f"{i:05d}" for i in range(100, 106)]
