@@ -1,0 +1,93 @@
+"""Streaming CDC over a snapshot table: follow the commit log, emit
+each commit's row-level change feed incrementally.
+
+Downstream consumers of a continuously-updated encoded table (index
+builders, caches, derived datasets) need "what changed since I last
+looked", not a rescan. The snapshot layer already answers that for a
+PAIR of ids (``snapshot_diff``, delta-chunk-proportional); this module
+turns the log itself into the stream:
+
+``readStream`` (file source over ``table_dir/_log`` — each commit is
+exactly one small parquet file, so file-source discovery IS log
+tailing) → ``foreachBatch`` → for every newly seen log row, in seq
+order, ``snapshot_diff(parent → id)`` appended to the output sink with
+the (seq, snapshot_id) stamped on.
+
+Checkpointing gives restart recovery; replays are idempotent because
+the sink is keyed by ``seq`` and a replayed batch's seqs are
+skip-if-present — the same effectively-once recipe as
+``encode_stream``. Cost per commit is delta-proportional (the
+``snapshot_diff`` contract), so a quiet table costs nothing and a busy
+one costs its churn.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_changes"]
+
+_LOG_STREAM_SCHEMA = ("seq long, snapshot_id string, parent_id string, "
+                      "op string, n_chunks long, enc_bytes long, "
+                      "committed_at double")
+
+
+def stream_changes(spark: SparkSession, table_dir: str, output_dir: str,
+                   checkpoint_dir: str,
+                   specs: list[tuple[str, str]] | None = None,
+                   trigger_available_now: bool = True):
+    """Stream each commit's add/del row feed into ``output_dir``.
+
+    Output rows are ``snapshot_diff``'s columns plus ``seq`` and
+    ``snapshot_id``. Returns the started StreamingQuery; with
+    ``trigger_available_now`` it drains the existing log and stops
+    (the catch-up mode), otherwise it keeps following new commits.
+    """
+    from ..operators.snapshots import snapshot_diff
+
+    log_stream = (spark.readStream
+                  .schema(_LOG_STREAM_SCHEMA)
+                  .parquet(os.path.join(table_dir, "_log")))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        rows = sorted((r.asDict() for r in batch_df.collect()),
+                      key=lambda r: (r["seq"], r["snapshot_id"]))
+        try:
+            done = {r["seq"] for r in
+                    sess.read.parquet(output_dir)
+                    .select("seq").distinct().collect()}
+        except Exception:
+            done = set()
+        seen_seq: set[int] = set()
+        for r in rows:
+            # mirror _read_log's duplicate-seq winner rule; also skip
+            # seqs a replayed micro-batch already emitted
+            if r["seq"] in seen_seq or r["seq"] in done:
+                continue
+            seen_seq.add(r["seq"])
+            if not r["parent_id"]:
+                continue            # initial commit: no delta to emit
+            if r["parent_id"] == r["snapshot_id"]:
+                continue            # recommit of identical content
+            try:
+                diff = snapshot_diff(sess, table_dir, r["parent_id"],
+                                     r["snapshot_id"], specs=specs)
+            except FileNotFoundError:
+                # parent expired before the consumer caught up — the
+                # delta is unrecoverable; emit nothing for this seq
+                # (callers bootstrapping that far behind should
+                # load_snapshot the head instead)
+                continue
+            (diff.withColumn("seq", F.lit(r["seq"]).cast("long"))
+                 .withColumn("snapshot_id", F.lit(r["snapshot_id"]))
+                 .write.mode("append").parquet(output_dir))
+
+    return (log_stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=trigger_available_now)
+            .start())

@@ -91,3 +91,53 @@ def test_stream_dedup_first_occurrence_across_batches(spark, dirs):
     # the replayed content kept its FIRST writer
     kept = {tuple(r["tokens"]): r["doc_id"] for r in final.collect()}
     assert kept[(1, 2, 3)] in ("doc-000000", "doc-000002")
+
+
+def test_stream_changes_follows_commit_log(spark, tmp_path):
+    """Streaming CDC: commits land, the log stream emits each one's
+    delta-proportional change feed exactly once, restart drains only
+    the NEW commits."""
+    from br_archive_spark.operators import (commit_snapshot,
+                                            encode_table, load_snapshot,
+                                            upsert_rows)
+    from br_archive_spark.streaming import stream_changes
+
+    SPECS = [("doc_id", "string"), ("text", "string")]
+    d = str(tmp_path / "tbl")
+    out = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    src = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("b-"), "id").alias("text"))
+    enc = encode_table(src, specs=SPECS, mode="range", key="doc_id",
+                       num_parts=2, target_values=64)
+    commit_snapshot(enc, d, op="encode")
+    man2 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("7", "V2"), ("900", "new")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    r2 = commit_snapshot(man2, d, op="upsert")
+
+    q = stream_changes(spark, d, out, ckpt, specs=SPECS)
+    q.awaitTermination(120)
+    feed = spark.read.parquet(out)
+    got = {(r["doc_id"], r["text"], r["op"], r["seq"])
+           for r in feed.collect()}
+    assert got == {("7", "b-7", "del", 2), ("7", "V2", "add", 2),
+                   ("900", "new", "add", 2)}
+
+    # a third commit lands; a RESTARTED stream emits only its delta
+    man3 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("8", "V3")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    commit_snapshot(man3, d, op="upsert")
+    q2 = stream_changes(spark, d, out, ckpt, specs=SPECS)
+    q2.awaitTermination(120)
+    feed2 = spark.read.parquet(out)
+    assert feed2.count() == 5
+    new = {(r["doc_id"], r["text"], r["op"])
+           for r in feed2.where(F.col("seq") == 3).collect()}
+    assert new == {("8", "b-8", "del"), ("8", "V3", "add")}
