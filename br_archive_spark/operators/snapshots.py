@@ -108,6 +108,82 @@ def _read_log(spark: SparkSession, table_dir: str,
     return out
 
 
+# grace before a claim file with no matching log row may be broken —
+# long enough that no live committer sits between claim and append
+# (the append is a single small parquet write), short enough that a
+# crashed committer doesn't block the table for long
+_CLAIM_STALE_S = 30.0
+
+
+def _claim_seq(table_dir: str, seq: int, sid: str) -> None:
+    """Atomically claim ``seq`` before the log append.
+
+    The post-append winner rule alone is one-sided: if the
+    lexicographically-smaller snapshot id appends SECOND, the first
+    appender has already returned success, yet readers resolve the seq
+    to the later (smaller) id — a silently lost commit (ADVICE r3 #3).
+    On rename-capable local filesystems an ``O_CREAT|O_EXCL`` claim
+    file ``_log/NNNNNNNN.claim`` closes that window: exactly one
+    committer per seq ever reaches ``_append_log``, the loser raises
+    :class:`CommitConflict` *before* writing a log row. Claims persist
+    (seqs never recur — rollback appends a new seq), so the guard
+    holds for the table's lifetime.
+
+    Orphan recovery: a committer that crashes between claim and append
+    leaves the seq blocked; a claim older than ``_CLAIM_STALE_S`` with
+    no log row at its seq is broken and retried once.
+
+    Non-local filesystems (no exclusive-create primitive in pyarrow
+    fs) return without claiming — there the documented posture is
+    single-committer, with the post-append smallest-id rule as the
+    damage limiter.
+    """
+    import os
+
+    from pyarrow import fs as pafs
+
+    from .fsutil import ensure_dir
+
+    fs, rel = resolve_fs(f"{table_dir}/_log")
+    base = fs
+    while isinstance(base, pafs.SubTreeFileSystem):
+        base = base.base_fs
+    if not isinstance(base, pafs.LocalFileSystem) or fs is not base:
+        return
+    ensure_dir(f"{table_dir}/_log")
+    path = f"{rel.rstrip('/')}/{seq:08d}.claim"
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, sid.encode())
+            finally:
+                os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(path).st_mtime
+            except FileNotFoundError:
+                continue  # holder vanished between open and stat
+            row_exists = bool(glob_claimed_rows(rel, seq))
+            if attempt == 0 and age > _CLAIM_STALE_S and not row_exists:
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise CommitConflict(
+                f"concurrent commit in flight at seq {seq} of "
+                f"{table_dir} — reload the head and retry")
+
+
+def glob_claimed_rows(log_dir: str, seq: int) -> list[str]:
+    """Log-row files already appended at ``seq`` (local fs)."""
+    import glob as _glob
+
+    return _glob.glob(f"{log_dir.rstrip('/')}/{seq:08d}-*.parquet")
+
+
 def _append_log(table_dir: str, row: dict) -> None:
     from .fsutil import ensure_dir
 
@@ -155,8 +231,12 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
     into a raised :class:`CommitConflict` instead of silent history
     divergence: pass ``expected_head`` (the snapshot id this commit
     was derived from; ``None`` for "expect an empty table") for a
-    CAS-style precondition, and after the log append the committer
-    re-reads the log — if another writer landed the same ``seq``, the
+    CAS-style precondition; on local (rename-capable) filesystems a
+    pre-append ``O_CREAT|O_EXCL`` per-seq claim file serializes the
+    append window so exactly one committer per seq ever writes a log
+    row (:func:`_claim_seq` — the loser raises before any append); and
+    as a non-local-fs fallback the committer re-reads the log after
+    appending — if another writer landed the same ``seq``, the
     lexicographically-smallest snapshot id wins deterministically on
     every reader and the loser removes its log row and raises. A
     racing DATA write to the same ``seq`` dir already fails hard on
@@ -185,6 +265,9 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
                        F.lit(0)).alias("b")).collect()[0]
         crc = table_checksum(manifest)
         sid = path_tag(f"{crc:08x}:{st['n']}:{st['b']}")
+        # claim the seq before any write: on local filesystems exactly
+        # one committer per seq proceeds past this line (see _claim_seq)
+        _claim_seq(table_dir, seq, sid)
 
         key = ["chunk_id", "checksum"]
         if rewrite:
@@ -399,6 +482,7 @@ def rollback(spark: SparkSession, table_dir: str,
     row.update({"seq": head["seq"] + 1,
                 "parent_id": head["snapshot_id"],
                 "op": "rollback", "committed_at": time.time()})
+    _claim_seq(table_dir, row["seq"], row["snapshot_id"])
     _append_log(table_dir, row)
     return row
 

@@ -48,25 +48,40 @@ def stream_changes(spark: SparkSession, table_dir: str, output_dir: str,
     """
     from ..operators.snapshots import snapshot_diff
 
+    # ingest ONLY canonical log rows (NNNNNNNN-<sid>.parquet): the log
+    # dir also holds write_parquet_atomic's ``*.tmp-<pid>`` staging
+    # files and _claim_seq's ``NNNNNNNN.claim`` markers — a mid-write
+    # listing that picked either up would fail the parquet read and
+    # kill the query (ADVICE r3 #4)
     log_stream = (spark.readStream
                   .schema(_LOG_STREAM_SCHEMA)
+                  .option("pathGlobFilter", "[0-9]*-*.parquet")
                   .parquet(os.path.join(table_dir, "_log")))
+
+    def _seq_done(seq: int) -> bool:
+        # the sink is partitioned by seq, so "already emitted" is one
+        # directory stat — per-batch work scales with the batch's NEW
+        # commits, not the sink's total history (the r3 form re-read
+        # every output row's seq each micro-batch: O(history) forever)
+        from pyarrow.fs import FileType
+
+        from ..operators.fsutil import resolve_fs
+
+        fs, rel = resolve_fs(f"{output_dir}/seq={seq}")
+        return fs.get_file_info(rel).type == FileType.Directory
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         rows = sorted((r.asDict() for r in batch_df.collect()),
                       key=lambda r: (r["seq"], r["snapshot_id"]))
-        try:
-            done = {r["seq"] for r in
-                    sess.read.parquet(output_dir)
-                    .select("seq").distinct().collect()}
-        except Exception:
-            done = set()
         seen_seq: set[int] = set()
         for r in rows:
-            # mirror _read_log's duplicate-seq winner rule; also skip
-            # seqs a replayed micro-batch already emitted
-            if r["seq"] in seen_seq or r["seq"] in done:
+            # mirror _read_log's duplicate-seq winner rule (sorted
+            # order keeps the smallest snapshot id; with _claim_seq a
+            # local-fs loser never appends, this guards non-local
+            # logs); also skip seqs a replayed micro-batch already
+            # emitted
+            if r["seq"] in seen_seq or _seq_done(r["seq"]):
                 continue
             seen_seq.add(r["seq"])
             if not r["parent_id"]:
@@ -84,7 +99,8 @@ def stream_changes(spark: SparkSession, table_dir: str, output_dir: str,
                 continue
             (diff.withColumn("seq", F.lit(r["seq"]).cast("long"))
                  .withColumn("snapshot_id", F.lit(r["snapshot_id"]))
-                 .write.mode("append").parquet(output_dir))
+                 .write.mode("append").partitionBy("seq")
+                 .parquet(output_dir))
 
     return (log_stream.writeStream
             .foreachBatch(process_batch)

@@ -463,3 +463,54 @@ def test_metadata_pass_never_reads_payload(spark, tmp_path):
     assert "column_stats" in m.group(1)
     assert "columns" not in m.group(1).replace("column_stats", "")
     shutil.rmtree(man_dir, ignore_errors=True)
+
+
+def test_bool_column_stats_and_scan(spark):
+    """bool kind has a 0/1 int lane: verify_stats must cover it and
+    scan_range must prune on its zone map instead of raising the
+    misleading 'no integer lane' error (ADVICE r4 #1 — _int_kind()
+    admits bool, so _int_view needs a bool branch)."""
+    from br_archive_spark.operators import encode_table
+    from br_archive_spark.operators.decode import scan_range
+    from br_archive_spark.operators.verify import verify_stats
+
+    df = spark.range(600).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 3 == 0).alias("flag"),
+        (F.col("id") % 5).cast("int").alias("v"))
+    specs = [("doc_id", "string"), ("flag", "bool"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="scan", target_values=128)
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert "flag" in res["columns"] and res["columns"]["flag"]["ok"]
+    got = scan_range(enc, "flag", 1, 1, specs=specs, with_n_tok=False)
+    assert got.count() == 200
+    assert got.where(~F.col("flag")).count() == 0
+
+
+def test_lookup_after_zone_key_dropped(spark):
+    """drop_columns of the zone-map key NULLs key_col; a later lookup
+    probing a DIFFERENT column must conservatively scan every chunk,
+    never silently miss (ADVICE r4 #2 — a NULL key_col made both arms
+    of the prune predicate NULL and the WHERE dropped the chunk)."""
+    from br_archive_spark.operators import (drop_columns, encode_table,
+                                            lookup_docs, lookup_range)
+
+    df = spark.range(300).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("alt-"), F.col("id")).alias("alt"))
+    specs = [("doc_id", "string"), ("alt", "string")]
+    enc = encode_table(df, specs=specs, mode="range", key="doc_id",
+                       num_parts=2, target_values=64)
+    man = drop_columns(enc, ["doc_id"])
+    assert man.where(F.col("key_col").isNotNull()).count() == 0
+    got = lookup_docs(man, ["alt-7", "alt-250"],
+                      specs=[("alt", "string")], key="alt",
+                      with_n_tok=False)
+    assert sorted(r["alt"] for r in got.collect()) == ["alt-250", "alt-7"]
+    rng = lookup_range(man, "alt-10", "alt-11",
+                       specs=[("alt", "string")], key="alt",
+                       with_n_tok=False)
+    assert sorted(r["alt"] for r in rng.collect()) == [
+        "alt-10", "alt-100", "alt-101", "alt-102", "alt-103", "alt-104",
+        "alt-105", "alt-106", "alt-107", "alt-108", "alt-109", "alt-11"]

@@ -499,3 +499,74 @@ def test_recluster_snapshot_tightens_pruning(spark, tmp_path):
                        specs=SPECS, with_n_tok=False)
     assert sorted(r["doc_id"] for r in got.collect()) == [
         f"{i:05d}" for i in range(100, 106)]
+
+
+def test_claim_blocks_rival_and_breaks_stale_orphan(spark, table):
+    """Pre-append seq claim (ADVICE r4 #3): a live rival's claim turns
+    the commit into CommitConflict BEFORE any log row lands; a stale
+    claim with no log row (committer crashed between claim and append)
+    is broken and the commit proceeds."""
+    import importlib
+    import time as _t
+
+    from br_archive_spark.operators import CommitConflict
+
+    S = importlib.import_module("br_archive_spark.operators.snapshots")
+    d, src, r1 = table
+    man2 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("5", "X")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    claim = os.path.join(d, "_log", f"{r1['seq'] + 1:08d}.claim")
+    with open(claim, "w") as f:
+        f.write("f" * 16)
+    with pytest.raises(CommitConflict):
+        commit_snapshot(man2, d, op="upsert")
+    assert snapshots(spark, d).count() == 1   # loser appended nothing
+
+    past = _t.time() - 2 * S._CLAIM_STALE_S
+    os.utime(claim, (past, past))
+    r2 = commit_snapshot(man2, d, op="upsert")
+    assert r2["seq"] == r1["seq"] + 1
+    assert snapshots(spark, d).count() == 2
+
+
+def _race_commit_worker(args):
+    """Race the claim->append window (no Spark: the synchronization
+    primitive under test is pure filesystem)."""
+    import time as _t
+
+    from br_archive_spark.operators.snapshots import (CommitConflict,
+                                                      _append_log,
+                                                      _claim_seq)
+
+    d, seq, sid = args
+    try:
+        _claim_seq(d, seq, sid)
+    except CommitConflict:
+        return "conflict"
+    _append_log(d, {"seq": seq, "snapshot_id": sid, "parent_id": None,
+                    "op": "race", "n_chunks": 0, "enc_bytes": 0,
+                    "committed_at": _t.time()})
+    return "committed"
+
+
+def test_two_process_commit_race(tmp_path):
+    """Two OS processes race the same seq 20 times: exactly one wins
+    each race, the loser raises CommitConflict, and the log never
+    holds two rows at one seq (VERDICT r3 next-steps #8)."""
+    import multiprocessing as mp
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(d, "_log"))
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(2) as pool:
+        for seq in range(1, 21):
+            sids = [f"{seq:02d}" + "a" * 14, f"{seq:02d}" + "b" * 14]
+            res = pool.map(_race_commit_worker,
+                           [(d, seq, s) for s in sids])
+            assert sorted(res) == ["committed", "conflict"], (seq, res)
+            rows = [f for f in os.listdir(os.path.join(d, "_log"))
+                    if f.startswith(f"{seq:08d}-")]
+            assert len(rows) == 1, (seq, rows)

@@ -119,6 +119,16 @@ def test_stream_changes_follows_commit_log(spark, tmp_path):
         key="doc_id", specs=SPECS, num_parts=1)
     r2 = commit_snapshot(man2, d, op="upsert")
 
+    # the log dir legitimately holds non-row files: _claim_seq markers
+    # (real ones exist from the commits above) and write_parquet_atomic
+    # tmp stagings from a crashed writer — the stream's pathGlobFilter
+    # must ignore both or the parquet read kills the query (ADVICE r4)
+    import os as _os
+    with open(_os.path.join(d, "_log",
+                            "00000009-aaaa.parquet.tmp-123"), "wb") as f:
+        f.write(b"not parquet")
+    assert _os.path.exists(_os.path.join(d, "_log", "00000001.claim"))
+
     q = stream_changes(spark, d, out, ckpt, specs=SPECS)
     q.awaitTermination(120)
     feed = spark.read.parquet(out)
