@@ -345,3 +345,103 @@ def test_rename_is_jvm_only(spark, encoded):
         .executedPlan().toString()
     assert plan.count("MapInArrow") == base.count("MapInArrow")
     assert plan.count("EvalPython") == base.count("EvalPython") == 0
+
+
+def test_delete_rows_join_path_matches_literal(spark, range_encoded):
+    """keys as a DataFrame takes the fully-distributed COW delete (the
+    large-batch MERGE path): same decoded table and same rewritten
+    chunk set as the literal path, with the probe expressed as a JOIN
+    against the keys DataFrame — the key set never transits the
+    driver (VERDICT r3 next-steps #4)."""
+    from br_archive_spark.operators import decode_table, delete_rows
+
+    src, specs, enc = range_encoded
+    kill = [f"doc-{i:05d}" for i in range(100, 110)]
+    kdf = spark.createDataFrame([(k,) for k in kill], "doc_id string")
+    out = delete_rows(enc, kdf, key="doc_id", specs=specs)
+    lit = delete_rows(enc, kill, key="doc_id", specs=specs)
+    a = sorted(map(tuple, decode_table(
+        out, specs=specs, with_n_tok=False,
+        verify_checksums=True).collect()))
+    b = sorted(map(tuple, decode_table(
+        lit, specs=specs, with_n_tok=False).collect()))
+    assert a == b
+    before = {r["chunk_id"]: r["checksum"]
+              for r in enc.select("chunk_id", "checksum").collect()}
+    after = {r["chunk_id"]: r["checksum"]
+             for r in out.select("chunk_id", "checksum").collect()}
+    rewritten = [c for c in after if after[c] != before[c]]
+    assert 1 <= len(rewritten) <= 2, rewritten
+    assert all(after[c] == before[c]
+               for c in after if c not in rewritten)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
+def test_delete_rows_join_path_empty_and_whole_chunk(spark,
+                                                     range_encoded):
+    from br_archive_spark.operators import decode_table, delete_rows
+
+    src, specs, enc = range_encoded
+    empty = spark.createDataFrame([], "doc_id string")
+    assert delete_rows(enc, empty, key="doc_id",
+                       specs=specs).count() == enc.count()
+    kdf = spark.range(500).select(
+        F.format_string("doc-%05d", "id").alias("doc_id"))
+    out = delete_rows(enc, kdf, key="doc_id", specs=specs)
+    assert out.count() < enc.count()     # first chunk vanished whole
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    assert dec.count() == src.count() - 500
+    assert dec.where(F.col("doc_id") < "doc-00500").count() == 0
+
+
+def test_delete_rows_partial_specs_keeps_all_columns(spark,
+                                                     range_encoded):
+    """Chunk rebuild derives from the chunk's OWN entry list (kinds
+    fall back to the entry's recorded kind), so partial caller specs
+    can no longer silently drop unlisted columns from rewritten chunks
+    (ADVICE r4 #5)."""
+    from br_archive_spark.operators import decode_table, delete_rows
+
+    src, specs, enc = range_encoded
+    partial = [s for s in specs if s[0] != "text"]
+    out = delete_rows(enc, ["doc-00105"], key="doc_id", specs=partial)
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    assert dec.where("doc_id = 'doc-00105'").count() == 0
+    assert dec.count() == src.count() - 1
+    assert dec.where(F.col("text").isNull()).count() == 0
+
+
+def test_upsert_large_batch_join_path(spark, range_encoded):
+    """A batch above join_threshold: duplicate check and COW probe run
+    as joins (no key collect, no literal plans); merge semantics match
+    the literal path; the deterministic batch tag keeps re-runs
+    idempotent."""
+    from br_archive_spark.operators import decode_table, upsert_rows
+
+    src, specs, enc = range_encoded
+    batch = spark.range(2000).select(
+        F.format_string("doc-%05d", F.col("id") + 2500).alias("doc_id"),
+        (F.col("id") + 10_000_000).alias("v"),
+        F.concat(F.lit("J"), F.col("id")).alias("text"))
+    out = upsert_rows(enc, batch, key="doc_id", specs=specs,
+                      num_parts=2, join_threshold=100)
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    exp = (src.where(F.col("doc_id") < "doc-02500").unionByName(batch))
+    assert sorted(map(tuple, dec.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    ids = out.select("chunk_id").collect()
+    assert len(ids) == len({r[0] for r in ids})
+    # idempotent: same batch again under the same derived tag
+    again = upsert_rows(out, batch, key="doc_id", specs=specs,
+                        num_parts=2, join_threshold=100)
+    a = sorted(map(tuple, decode_table(
+        again, specs=specs, with_n_tok=False).collect()))
+    assert a == sorted(map(tuple, exp.collect()))
+    # duplicate keys rejected without collecting
+    with pytest.raises(ValueError, match="duplicate keys"):
+        upsert_rows(enc, batch.unionByName(batch), key="doc_id",
+                    specs=specs, join_threshold=100)
