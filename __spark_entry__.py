@@ -545,6 +545,34 @@ def q_numeric_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "yyyy-MM-dd").alias("date_str"))
 
 
+def q_float_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float zone maps (r4): double columns record typed per-chunk
+    fmin/fmax bounds in ``column_stats`` (NaN excluded, null bounds
+    never prune) and ``scan_range`` skips non-overlapping chunks
+    before any payload decode — parquet row-group float statistics
+    re-expressed at the codec-chunk level. Output in integer cents so
+    the cross-engine value hash is float-format-proof; the FILTER
+    itself runs on raw doubles through the float stats lane."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            scan_range)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").alias("o_price"))
+    clustered = (orders.repartitionByRange(8, "o_price")
+                 .sortWithinPartitions("o_price"))
+    specs = infer_specs(clustered)
+    enc = encode_table(clustered, specs=specs, mode="scan",
+                       target_values=1 << 12)
+    out = scan_range(enc, "o_price", 50_000.0, 80_000.0,
+                     specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.col("o_price") * 100).cast("long")
+        .alias("price_cents"))
+
+
 def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-only aggregates (r3): COUNT/SUM/MIN/MAX answered
     entirely from per-chunk ``column_stats`` (vmin/vmax/vsum/n_vals/
@@ -1242,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_point_lookup": q_bloom_point_lookup,
         "range_scan": q_range_scan,
         "numeric_range_scan": q_numeric_range_scan,
+        "float_range_scan": q_float_range_scan,
         "agg_pushdown": q_agg_pushdown,
         "schema_evolution": q_schema_evolution,
         "merge_upsert": q_merge_upsert,
@@ -1613,6 +1642,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
                        AS BIGINT) BETWEEN 5000000 AND 8000000
+        """,
+        "float_range_scan": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            WHERE o_totalprice BETWEEN 50000.0 AND 80000.0
         """,
         "agg_pushdown": """
             SELECT 'o_custkey' AS col,

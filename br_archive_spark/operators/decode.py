@@ -370,6 +370,30 @@ def _stats_disjoint(column: str, lo: int, hi: int):
         & ((s["vmin"] > F.lit(int(hi))) | (s["vmax"] < F.lit(int(lo)))))
 
 
+def _has_float_stats(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r4 float lanes
+    (``fmin``/``fmax``) — older manifests degrade to no float pruning."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "fmin" in elem.fieldNames()
+
+
+def _fstats_disjoint(column: str, lo: float, hi: float):
+    """Float twin of :func:`_stats_disjoint` over the typed double
+    bounds. Null bounds (all-null/all-NaN chunks, pre-r4 rows) never
+    prove anything — the chunk is kept and the residual filter
+    decides."""
+    from pyspark.sql import functions as F
+
+    return F.exists(
+        "column_stats",
+        lambda s: (s["name"] == F.lit(column))
+        & s["fmin"].isNotNull()
+        & ((s["fmin"] > F.lit(float(hi)))
+           | (s["fmax"] < F.lit(float(lo)))))
+
+
 def _int_view(column: str, kind: str):
     """The decoded column re-expressed in its codec-lane integer unit
     (the unit ``column_stats`` bounds are recorded in): days for date,
@@ -429,19 +453,17 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
     probed ``column`` is always decoded for the residual filter and
     dropped from the output unless projected.
     """
-    from pyspark.sql import functions as F
-
-    from .encode import TOKEN_SPECS, _int_kind
+    from .encode import TOKEN_SPECS
 
     specs = specs or TOKEN_SPECS
     kind = dict(specs).get(column)
     if kind is None:
         raise ValueError(f"scan_range: {column!r} not in encode specs")
-    if not _int_kind(kind) or kind == "int_list":
-        raise ValueError(
-            f"scan_range: column {column!r} (kind {kind!r}) carries no "
-            "scalar numeric zone map")
-    return scan_where(encoded, [(column, int(lo), int(hi))],
+    if kind == "float":
+        band = (column, float(lo), float(hi))
+    else:
+        band = (column, int(lo), int(hi))
+    return scan_where(encoded, [band],
                       specs=specs, with_n_tok=with_n_tok,
                       global_dict=global_dict, project=project)
 
@@ -460,24 +482,40 @@ def scan_where(encoded: DataFrame,
     columns exactly as parquet row-group stats do for multi-predicate
     scans. The residual filter re-applies every band JVM-side. Same
     unit/null/projection rules as :func:`scan_range` (a single-band
-    call is identical to it)."""
+    call is identical to it).
+
+    ``float``-kind bands take double bounds and prune on the typed
+    ``fmin``/``fmax`` lanes (r4); NaN bounds are rejected (Spark range
+    predicates with finite bounds never match NaN — NaN rows are
+    excluded from float zone maps AND from the residual, consistently).
+    """
+    import math
+
     from pyspark.sql import functions as F
 
-    from .encode import TOKEN_SPECS, _int_kind
+    from .encode import TOKEN_SPECS, _float_kind, _int_kind
 
     if not bands:
         raise ValueError("scan_where: at least one band required")
     specs = specs or TOKEN_SPECS
     kinds = dict(specs)
-    for column, _lo, _hi in bands:
+    for column, lo, hi in bands:
         kind = kinds.get(column)
         if kind is None:
             raise ValueError(
                 f"scan_where: {column!r} not in encode specs")
-        if not _int_kind(kind) or kind == "int_list":
+        if kind == "float":
+            if math.isnan(float(lo)) or math.isnan(float(hi)):
+                raise ValueError(
+                    f"scan_where: NaN bound on {column!r} — float "
+                    "range predicates exclude NaN by definition")
+        elif not _int_kind(kind) or kind == "int_list":
+            hint = (" (list kinds have no scalar row value to filter)"
+                    if kind in ("int_list",) or _float_kind(kind)
+                    else "")
             raise ValueError(
                 f"scan_where: column {column!r} (kind {kind!r}) "
-                "carries no scalar numeric zone map")
+                f"carries no scalar numeric zone map{hint}")
     dec_specs = specs
     if project is not None:
         missing = set(project) - {n for n, _ in specs}
@@ -487,18 +525,29 @@ def scan_where(encoded: DataFrame,
                 "in encode specs")
         need = set(project) | {c for c, _, _ in bands}
         dec_specs = [s for s in specs if s[0] in need]
-    pruned = encoded
-    if _has_numeric_stats(encoded):
-        drop = None
-        for column, lo, hi in bands:
+    has_int = _has_numeric_stats(encoded)
+    has_f = _has_float_stats(encoded)
+    drop = None
+    for column, lo, hi in bands:
+        if kinds[column] == "float":
+            if not has_f:
+                continue            # pre-r4 manifest: no float pruning
+            d = _fstats_disjoint(column, float(lo), float(hi))
+        else:
+            if not has_int:
+                continue
             d = _stats_disjoint(column, lo, hi)
-            drop = d if drop is None else (drop | d)
-        pruned = encoded.where(~drop)
+        drop = d if drop is None else (drop | d)
+    pruned = encoded.where(~drop) if drop is not None else encoded
     dec = decode_table(pruned, specs=dec_specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     cond = None
     for column, lo, hi in bands:
-        c = _int_view(column, kinds[column]).between(int(lo), int(hi))
+        if kinds[column] == "float":
+            c = F.col(column).between(float(lo), float(hi))
+        else:
+            c = _int_view(column, kinds[column]).between(int(lo),
+                                                         int(hi))
         cond = c if cond is None else (cond & c)
     out = dec.where(cond)
     if project is not None:
@@ -533,15 +582,21 @@ def scan_range_files(spark, manifest_path: str, column: str,
     """
     from pyspark.sql import functions as F
 
+    from .encode import TOKEN_SPECS as _TS
+
     man = spark.read.parquet(manifest_path)
-    if not _has_numeric_stats(man):
+    is_float = dict(specs or _TS).get(column) == "float"
+    if (not is_float and not _has_numeric_stats(man)) \
+            or (is_float and not _has_float_stats(man)):
         # pre-stats manifest: no file skipping possible; fall through
         # to the (prune-free) chunk scan rather than miss rows
         return scan_range(man, column, lo, hi, specs=specs,
                           with_n_tok=with_n_tok,
                           global_dict=global_dict)
+    disjoint = (_fstats_disjoint(column, float(lo), float(hi))
+                if is_float else _stats_disjoint(column, lo, hi))
     phase1 = (man.withColumn("_f", F.input_file_name())
-              .where(~_stats_disjoint(column, lo, hi))
+              .where(~disjoint)
               .select("_f").distinct())
     keep = [r[0] for r in phase1.collect()]
     if not keep:
@@ -559,9 +614,13 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
     """COUNT/SUM/MIN/MAX over one numeric column answered ENTIRELY
     from the manifest — no payload bytes read, no chunk decoded.
 
-    Returns one row ``(n_values, n_nulls, vmin, vmax, vsum)`` with SQL
-    aggregate semantics (nulls skipped; ``vmin``/``vmax``/``vsum``
-    null when no values). ``vsum`` is summed in decimal(38,0): chunk
+    Returns one row ``(n_values, n_nulls, vmin, vmax, vsum, fmin,
+    fmax)`` with SQL aggregate semantics (nulls skipped;
+    ``vmin``/``vmax``/``vsum`` null when no values). Int-backed kinds
+    fill the ``v*`` lanes; float kinds fill ``fmin``/``fmax`` (typed
+    double bounds, NaN excluded) plus the count lanes, with ``vsum``
+    null by design — float addition isn't exact, so SUM always
+    decodes. ``vsum`` is summed in decimal(38,0): chunk
     sums are int64 but 10^12-sequence tables overflow a long total.
     The whole-table ``vsum`` comes back null — never silently wrong —
     if any chunk declined to record an exact sum (int64-overflow risk
@@ -585,10 +644,15 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
     s = F.element_at(
         F.filter("column_stats",
                  lambda c: c["name"] == F.lit(column)), 1)
+    has_f = _has_float_stats(encoded)
     per = encoded.select(
         s["vmin"].alias("c_vmin"), s["vmax"].alias("c_vmax"),
         s["vsum"].alias("c_vsum"), s["n_vals"].alias("c_n"),
-        s["null_count"].alias("c_nulls"))
+        s["null_count"].alias("c_nulls"),
+        (s["fmin"] if has_f
+         else F.lit(None).cast("double")).alias("c_fmin"),
+        (s["fmax"] if has_f
+         else F.lit(None).cast("double")).alias("c_fmax"))
     # a chunk whose stats are unusable (missing entry, or values
     # present but no exact sum) poisons only the lanes it cannot serve
     bad_sum = F.max(F.when(F.col("c_vsum").isNull()
@@ -606,7 +670,12 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         F.max("c_vmax").alias("vmax"),
         F.when(bad_sum == 1, None)
         .otherwise(F.sum(F.col("c_vsum").cast("decimal(38,0)")))
-        .alias("vsum"))
+        .alias("vsum"),
+        # float lanes (r4): typed double bounds for float kinds,
+        # null elsewhere — NaN-free by construction (encode excludes
+        # NaN from fmin/fmax), so min/max over chunks stay exact
+        F.min("c_fmin").alias("fmin"),
+        F.max("c_fmax").alias("fmax"))
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],

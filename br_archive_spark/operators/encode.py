@@ -94,6 +94,12 @@ MANIFEST_SCHEMA = pa.schema([
     # as "may match anything" and never prune on them (the same
     # silent-miss rule as key_col above). vsum is null when the exact
     # chunk sum could exceed int64 (consumers fall back to decoding).
+    # fmin/fmax: float zone map (r4) — typed double bounds over the
+    # non-null, non-NaN values of float/float_list/double_list kinds
+    # (NaN is excluded: Spark range predicates with finite bounds
+    # never match NaN, so bounds over comparable values stay exact).
+    # Null on int-backed/string kinds and all-null/all-NaN chunks —
+    # same never-prune-on-null rule as vmin/vmax.
     ("column_stats", pa.list_(pa.struct([
         ("name", pa.string()),
         ("kind", pa.string()),
@@ -105,6 +111,8 @@ MANIFEST_SCHEMA = pa.schema([
         ("vsum", pa.int64()),
         ("n_vals", pa.int64()),
         ("null_count", pa.int64()),
+        ("fmin", pa.float64()),
+        ("fmax", pa.float64()),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -132,7 +140,8 @@ MANIFEST_SPARK_SCHEMA = (
     "params:binary,payload:binary,orig_bytes:long,enc_bytes:long>>, "
     "column_stats array<struct<name:string,kind:string,codec:string,"
     "orig_bytes:long,enc_bytes:long,"
-    "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long>>, "
+    "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
+    "fmin:double,fmax:double>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -334,6 +343,11 @@ def _int_kind(kind: str) -> bool:
         or kind.startswith("decimal")
 
 
+def _float_kind(kind: str) -> bool:
+    """Kinds that carry the typed double zone map (``fmin``/``fmax``)."""
+    return kind in ("float", "float_list", "double_list")
+
+
 def _entry_stats(kind: str, data, validity) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
     ``{vmin, vmax, vsum, null_count}``.
@@ -380,16 +394,46 @@ def _entry_stats(kind: str, data, validity) -> dict:
                 null_count += int((~row_valid).sum())
                 mask = row_valid
         vals = data if mask is None else data[mask]
+    elif _float_kind(kind):
+        # typed double zone map: bounds over non-null, non-NaN values
+        # (a finite-bound range predicate never matches NaN in Spark,
+        # so NaN-free bounds prune exactly); all-NaN/all-null chunks
+        # get null bounds — kept conservatively, never pruned. No
+        # vsum lane: float addition isn't exact/order-independent.
+        if kind == "float":
+            mask = None
+            if validity is not None and validity[0] is not None:
+                null_count += int((~validity[0]).sum())
+                mask = validity[0]
+            fvals = data if mask is None else data[mask]
+        else:
+            values, _lengths = data
+            mask = None
+            if validity is not None:
+                row_valid, elem_valid = validity
+                if row_valid is not None:
+                    null_count += int((~row_valid).sum())
+                if elem_valid is not None:
+                    null_count += int((~elem_valid).sum())
+                    mask = elem_valid
+            fvals = values if mask is None else values[mask]
+        finite = fvals[~np.isnan(fvals)] if len(fvals) else fvals
+        return {"vmin": None, "vmax": None, "vsum": None,
+                "n_vals": len(fvals), "null_count": null_count,
+                "fmin": float(finite.min()) if len(finite) else None,
+                "fmax": float(finite.max()) if len(finite) else None}
     else:
         if validity is not None:
             for v in validity:
                 if v is not None:
                     null_count += int((~v).sum())
         return {"vmin": None, "vmax": None, "vsum": None,
-                "n_vals": None, "null_count": null_count}
+                "n_vals": None, "null_count": null_count,
+                "fmin": None, "fmax": None}
     if len(vals) == 0:
         return {"vmin": None, "vmax": None, "vsum": 0,
-                "n_vals": 0, "null_count": null_count}
+                "n_vals": 0, "null_count": null_count,
+                "fmin": None, "fmax": None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
@@ -397,7 +441,8 @@ def _entry_stats(kind: str, data, validity) -> dict:
     else:
         vsum = None
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
-            "n_vals": len(vals), "null_count": null_count}
+            "n_vals": len(vals), "null_count": null_count,
+            "fmin": None, "fmax": None}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],

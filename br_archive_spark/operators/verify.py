@@ -120,12 +120,17 @@ def verify_stats(encoded: DataFrame,
     from payload checksums to derived metadata.
     """
     from .decode import _int_view, agg_encoded, manifest_specs
-    from .encode import _int_kind
+    from .encode import _float_kind, _int_kind
 
     specs = specs or manifest_specs(encoded)
     dec = decode_table(encoded, specs=specs, with_n_tok=False)
     out, all_ok = {}, True
     for name, kind in specs:
+        if _float_kind(kind):
+            col, ok = _verify_float_lanes(encoded, dec, name, kind)
+            all_ok &= ok
+            out[name] = col
+            continue
         if not _int_kind(kind):
             continue
         extra_nulls = 0
@@ -168,3 +173,43 @@ def verify_stats(encoded: DataFrame,
         all_ok &= ok
         out[name] = col
     return {"ok": bool(all_ok), "columns": out}
+
+
+def _verify_float_lanes(encoded, dec, name: str, kind: str):
+    """Float-lane cross-check (r4): the typed ``fmin``/``fmax`` double
+    bounds plus count lanes vs a full decode. NaN is excluded from the
+    decoded min/max exactly as encode excludes it from the recorded
+    bounds; no vsum lane exists for floats (sums always decode)."""
+    from pyspark.sql import functions as F
+
+    from .decode import _has_float_stats, agg_encoded
+
+    if not _has_float_stats(encoded):
+        return {"ok": True, "skipped": "manifest predates float "
+                "stats (no fmin/fmax lanes)"}, True
+    extra_nulls = 0
+    if kind in ("float_list", "double_list"):
+        extra_nulls = dec.where(F.col(name).isNull()).count()
+        lane = dec.select(F.explode(name).alias("e")) \
+            .select(F.col("e").cast("double").alias("x"))
+    else:
+        lane = dec.select(F.col(name).cast("double").alias("x"))
+    truth = lane.agg(
+        F.count("x").alias("n_values"),
+        F.coalesce(
+            F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)),
+            F.lit(0)).alias("elem_nulls"),
+        F.min(F.when(~F.isnan("x"), F.col("x"))).alias("fmin"),
+        F.max(F.when(~F.isnan("x"), F.col("x"))).alias("fmax"),
+    ).collect()[0]
+    truth = {"n_values": truth["n_values"],
+             "n_nulls": truth["elem_nulls"] + extra_nulls,
+             "fmin": truth["fmin"], "fmax": truth["fmax"]}
+    man = agg_encoded(encoded, name).collect()[0]
+    col, ok = {}, True
+    for lane_name in ("n_values", "n_nulls", "fmin", "fmax"):
+        m, t = man[lane_name], truth[lane_name]
+        col[lane_name] = {"manifest": m, "decoded": t}
+        ok &= m == t
+    col["ok"] = ok
+    return col, ok

@@ -349,7 +349,8 @@ def test_verify_stats_green_and_catches_forgery(spark, encoded):
                "    'orig_bytes', s.orig_bytes, 'enc_bytes', s.enc_bytes,"
                "    'vmin', CAST(-999 AS BIGINT), 'vmax', s.vmax,"
                "    'vsum', s.vsum, 'n_vals', s.n_vals,"
-               "    'null_count', s.null_count) ELSE s END)"))
+               "    'null_count', s.null_count,"
+               "    'fmin', s.fmin, 'fmax', s.fmax) ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
     assert not res2["columns"]["ckey"]["ok"]
@@ -514,3 +515,89 @@ def test_lookup_after_zone_key_dropped(spark):
     assert sorted(r["alt"] for r in rng.collect()) == [
         "alt-10", "alt-100", "alt-101", "alt-102", "alt-103", "alt-104",
         "alt-105", "alt-106", "alt-107", "alt-108", "alt-109", "alt-11"]
+
+
+def test_float_zone_map_scan_prunes_and_matches(spark):
+    """Float zone maps (r4): typed fmin/fmax double bounds prune
+    chunks for scan_range on a float column (chunks_kept <
+    chunks_total), the residual keeps results exact, NaN rows are
+    excluded from bounds AND from finite-bound ranges consistently,
+    and verify_stats/agg_encoded cover the float lanes."""
+    import math
+
+    from br_archive_spark.operators import (agg_encoded, encode_table,
+                                            scan_range)
+    from br_archive_spark.operators.decode import _fstats_disjoint
+    from br_archive_spark.operators.verify import verify_stats
+
+    df = spark.range(4000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 0.25).alias("price"),
+        F.when(F.col("id") % 101 == 0, float("nan"))
+        .otherwise(F.col("id") / 7.0).alias("score"),
+        F.when(F.col("id") % 13 == 0, None)
+        .otherwise(F.col("id") * 1.5).alias("maybe"))
+    specs = [("doc_id", "string"), ("price", "float"),
+             ("score", "float"), ("maybe", "float")]
+    src = df.repartitionByRange(8, "price") \
+        .sortWithinPartitions("price")
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=500).cache()
+    total = enc.count()
+    kept = enc.where(~_fstats_disjoint("price", 100.0, 150.0)).count()
+    assert kept < total, (kept, total)
+
+    got = scan_range(enc, "price", 100.0, 150.0, specs=specs,
+                     with_n_tok=False)
+    vals = sorted(r["price"] for r in got.select("price").collect())
+    assert vals == [i * 0.25 for i in range(400, 601)]
+
+    # NaN rows never match a finite-bound range, and never poison
+    # bounds: the score column still prunes and scans exactly
+    s = scan_range(enc, "score", 0.0, 10.0, specs=specs,
+                   with_n_tok=False).select("score").collect()
+    exp = sorted(i / 7.0 for i in range(0, 71) if i % 101 != 0)
+    assert sorted(r["score"] for r in s) == exp
+    assert not any(math.isnan(r["score"]) for r in s)
+
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert set(res["columns"]) == {"price", "score", "maybe"}
+
+    row = agg_encoded(enc, "price").first()
+    assert (row["fmin"], row["fmax"]) == (0.0, 3999 * 0.25)
+    assert row["n_values"] == 4000 and row["vsum"] is None
+    m = agg_encoded(enc, "maybe").first()
+    assert m["n_nulls"] == 308 and m["n_values"] == 4000 - 308
+    with pytest.raises(ValueError, match="NaN bound"):
+        scan_range(enc, "price", float("nan"), 1.0, specs=specs)
+    enc.unpersist()
+
+
+def test_float_list_stats_lanes(spark):
+    """float_list/double_list columns record element-level fmin/fmax
+    (embedding tables get manifest-only bounds); scan_where rejects
+    list kinds with a clear error; verify_stats covers the lanes."""
+    from br_archive_spark.operators import encode_table, scan_where
+    from br_archive_spark.operators.verify import verify_stats
+
+    df = spark.range(600).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(
+            F.transform(F.sequence(F.lit(0), F.lit(3)),
+                        lambda i: (F.col("id") + i).cast("float") / 2))
+        .alias("emb"))
+    specs = [("doc_id", "string"), ("emb", "float_list")]
+    enc = encode_table(df, specs=specs, mode="scan", target_values=128)
+    st = enc.selectExpr("explode(column_stats) s") \
+        .where("s.name = 'emb'") \
+        .selectExpr("min(s.fmin) lo", "max(s.fmax) hi",
+                    "sum(s.n_vals) n").first()
+    exp_vals = [(i + j) / 2 for i in range(600) if i % 7 != 0
+                for j in range(4)]
+    assert (st["lo"], st["hi"], st["n"]) == (
+        min(exp_vals), max(exp_vals), len(exp_vals))
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    with pytest.raises(ValueError, match="no scalar numeric"):
+        scan_where(enc, [("emb", 0, 1)], specs=specs)
