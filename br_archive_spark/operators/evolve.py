@@ -25,9 +25,51 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum
+from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum, crc32c_fast
 
 __all__ = ["drop_columns", "rename_column"]
+
+
+def _list_parts(arr: pa.Array):
+    """``(offsets, flat)`` of a (large_)list array, offset-normalized:
+    ``flat[offsets[i]:offsets[i+1]]`` is row ``i``'s elements."""
+    import numpy as np
+
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    return offs, arr.flatten()
+
+
+def _binary_views(arr: pa.Array) -> list:
+    """Zero-copy per-element memoryviews of a (large_)binary array —
+    the Arrow-native evolve paths hash and re-pack payload bytes
+    without ever materializing them as Python ``bytes`` (the r3
+    ``to_pylist`` form copied every payload into the Python heap per
+    chunk; VERDICT r3 next-steps #7)."""
+    import numpy as np
+
+    if len(arr) == 0:
+        return []
+    bufs = arr.buffers()
+    width = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=width)[
+        arr.offset: arr.offset + len(arr) + 1]
+    data = memoryview(bufs[2]) if bufs[2] is not None \
+        else memoryview(b"")
+    return [data[off[i]:off[i + 1]] for i in range(len(arr))]
+
+
+def _filtered_list(arr_type, keep_counts, flat_kept):
+    """Rebuild a list array from per-row kept counts + filtered flat
+    values, cast back to the input's exact list type (field names
+    must match for RecordBatch schema equality)."""
+    import numpy as np
+
+    new_offs = np.concatenate(
+        [[0], np.cumsum(keep_counts)]).astype(np.int64)
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(new_offs, pa.int64()), flat_kept)
+    return lst.cast(arr_type)
 
 
 def drop_columns(encoded: DataFrame, cols: list[str]) -> DataFrame:
@@ -42,55 +84,152 @@ def drop_columns(encoded: DataFrame, cols: list[str]) -> DataFrame:
     scan without pruning rather than pruning on a column that no
     longer exists (the silent-miss rule). Dropping every column, or a
     column absent from the manifest, raises.
+
+    Arrow-native (r4): the entry lists are filtered with vectorized
+    kernels and surviving payload bytes flow buffer-to-buffer into the
+    output batch; the only per-row Python is the checksum fold over
+    zero-copy memoryviews. Payloads never become Python objects.
     """
+    import numpy as np
+
+    import pyarrow.compute as pc
+
     drop = set(cols)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        drop_arr = pa.array(sorted(drop), pa.string())
         for batch in batches:
-            rows = batch.to_pylist()
-            out = []
-            for row in rows:
-                have = {e["name"] for e in row["columns"]}
-                missing = drop - have
-                if missing:
-                    raise ValueError(
-                        f"drop_columns: {sorted(missing)} not present "
-                        f"in chunk {row['chunk_id']}")
-                keep = [e for e in row["columns"]
-                        if e["name"] not in drop]
-                if not keep:
-                    raise ValueError(
-                        "drop_columns: refusing to drop every column "
-                        f"of chunk {row['chunk_id']}")
-                row["columns"] = keep
-                row["column_stats"] = [
-                    s for s in (row.get("column_stats") or [])
-                    if s["name"] not in drop]
-                row["orig_bytes"] = sum(e["orig_bytes"] for e in keep)
-                row["enc_bytes"] = sum(e["enc_bytes"] for e in keep)
-                row["checksum"] = chunk_checksum(
-                    *[b for e in keep
-                      for b in (e["params"], e["payload"])])
-                row["checksum_algo"] = CHECKSUM_ALGO
-                if row.get("key_col") in drop:
-                    row["key_col"] = None
-                    row["key_min"] = None
-                    row["key_max"] = None
-                    if "key_bloom" in row:
-                        row["key_bloom"] = None
-                out.append(row)
-            yield pa.RecordBatch.from_pylist(out, schema=batch.schema)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            cols_arr = batch.column(names.index("columns"))
+            offs, flat = _list_parts(cols_arr)
+            keep = pc.and_(
+                pc.is_valid(flat.field("name")),
+                pc.invert(pc.is_in(flat.field("name"),
+                                   value_set=drop_arr)))
+            keep_np = np.asarray(keep)
+            cum = np.concatenate([[0], np.cumsum(~keep_np)])
+            dropped_per_row = cum[offs[1:]] - cum[offs[:-1]]
+            if (dropped_per_row != len(drop)).any():
+                i = int(np.argmax(dropped_per_row != len(drop)))
+                have = {v.as_py() for v in
+                        flat.field("name")[offs[i]:offs[i + 1]]}
+                cid = batch.column(names.index("chunk_id"))[i].as_py()
+                raise ValueError(
+                    f"drop_columns: {sorted(drop - have)} not present "
+                    f"in chunk {cid}")
+            kept_per_row = (offs[1:] - offs[:-1]) - dropped_per_row
+            if (kept_per_row == 0).any():
+                i = int(np.argmax(kept_per_row == 0))
+                cid = batch.column(names.index("chunk_id"))[i].as_py()
+                raise ValueError(
+                    "drop_columns: refusing to drop every column "
+                    f"of chunk {cid}")
+            new_flat = flat.filter(keep)
+            new_cols = _filtered_list(cols_arr.type, kept_per_row,
+                                      new_flat)
+            new_offs = np.concatenate(
+                [[0], np.cumsum(kept_per_row)]).astype(np.int64)
+
+            def row_sums(field):
+                v = np.asarray(new_flat.field(field), dtype=np.int64)
+                cs = np.concatenate([[0], np.cumsum(v)])
+                return cs[new_offs[1:]] - cs[new_offs[:-1]]
+
+            pviews = _binary_views(new_flat.field("params"))
+            bviews = _binary_views(new_flat.field("payload"))
+            checks = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                c = 0
+                for j in range(new_offs[i], new_offs[i + 1]):
+                    c = crc32c_fast(pviews[j], c)
+                    c = crc32c_fast(bviews[j], c)
+                checks[i] = c
+
+            repl = {
+                "columns": new_cols,
+                "orig_bytes": pa.array(row_sums("orig_bytes")),
+                "enc_bytes": pa.array(row_sums("enc_bytes")),
+                "checksum": pa.array(checks),
+                "checksum_algo": pa.array([CHECKSUM_ALGO] * n),
+            }
+            if "column_stats" in names:
+                st_arr = batch.column(names.index("column_stats"))
+                soffs, sflat = _list_parts(st_arr)
+                skeep = pc.and_(
+                    pc.is_valid(sflat.field("name")),
+                    pc.invert(pc.is_in(sflat.field("name"),
+                                       value_set=drop_arr)))
+                sk = np.asarray(skeep)
+                scum = np.concatenate([[0], np.cumsum(sk)])
+                s_kept = scum[soffs[1:]] - scum[soffs[:-1]]
+                repl["column_stats"] = _filtered_list(
+                    st_arr.type, s_kept, sflat.filter(skeep))
+            if "key_col" in names:
+                kc = batch.column(names.index("key_col"))
+                gone = np.asarray(pc.fill_null(
+                    pc.is_in(kc, value_set=drop_arr), False))
+                # take with null indices nulls the row — works for
+                # every type incl. list<int64> (if_else has no list
+                # kernel in this pyarrow)
+                idx = pa.array(
+                    [None if g else i for i, g in enumerate(gone)],
+                    pa.int64())
+                for f in ("key_col", "key_min", "key_max", "key_bloom"):
+                    if f not in names:
+                        continue
+                    repl[f] = batch.column(names.index(f)).take(idx)
+            arrays = [repl.get(f, batch.column(i))
+                      for i, f in enumerate(names)]
+            yield pa.RecordBatch.from_arrays(arrays,
+                                             schema=batch.schema)
 
     # emit the INPUT's own schema: manifests may carry extra columns
     # (e.g. the `input_file` lineage column) that must survive a drop
     return encoded.mapInArrow(fn, encoded.schema)
 
 
+def _entry_dicts_for(batch: pa.RecordBatch, want: str):
+    """Per chunk row, the ``want`` entry as a decode-ready dict with
+    ZERO-COPY params/payload memoryviews — other entries' payload
+    bytes are never touched (the r3 ``to_pylist`` form materialized
+    EVERY entry's payload to find one)."""
+    import numpy as np
+
+    import pyarrow.compute as pc
+
+    names = batch.schema.names
+    offs, flat = _list_parts(batch.column(names.index("columns")))
+    is_key = np.asarray(pc.fill_null(
+        pc.equal(flat.field("name"), want), False))
+    hits = np.nonzero(is_key)[0]
+    per_row = (np.concatenate([[0], np.cumsum(is_key)])[offs[1:]]
+               - np.concatenate([[0], np.cumsum(is_key)])[offs[:-1]])
+    if (per_row != 1).any():
+        i = int(np.argmax(per_row != 1))
+        cid = batch.column(names.index("chunk_id"))[i].as_py()
+        raise ValueError(
+            f"chunk {cid}: expected exactly one entry named {want!r}, "
+            f"found {int(per_row[i])}")
+    kinds = flat.field("kind")
+    codecs = flat.field("codec")
+    pviews = _binary_views(flat.field("params"))
+    bviews = _binary_views(flat.field("payload"))
+    for i, j in enumerate(hits):
+        j = int(j)
+        yield i, {"name": want, "kind": kinds[j].as_py(),
+                  "codec": codecs[j].as_py(),
+                  "params": pviews[j], "payload": bviews[j]}
+
+
 def _chunk_keys(encoded: DataFrame, key: str, key_kind: str) -> DataFrame:
     """Decode ONLY the key entry of every chunk → ``(chunk_id, pos,
     k)`` rows in stored row order. One mapInArrow, no shuffle; the key
     column is typically the cheapest entry in the chunk (dict/FSST
-    coded ids), so this pass moves key bytes, not payloads."""
+    coded ids), so this pass moves key bytes, not payloads — Arrow
+    buffer views in, decoded key column out."""
     import numpy as np
 
     from .chunk import decode_column
@@ -101,14 +240,16 @@ def _chunk_keys(encoded: DataFrame, key: str, key_kind: str) -> DataFrame:
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            for row in batch.to_pylist():
-                entry = next(e for e in row["columns"]
-                             if e["name"] == key)
+            names = batch.schema.names
+            cids = batch.column(names.index("chunk_id"))
+            n_rows = batch.column(names.index("n_rows"))
+            for i, entry in _entry_dicts_for(batch, key):
                 data, validity = decode_column(entry)
-                arr = _rebuild(key_kind, data, row["n_rows"], validity)
+                nr = n_rows[i].as_py()
+                arr = _rebuild(key_kind, data, nr, validity)
                 n = len(arr)
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([row["chunk_id"]] * n, pa.string()),
+                    [pa.array([cids[i].as_py()] * n, pa.string()),
                      pa.array(np.arange(n, dtype=np.int64)),
                      arr],
                     names=["chunk_id", "pos", "k"])
@@ -182,46 +323,131 @@ def add_column(encoded: DataFrame, values: DataFrame, name: str,
                    .alias("_vals")))
     joined = encoded.join(packed, "chunk_id", "left")
     atype = _arrow_type(kind)
-    out_fields = [f for f in joined.schema.fieldNames()
-                  if f != "_vals"]
     out_schema = joined.drop("_vals").schema
 
+    def _append_list(arr, new_flat, offs, perm_offs, perm):
+        """Per row: the old elements then one appended element —
+        concat + take, buffer-level, cast back to the input type."""
+        combo = pa.concat_arrays(
+            [arr.flatten().combine_chunks()
+             if isinstance(arr.flatten(), pa.ChunkedArray)
+             else arr.flatten(), new_flat])
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(perm_offs, pa.int64()), combo.take(perm))
+        return lst.cast(arr.type)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         for batch in batches:
-            out = []
-            for row in batch.to_pylist():
-                vals = row.pop("_vals")
-                if vals is None or len(vals) != row["n_rows"]:
-                    got = 0 if vals is None else len(vals)
-                    raise ValueError(
-                        f"add_column: chunk {row['chunk_id']} expects "
-                        f"{row['n_rows']} values, joined {got} — are "
-                        f"keys unique in the values table?")
-                arr = pa.array([s["v"] for s in vals], type=atype)
-                tbl = pa.table({name: arr})
+            n = batch.num_rows
+            if n == 0:
+                continue
+            names = batch.schema.names
+            cols_arr = batch.column(names.index("columns"))
+            offs, flat = _list_parts(cols_arr)
+            voffs, vflat = _list_parts(
+                batch.column(names.index("_vals")))
+            n_rows_arr = np.asarray(
+                batch.column(names.index("n_rows")), dtype=np.int64)
+            vcounts = voffs[1:] - voffs[:-1]
+            if (vcounts != n_rows_arr).any():
+                i = int(np.argmax(vcounts != n_rows_arr))
+                cid = batch.column(names.index("chunk_id"))[i].as_py()
+                raise ValueError(
+                    f"add_column: chunk {cid} expects "
+                    f"{int(n_rows_arr[i])} values, joined "
+                    f"{int(vcounts[i])} — are keys unique in the "
+                    "values table?")
+            v_all = vflat.field("v").cast(atype)
+
+            # encode the new entry per chunk (Python per CHUNK — the
+            # codec work itself; inputs are zero-copy array slices)
+            entries, stats_rows = [], []
+            for i in range(n):
+                tbl = pa.table(
+                    {name: v_all.slice(voffs[i], int(vcounts[i]))})
                 data, validity = _extract(tbl, name, kind)
-                entry = encode_column(name, kind, data,
-                                      validity=validity)
-                row["columns"] = list(row["columns"]) + [entry]
-                stats = {k: entry[k]
-                         for k in ("name", "kind", "codec",
-                                   "orig_bytes", "enc_bytes")}
-                stats.update(_entry_stats(kind, data, validity))
-                if row.get("column_stats") is not None:
-                    row["column_stats"] = (list(row["column_stats"])
-                                           + [stats])
-                row["orig_bytes"] += entry["orig_bytes"]
-                row["enc_bytes"] += entry["enc_bytes"]
-                row["checksum"] = chunk_checksum(
-                    *[b for e in row["columns"]
-                      for b in (e["params"], e["payload"])])
-                row["checksum_algo"] = CHECKSUM_ALGO
-                out.append({f: row[f] for f in out_fields})
+                e = encode_column(name, kind, data, validity=validity)
+                entries.append(e)
+                s = {k: e[k] for k in ("name", "kind", "codec",
+                                       "orig_bytes", "enc_bytes")}
+                s.update(_entry_stats(kind, data, validity))
+                stats_rows.append(s)
+
+            # interleave: row i = old entries, then its new entry
+            total_old = int(offs[-1])
+            perm = np.empty(total_old + n, dtype=np.int64)
+            perm_offs = np.empty(n + 1, dtype=np.int64)
+            perm_offs[0] = pos = 0
+            for i in range(n):
+                a, b = int(offs[i]), int(offs[i + 1])
+                perm[pos:pos + b - a] = np.arange(a, b)
+                perm[pos + b - a] = total_old + i
+                pos += b - a + 1
+                perm_offs[i + 1] = pos
+
+            new_entries = pa.array(
+                entries, type=flat.type)
+            repl = {"columns": _append_list(cols_arr, new_entries,
+                                            offs, perm_offs, perm)}
+
+            pviews = _binary_views(flat.field("params"))
+            bviews = _binary_views(flat.field("payload"))
+            checks = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                c = 0
+                for j in range(int(offs[i]), int(offs[i + 1])):
+                    c = crc32c_fast(pviews[j], c)
+                    c = crc32c_fast(bviews[j], c)
+                c = crc32c_fast(entries[i]["params"], c)
+                c = crc32c_fast(entries[i]["payload"], c)
+                checks[i] = c
+            add_ob = np.asarray([e["orig_bytes"] for e in entries],
+                                dtype=np.int64)
+            add_eb = np.asarray([e["enc_bytes"] for e in entries],
+                                dtype=np.int64)
+            repl["orig_bytes"] = pa.array(np.asarray(
+                batch.column(names.index("orig_bytes")),
+                dtype=np.int64) + add_ob)
+            repl["enc_bytes"] = pa.array(np.asarray(
+                batch.column(names.index("enc_bytes")),
+                dtype=np.int64) + add_eb)
+            repl["checksum"] = pa.array(checks)
+            repl["checksum_algo"] = pa.array([CHECKSUM_ALGO] * n)
+            if "column_stats" in names:
+                st_arr = batch.column(names.index("column_stats"))
+                new_stats = pa.array(
+                    stats_rows, type=st_arr.type.value_type)
+                repl["column_stats"] = _append_list(
+                    st_arr, new_stats, *_stats_perm(st_arr, n))
+            arrays = [repl.get(f, batch.column(i))
+                      for i, f in enumerate(names) if f != "_vals"]
             keep = pa.schema([f for f in batch.schema
                               if f.name != "_vals"])
-            yield pa.RecordBatch.from_pylist(out, schema=keep)
+            yield pa.RecordBatch.from_arrays(arrays, schema=keep)
 
     return joined.mapInArrow(fn, out_schema)
+
+
+def _stats_perm(st_arr, n):
+    """(offsets, perm_offs, perm) interleaving each row's stats with
+    its appended entry (stats counts can differ from entry counts on
+    exotic manifests, so they get their own permutation)."""
+    import numpy as np
+
+    offs, _flat = _list_parts(st_arr)
+    total = int(offs[-1])
+    perm = np.empty(total + n, dtype=np.int64)
+    perm_offs = np.empty(n + 1, dtype=np.int64)
+    perm_offs[0] = pos = 0
+    for i in range(n):
+        a, b = int(offs[i]), int(offs[i + 1])
+        perm[pos:pos + b - a] = np.arange(a, b)
+        perm[pos + b - a] = total + i
+        pos += b - a + 1
+        perm_offs[i + 1] = pos
+    return offs, perm_offs, perm
 
 
 def _chunk_specs(row: dict, known: dict[str, str]) -> list[tuple[str, str]]:
@@ -305,30 +531,68 @@ def delete_rows(encoded: DataFrame, keys: "list[str] | DataFrame",
     key_set = sorted(set(keys))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         for batch in batches:
-            out = []
-            for row in batch.to_pylist():
-                entries = {e["name"]: e for e in row["columns"]}
-                kdata, kvalid = decode_column(entries[key],
-                                              gdict=global_dict)
-                karr = _rebuild("string", kdata, row["n_rows"], kvalid)
-                mask = pc.invert(pc.is_in(
-                    karr, value_set=pa.array(key_set, karr.type)))
-                # treat a NULL key as not-deleted (mask null -> keep)
-                mask = pc.fill_null(mask, True)
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nra = batch.column(batch.schema.names.index("n_rows"))
+            # disposition from the KEY entry alone (zero-copy views;
+            # other payloads untouched): false positives pass through
+            # as pure Arrow filter — no Python round-trip at all
+            pass_through = np.zeros(n, dtype=bool)
+            partial: dict[int, object] = {}
+            for i, kentry in _entry_dicts_for(batch, key):
+                nr = nra[i].as_py()
+                kdata, kvalid = decode_column(kentry, gdict=global_dict)
+                karr = _rebuild("string", kdata, nr, kvalid)
+                mask = pc.fill_null(pc.invert(pc.is_in(
+                    karr, value_set=pa.array(key_set, karr.type))),
+                    True)   # NULL key = not-deleted
                 n_keep = pc.sum(mask).as_py() or 0
-                if n_keep == row["n_rows"]:
-                    out.append(row)     # false positive: bytes untouched
-                    continue
-                if n_keep == 0:
-                    continue            # whole chunk deleted
-                out.append(_rewrite_masked(row, mask, known, key,
-                                           global_dict))
-            if out:
+                if n_keep == nr:
+                    pass_through[i] = True
+                elif n_keep > 0:
+                    partial[i] = mask
+                # n_keep == 0: whole chunk deleted — emit nothing
+            if pass_through.any():
+                yield batch.filter(pa.array(pass_through))
+            if partial:
+                rows = _row_dicts_with_views(batch, sorted(partial))
+                out = [_rewrite_masked(row, partial[i], known, key,
+                                       global_dict)
+                       for i, row in rows]
                 yield pa.RecordBatch.from_pylist(out,
                                                  schema=batch.schema)
 
     return untouched.unionByName(touched.mapInArrow(fn, encoded.schema))
+
+
+def _row_dicts_with_views(batch: pa.RecordBatch, idxs):
+    """Selected rows as dicts whose ``columns`` entries carry
+    zero-copy params/payload memoryviews — for rewrite paths that
+    decode them (``decode_column`` reads any buffer). Non-payload
+    fields are materialized normally (small metadata)."""
+    names = batch.schema.names
+    ci = names.index("columns")
+    offs, flat = _list_parts(batch.column(ci))
+    sub = {f: flat.field(f) for f in ("name", "kind", "codec",
+                                      "orig_bytes", "enc_bytes")}
+    pviews = _binary_views(flat.field("params"))
+    bviews = _binary_views(flat.field("payload"))
+    for i in idxs:
+        row = {f: batch.column(k)[i].as_py()
+               for k, f in enumerate(names) if f != "columns"}
+        row["columns"] = [
+            {"name": sub["name"][j].as_py(),
+             "kind": sub["kind"][j].as_py(),
+             "codec": sub["codec"][j].as_py(),
+             "orig_bytes": sub["orig_bytes"][j].as_py(),
+             "enc_bytes": sub["enc_bytes"][j].as_py(),
+             "params": pviews[j], "payload": bviews[j]}
+            for j in range(int(offs[i]), int(offs[i + 1]))]
+        yield i, row
 
 
 def _rewrite_masked(row: dict, mask, known: dict[str, str], key: str,
@@ -434,10 +698,13 @@ def _delete_rows_join(encoded: DataFrame, keys_df: DataFrame, key: str,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
+            if batch.num_rows == 0:
+                continue
             keep_schema = pa.schema(
                 [f for f in batch.schema if f.name != "_del"])
             out = []
-            for row in batch.to_pylist():
+            for _i, row in _row_dicts_with_views(
+                    batch, range(batch.num_rows)):
                 dels = row.pop("_del")
                 keep = np.ones(row["n_rows"], dtype=bool)
                 keep[np.asarray(dels, dtype=np.int64)] = False
