@@ -573,6 +573,34 @@ def q_float_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"))
 
 
+def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE driven by the zone maps (r4): ``delete_where``
+    inverts ``scan_range``'s pruning into a mutation — chunks whose
+    float bounds prove no overlap pass through byte-identical with no
+    decode, fully-covered chunks vanish, boundary chunks rewrite
+    copy-on-write through the codec path. Decoded survivor set is the
+    exact complement of the band (checksum-verified)."""
+    from br_archive_spark.operators import (decode_table, delete_where,
+                                            encode_table, infer_specs)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").alias("o_price"))
+    clustered = (orders.repartitionByRange(8, "o_price")
+                 .sortWithinPartitions("o_price"))
+    specs = infer_specs(clustered)
+    enc = encode_table(clustered, specs=specs, mode="scan",
+                       target_values=1 << 12)
+    out = delete_where(enc, "o_price", 50_000.0, 80_000.0, specs=specs)
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    return dec.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.col("o_price") * 100).cast("long")
+        .alias("price_cents"))
+
+
 def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-only aggregates (r3): COUNT/SUM/MIN/MAX answered
     entirely from per-chunk ``column_stats`` (vmin/vmax/vsum/n_vals/
@@ -1271,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan": q_range_scan,
         "numeric_range_scan": q_numeric_range_scan,
         "float_range_scan": q_float_range_scan,
+        "delete_where_band": q_delete_where,
         "agg_pushdown": q_agg_pushdown,
         "schema_evolution": q_schema_evolution,
         "merge_upsert": q_merge_upsert,
@@ -1649,6 +1678,14 @@ def oracle_sql() -> dict[str, str]:
                        AS price_cents
             FROM orders
             WHERE o_totalprice BETWEEN 50000.0 AND 80000.0
+        """,
+        "delete_where_band": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            WHERE o_totalprice IS NULL
+               OR NOT (o_totalprice BETWEEN 50000.0 AND 80000.0)
         """,
         "agg_pushdown": """
             SELECT 'o_custkey' AS col,

@@ -290,20 +290,24 @@ def cmd_scan(args) -> int:
     the column's codec-lane unit (cents for decimal(.,2), days for
     date, epoch micros for timestamp). Specs come from the manifest
     itself (``manifest_specs``); prints prune stats + matching rows."""
-    from .operators.decode import (_stats_disjoint, manifest_specs,
-                                   scan_range)
+    from .operators.decode import (_fstats_disjoint, _stats_disjoint,
+                                   manifest_specs, scan_range)
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     specs = manifest_specs(man)
+    is_float = dict(specs).get(args.column) == "float"
+    lo = args.lo if is_float else int(args.lo)
+    hi = args.hi if is_float else int(args.hi)
     total = man.count()
-    surviving = man.where(
-        ~_stats_disjoint(args.column, args.lo, args.hi)).count()
-    rows = scan_range(man, args.column, args.lo, args.hi, specs=specs,
+    disjoint = (_fstats_disjoint(args.column, lo, hi) if is_float
+                else _stats_disjoint(args.column, lo, hi))
+    surviving = man.where(~disjoint).count()
+    rows = scan_range(man, args.column, lo, hi, specs=specs,
                       with_n_tok=False,
                       global_dict=_load_gdict(args.global_dict))
     n = rows.count()
-    out = {"column": args.column, "lo": args.lo, "hi": args.hi,
+    out = {"column": args.column, "lo": lo, "hi": hi,
            "chunks_total": total, "chunks_decoded": surviving,
            "rows": n}
     if args.show:
@@ -542,9 +546,10 @@ def main(argv: list[str] | None = None) -> int:
                        help="zone-map-pruned numeric range scan")
     p.add_argument("input")
     p.add_argument("--column", required=True)
-    p.add_argument("--lo", type=int, required=True,
-                   help="lower bound, codec-lane units (cents/days/us)")
-    p.add_argument("--hi", type=int, required=True)
+    p.add_argument("--lo", type=float, required=True,
+                   help="lower bound, codec-lane units (cents/days/us; "
+                        "raw doubles for float columns)")
+    p.add_argument("--hi", type=float, required=True)
     p.add_argument("--show", type=int, default=0, metavar="N",
                    help="include N sample rows in the output")
     p.add_argument("--global-dict", default=None)

@@ -6,8 +6,8 @@ from .decode import (ChecksumError, agg_encoded, decode_files,
                      scan_range_files, scan_where)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
-from .evolve import (add_column, delete_rows, drop_columns,
-                     rename_column, upsert_rows)
+from .evolve import (add_column, delete_rows, delete_where,
+                     drop_columns, rename_column, upsert_rows)
 from .snapshots import (CommitConflict, commit_snapshot,
                         expire_snapshots, incremental_manifest,
                         load_snapshot, recluster_snapshot, rollback,
@@ -22,6 +22,7 @@ __all__ = [
     "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
     "scan_range", "scan_range_files", "scan_where", "agg_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
+    "delete_where",
     "delete_rows", "upsert_rows",
     "commit_snapshot", "snapshots", "load_snapshot", "rollback",
     "expire_snapshots", "incremental_manifest", "snapshot_diff",

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from ..integrity.crc import CHECKSUM_ALGO, chunk_checksum, crc32c_fast
 
-__all__ = ["drop_columns", "rename_column"]
+__all__ = ["drop_columns", "rename_column", "add_column",
+           "delete_rows", "delete_where", "upsert_rows"]
 
 
 def _list_parts(arr: pa.Array):
@@ -832,3 +833,103 @@ def rename_column(encoded: DataFrame, old: str, new: str) -> DataFrame:
     if "key_col" in encoded.columns:
         out = out.withColumn("key_col", _ren(F.col("key_col")))
     return out
+
+
+def delete_where(encoded: DataFrame, column: str, lo, hi,
+                 specs: list[tuple[str, str]] | None = None,
+                 global_dict=None) -> DataFrame:
+    """DELETE WHERE ``lo <= column <= hi`` — the predicate form of
+    :func:`delete_rows`, driven by the NUMERIC zone maps instead of
+    the string key map.
+
+    Chunk disposition mirrors ``scan_range``'s pruning exactly, but
+    inverted into a mutation: chunks whose ``column_stats`` bounds
+    (int ``vmin/vmax`` lanes, or the r4 float ``fmin/fmax`` lanes)
+    prove no overlap pass through byte-identical with no decode;
+    overlapping chunks decode ONLY the predicate column to classify
+    rows; chunks entirely inside the band vanish; partially-matching
+    chunks rewrite copy-on-write through the normal codec path
+    (:func:`_rewrite_masked` — fresh stats/bounds/bloom/checksum).
+    NULL and NaN values never match a finite band (SQL semantics) and
+    are kept. ``lo``/``hi`` are codec-lane ints for int-backed kinds
+    (days/micros/unscaled — same units as ``scan_range``) or raw
+    doubles for ``float``; list kinds have no scalar row predicate
+    and are rejected.
+    """
+    import numpy as np
+
+    import pyarrow.compute as pc  # noqa: F401  (parity with delete_rows)
+
+    from .chunk import decode_column
+    from .decode import (_fstats_disjoint, _has_float_stats,
+                         _has_numeric_stats, _stats_disjoint,
+                         manifest_specs)
+    from .encode import _float_kind, _int_kind
+
+    specs = specs or manifest_specs(encoded)
+    known = dict(specs)
+    kind = known.get(column)
+    if kind is None:
+        raise ValueError(f"delete_where: {column!r} not in specs")
+    is_float = kind == "float"
+    if is_float:
+        import math
+
+        lo, hi = float(lo), float(hi)
+        if math.isnan(lo) or math.isnan(hi):
+            raise ValueError("delete_where: NaN bound — a NaN band "
+                             "matches nothing by definition")
+        have_stats = _has_float_stats(encoded)
+        disjoint = _fstats_disjoint(column, lo, hi)
+    elif _int_kind(kind) and kind != "int_list":
+        lo, hi = int(lo), int(hi)
+        have_stats = _has_numeric_stats(encoded)
+        disjoint = _stats_disjoint(column, lo, hi)
+    else:
+        hint = (" (list kinds have no scalar row value)"
+                if kind == "int_list" or _float_kind(kind) else "")
+        raise ValueError(
+            f"delete_where: column {column!r} (kind {kind!r}) carries "
+            f"no scalar numeric zone map{hint}")
+    if have_stats:
+        untouched = encoded.where(disjoint)
+        touched = encoded.where(~disjoint)
+    else:
+        untouched = encoded.where(F.lit(False))
+        touched = encoded
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            nra = batch.column(batch.schema.names.index("n_rows"))
+            pass_through = np.zeros(n, dtype=bool)
+            partial: dict[int, object] = {}
+            for i, entry in _entry_dicts_for(batch, column):
+                nr = nra[i].as_py()
+                data, validity = decode_column(entry,
+                                               gdict=global_dict)
+                vals = np.asarray(data, dtype=np.float64) if is_float \
+                    else np.asarray(data, dtype=np.int64)
+                matched = (vals >= lo) & (vals <= hi)
+                if validity is not None and validity[0] is not None:
+                    matched &= validity[0]   # NULL rows never match
+                n_del = int(matched.sum())
+                if n_del == 0:
+                    pass_through[i] = True   # zone false positive
+                elif n_del < nr:
+                    partial[i] = pa.array(~matched)
+                # n_del == nr: whole chunk deleted
+            if pass_through.any():
+                yield batch.filter(pa.array(pass_through))
+            if partial:
+                rows = _row_dicts_with_views(batch, sorted(partial))
+                out = [_rewrite_masked(row, partial[i], known,
+                                       row.get("key_col") or column,
+                                       global_dict)
+                       for i, row in rows]
+                yield pa.RecordBatch.from_pylist(out,
+                                                 schema=batch.schema)
+
+    return untouched.unionByName(touched.mapInArrow(fn, encoded.schema))

@@ -445,3 +445,61 @@ def test_upsert_large_batch_join_path(spark, range_encoded):
     with pytest.raises(ValueError, match="duplicate keys"):
         upsert_rows(enc, batch.unionByName(batch), key="doc_id",
                     specs=specs, join_threshold=100)
+
+
+def test_delete_where_numeric_and_float(spark):
+    """Predicate delete over the numeric zone maps: non-overlapping
+    chunks pass through byte-identical, fully-covered chunks vanish,
+    partial chunks rewrite copy-on-write; NULL/NaN rows never match a
+    finite band. Works on int lanes and the r4 float lanes."""
+    from br_archive_spark.operators import (decode_table, delete_where,
+                                            encode_table, infer_specs)
+
+    df = spark.range(4000).select(
+        F.format_string("doc-%05d", "id").alias("doc_id"),
+        F.when(F.col("id") % 17 == 0, None)
+        .otherwise(F.col("id")).alias("v"),
+        F.when(F.col("id") % 23 == 0, float("nan"))
+        .otherwise(F.col("id") / 4.0).alias("x"))
+    src = df.repartitionByRange(8, "v").sortWithinPartitions("v")
+    specs = infer_specs(src)
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=500).cache()
+
+    out = delete_where(enc, "v", 1000, 1999, specs=specs)
+    before = {r["chunk_id"]: r["checksum"]
+              for r in enc.select("chunk_id", "checksum").collect()}
+    after = {r["chunk_id"]: r["checksum"]
+             for r in out.select("chunk_id", "checksum").collect()}
+    # clustered on v: interior chunks vanish, 0-2 boundary rewrites
+    assert len(after) < len(before)
+    rewritten = [c for c in after if after[c] != before[c]]
+    assert len(rewritten) <= 2, rewritten
+    dec = decode_table(out, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    exp = src.where(~F.col("v").between(1000, 1999)
+                    | F.col("v").isNull())
+    assert sorted(r["doc_id"] for r in dec.collect()) \
+        == sorted(r["doc_id"] for r in exp.collect())
+    # NULL v rows inside the id band survived
+    assert dec.where(F.col("v").isNull()).count() \
+        == src.where(F.col("v").isNull()).count()
+
+    # float lane: delete x in [100.0, 200.0); NaN rows survive
+    out2 = delete_where(enc, "x", 100.0, 200.0, specs=specs)
+    dec2 = decode_table(out2, specs=specs, with_n_tok=False,
+                        verify_checksums=True)
+    exp2_ids = sorted(
+        r["doc_id"] for r in src.collect()
+        if r["x"] is None or not (100.0 <= r["x"] <= 200.0)
+        or r["x"] != r["x"])
+    got2_ids = sorted(r["doc_id"] for r in dec2.collect())
+    assert got2_ids == exp2_ids
+    n_nan = src.where(F.isnan("x")).count()
+    assert dec2.where(F.isnan("x")).count() == n_nan > 0
+
+    with pytest.raises(ValueError, match="no scalar numeric"):
+        delete_where(enc, "doc_id", 0, 1, specs=specs)
+    with pytest.raises(ValueError, match="NaN band"):
+        delete_where(enc, "x", float("nan"), 1.0, specs=specs)
+    enc.unpersist()

@@ -601,3 +601,28 @@ def test_float_list_stats_lanes(spark):
     assert res["ok"], res
     with pytest.raises(ValueError, match="no scalar numeric"):
         scan_where(enc, [("emb", 0, 1)], specs=specs)
+
+
+def test_cli_scan_float_column(spark, tmp_path, capsys):
+    """CLI `scan` detects float-kind columns from the manifest's own
+    specs and prunes on the typed fmin/fmax lanes."""
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_scan
+    from br_archive_spark.operators import encode_table, infer_specs
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") / 4.0).alias("x"))
+    src = df.repartitionByRange(8, "x").sortWithinPartitions("x")
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=infer_specs(src), mode="scan",
+                 target_values=300).write.parquet(man_dir)
+    args = Namespace(input=man_dir, column="x", lo=100.0, hi=150.0,
+                     show=0, global_dict=None, master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_scan(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == 201                      # ids 400..600
+    assert out["chunks_decoded"] < out["chunks_total"]
