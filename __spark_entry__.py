@@ -573,6 +573,35 @@ def q_float_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"))
 
 
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + two-band scan (r4): Morton-interleaved
+    layout (operators/zorder.py — pure codegen bit arithmetic, one
+    repartitionByRange like any reclustering) gives tight chunk zone
+    maps on BOTH probed columns, so the conjunctive ``scan_where``
+    prunes on an int lane AND a float lane at once — the lakehouse
+    OPTIMIZE ZORDER BY analog over codec chunks."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            scan_where)
+    from br_archive_spark.operators.zorder import zorder_cluster
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").alias("o_price"))
+    zed = zorder_cluster(orders, ["o_custkey", "o_price"], 8)
+    specs = infer_specs(zed)
+    enc = encode_table(zed, specs=specs, mode="scan",
+                       target_values=1 << 12)
+    out = scan_where(enc, [("o_custkey", 100, 500),
+                           ("o_price", 50_000.0, 150_000.0)],
+                     specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.round(F.col("o_price") * 100).cast("long")
+        .alias("price_cents"))
+
+
 def q_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DELETE driven by the zone maps (r4): ``delete_where``
     inverts ``scan_range``'s pruning into a mutation — chunks whose
@@ -1299,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_scan": q_range_scan,
         "numeric_range_scan": q_numeric_range_scan,
         "float_range_scan": q_float_range_scan,
+        "zorder_scan": q_zorder_scan,
         "delete_where_band": q_delete_where,
         "agg_pushdown": q_agg_pushdown,
         "schema_evolution": q_schema_evolution,
@@ -1678,6 +1708,14 @@ def oracle_sql() -> dict[str, str]:
                        AS price_cents
             FROM orders
             WHERE o_totalprice BETWEEN 50000.0 AND 80000.0
+        """,
+        "zorder_scan": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS price_cents
+            FROM orders
+            WHERE o_custkey BETWEEN 100 AND 500
+              AND o_totalprice BETWEEN 50000.0 AND 150000.0
         """,
         "delete_where_band": """
             SELECT o_orderkey, o_custkey,

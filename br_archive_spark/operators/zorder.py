@@ -1,0 +1,100 @@
+"""Z-order (Morton) clustering for multi-column zone-map pruning.
+
+Single-key range clustering (``mode="range"``, ``recluster_snapshot``)
+gives tight chunk bounds on ONE column; a band predicate on any other
+column keeps every chunk. Interleaving the bits of two or three
+normalized column ranks puts rows that are close in EVERY dimension
+into the same chunks, so ``scan_where`` multi-band queries prune on
+all probed columns at once — the lakehouse ``OPTIMIZE ZORDER BY``
+analog (Delta/Iceberg publish the same trick), built from pure JVM
+expressions:
+
+* per column, a 2-scalar min/max aggregate normalizes values to a
+  21/31-bit integer rank (doubles as the intermediate — exact enough
+  for layout, and the zone maps + residual filter own correctness);
+* the classic shift-and-mask bit-spread
+  (``x = (x | x << 16) & 0x0000FFFF0000FFFF`` …) runs as codegen'd
+  long arithmetic — no UDF, no shuffle beyond the single
+  ``repartitionByRange`` every clustering needs anyway.
+
+NULLs rank 0 (they cluster together at the low corner and the
+zone-map silent-miss rules keep them correct); NaN floats rank top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_key", "zorder_cluster"]
+
+_SPREAD2 = [  # interleave masks for 2 columns (31 bits each)
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+_SPREAD3 = [  # canonical interleave masks for 3 columns (21 bits each)
+    (32, 0x001F00000000FFFF),
+    (16, 0x001F0000FF0000FF),
+    (8, 0x100F00F00F00F00F),
+    (4, 0x10C30C30C30C30C3),
+    (2, 0x1249249249249249),
+]
+
+
+def _spread(c: Column, table) -> Column:
+    for shift, mask in table:
+        c = (c.bitwiseOR(F.shiftleft(c, shift))).bitwiseAND(
+            F.lit(mask))
+    return c
+
+
+def zorder_key(df: DataFrame, cols: list[str]) -> Column:
+    """Morton-code Column over 2 or 3 numeric/date/timestamp columns
+    of ``df`` (bounds come from one tiny min/max aggregate)."""
+    if not 2 <= len(cols) <= 3:
+        raise ValueError("zorder_key: 2 or 3 columns")
+    bits = 31 if len(cols) == 2 else 21
+    table = _SPREAD2 if len(cols) == 2 else _SPREAD3
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}")]
+    b = df.agg(*aggs).first()
+    parts = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        lo, hi = b[f"_lo_{c}"], b[f"_hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            rank = F.lit(0).cast("long")
+        else:
+            d = F.col(c).cast("double")
+            rank = F.least(
+                F.lit(top),
+                F.greatest(F.lit(0), ((d - F.lit(float(lo)))
+                                      / F.lit(float(hi - lo))
+                                      * F.lit(float(top)))
+                           .cast("long")))
+        # NULL -> 0 (low corner), NaN -> top (casts saturate via
+        # greatest/least; nan comparisons fall to the null arm)
+        rank = F.coalesce(rank, F.lit(0).cast("long"))
+        parts.append(F.shiftleft(_spread(rank, table), i))
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
+
+
+def zorder_cluster(df: DataFrame, cols: list[str],
+                   num_parts: int) -> DataFrame:
+    """Range-partition + locally sort ``df`` by its Morton code —
+    feed straight into ``encode_table(mode="scan")`` for chunks whose
+    zone maps are tight on EVERY ``cols`` member. One shuffle, the
+    same cost as any reclustering."""
+    z = zorder_key(df, cols).alias("_z")
+    return (df.select("*", z)
+            .repartitionByRange(num_parts, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z"))

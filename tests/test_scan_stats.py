@@ -626,3 +626,74 @@ def test_cli_scan_float_column(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["rows"] == 201                      # ids 400..600
     assert out["chunks_decoded"] < out["chunks_total"]
+
+
+def test_zorder_cluster_prunes_both_dimensions(spark):
+    """Z-order layout (operators/zorder.py): after Morton clustering
+    on (a, b), a two-band scan_where prunes chunks on BOTH columns —
+    single-key range clustering only ever prunes on its own key.
+    Results stay exact (zone maps + residual own correctness)."""
+    from br_archive_spark.operators import encode_table, scan_where
+    from br_archive_spark.operators.decode import _stats_disjoint
+    from br_archive_spark.operators.zorder import zorder_cluster
+
+    n = 1 << 14
+    df = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"))
+    specs = [("doc_id", "string"), ("a", "int"), ("b", "int")]
+    lo, hi = n // 4, n // 4 + n // 16   # narrow band on each axis
+
+    one_key = (df.repartitionByRange(16, "a")
+               .sortWithinPartitions("a"))
+    enc1 = encode_table(one_key, specs=specs, mode="scan",
+                        target_values=1024).cache()
+    zed = zorder_cluster(df, ["a", "b"], 16)
+    encz = encode_table(zed, specs=specs, mode="scan",
+                        target_values=1024).cache()
+
+    def kept(enc, col):
+        return enc.where(~_stats_disjoint(col, lo, hi)).count(), \
+            enc.count()
+
+    # the OFF-KEY axis is where z-order pays: clustered on 'a' alone,
+    # a b-band keeps (nearly) every chunk; the Morton layout carries
+    # tight bounds on BOTH axes
+    k1b, t1 = kept(enc1, "b")
+    kzb, tz = kept(encz, "b")
+    assert k1b >= t1 - 1, (k1b, t1)       # one-key: no b pruning
+    assert kzb <= tz // 2, (kzb, tz)      # z-order: real b pruning
+    # and the on-key axis still prunes under z-order
+    kza, _ = kept(encz, "a")
+    assert kza <= tz // 2, (kza, tz)
+
+    got = sorted(
+        r["doc_id"] for r in scan_where(
+            encz, [("a", lo, hi), ("b", lo, hi)], specs=specs,
+            with_n_tok=False).collect())
+    exp = sorted(
+        r["doc_id"] for r in df.where(
+            F.col("a").between(lo, hi)
+            & F.col("b").between(lo, hi)).collect())
+    assert got == exp and len(got) > 0
+    enc1.unpersist()
+    encz.unpersist()
+
+
+def test_zorder_key_properties(spark):
+    """Morton key sanity: monotone in each coordinate along the other
+    axis's zero plane; 3-column variant stays non-negative (sign bit
+    untouched so long ordering is unsigned ordering)."""
+    from br_archive_spark.operators.zorder import zorder_key
+
+    df = spark.range(512).select(
+        F.col("id").alias("a"),
+        (511 - F.col("id")).alias("b"),
+        (F.col("id") * 7 % 512).alias("c"))
+    z2 = df.select(zorder_key(df, ["a", "b"]).alias("z")).collect()
+    assert all(r["z"] >= 0 for r in z2)
+    z3 = df.select(zorder_key(df, ["a", "b", "c"]).alias("z")).collect()
+    assert all(r["z"] >= 0 for r in z3)
+    with pytest.raises(ValueError, match="2 or 3"):
+        zorder_key(df, ["a"])
