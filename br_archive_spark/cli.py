@@ -172,8 +172,10 @@ def cmd_snapshot(args) -> int:
             spark, args.table, keep_last=args.keep)))
         return 0
     if args.action == "recluster":
+        zcols = args.zorder.split(",") if args.zorder else None
         print(json.dumps(recluster_snapshot(
-            spark, args.table, key=args.key,
+            spark, args.table,
+            key=None if zcols else args.key, zorder=zcols,
             num_parts=args.num_parts)))
         return 0
     if args.action == "fsck":
@@ -477,6 +479,10 @@ def main(argv: list[str] | None = None) -> int:
                                 "layout")
     q.add_argument("table")
     q.add_argument("--key", default="doc_id")
+    q.add_argument("--zorder", default=None, metavar="COL,COL[,COL]",
+                   help="Morton-interleave cluster on 2-3 numeric "
+                        "columns instead of --key (multi-band "
+                        "scan_where prunes on every listed column)")
     q.add_argument("--num-parts", type=int, default=None)
     q.set_defaults(fn=cmd_snapshot)
     q = snapsub.add_parser("fsck",

@@ -605,10 +605,11 @@ def snapshot_fsck(spark: SparkSession, table_dir: str) -> dict:
 
 
 def recluster_snapshot(spark: SparkSession, table_dir: str,
-                       key: str,
+                       key: str | None = None,
                        specs: list[tuple[str, str]] | None = None,
                        num_parts: int | None = None,
                        target_values: int = 1 << 20,
+                       zorder: list[str] | None = None,
                        **encode_kwargs) -> dict:
     """Rewrite the head snapshot range-clustered on ``key`` — the
     Iceberg ``rewrite_data_files`` with a sort order: decode the live
@@ -621,6 +622,11 @@ def recluster_snapshot(spark: SparkSession, table_dir: str,
     decodes O(partitions). Follow with :func:`expire_snapshots` to
     reclaim the old layout's directories.
 
+    ``zorder=[col, col(, col)]`` clusters on the Morton interleave of
+    2-3 numeric columns instead (``operators/zorder.py`` — the
+    OPTIMIZE ZORDER BY analog): multi-band ``scan_where`` then prunes
+    chunks on EVERY listed column. Exactly one of ``key``/``zorder``.
+
     One full decode + one range shuffle + one encode — the standard
     price of a table-maintenance rewrite; run it on the cadence reads
     justify, not per commit.
@@ -628,10 +634,24 @@ def recluster_snapshot(spark: SparkSession, table_dir: str,
     from .decode import decode_table, manifest_specs
     from .encode import encode_table
 
+    if (key is None) == (zorder is None):
+        raise ValueError(
+            "recluster_snapshot: exactly one of key= / zorder=")
     man = load_snapshot(spark, table_dir)
     specs = specs or manifest_specs(man)
     rows = decode_table(man, specs=specs, with_n_tok=False)
-    enc = encode_table(rows, specs=specs, key=key, mode="range",
-                       num_parts=num_parts,
-                       target_values=target_values, **encode_kwargs)
+    if zorder is not None:
+        from .zorder import zorder_cluster
+
+        parts = num_parts or rows.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions")
+        zed = zorder_cluster(rows, zorder, int(parts))
+        enc = encode_table(zed, specs=specs, mode="scan",
+                           target_values=target_values,
+                           **encode_kwargs)
+    else:
+        enc = encode_table(rows, specs=specs, key=key, mode="range",
+                           num_parts=num_parts,
+                           target_values=target_values,
+                           **encode_kwargs)
     return commit_snapshot(enc, table_dir, op="recluster")

@@ -570,3 +570,43 @@ def test_two_process_commit_race(tmp_path):
             rows = [f for f in os.listdir(os.path.join(d, "_log"))
                     if f.startswith(f"{seq:08d}-")]
             assert len(rows) == 1, (seq, rows)
+
+
+def test_recluster_snapshot_zorder(spark, tmp_path):
+    """snapshot recluster --zorder: the committed layout carries tight
+    zone maps on BOTH Morton columns; content identical to the prior
+    head (empty row-level diff)."""
+    from br_archive_spark.operators import (commit_snapshot, decode_table,
+                                            encode_table, infer_specs,
+                                            recluster_snapshot,
+                                            snapshot_diff)
+    from br_archive_spark.operators.decode import _stats_disjoint
+
+    d = str(tmp_path / "ztbl")
+    n = 4096
+    src = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 2654435761 % n).alias("a"),
+        (F.col("id") * 40503 % n).alias("b"))
+    specs = infer_specs(src)
+    r1 = commit_snapshot(
+        encode_table(src.repartitionByRange(8, "a")
+                     .sortWithinPartitions("a"),
+                     specs=specs, mode="scan", target_values=512),
+        d, op="encode")
+    r2 = recluster_snapshot(spark, d, zorder=["a", "b"], num_parts=8,
+                            target_values=512)
+    assert r2["op"] == "recluster"
+    diff = snapshot_diff(spark, d, r1["snapshot_id"],
+                         r2["snapshot_id"], specs=specs)
+    assert diff.count() == 0              # content identical
+    from br_archive_spark.operators import load_snapshot
+    man = load_snapshot(spark, d)
+    lo, hi = n // 4, n // 4 + n // 16
+    kept_b = man.where(~_stats_disjoint("b", lo, hi)).count()
+    assert kept_b <= man.count() // 2     # off-key axis now prunes
+    dec = decode_table(man, specs=specs, with_n_tok=False,
+                       verify_checksums=True)
+    assert dec.count() == n
+    with pytest.raises(ValueError, match="exactly one"):
+        recluster_snapshot(spark, d, key="doc_id", zorder=["a", "b"])
