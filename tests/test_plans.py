@@ -203,3 +203,67 @@ def test_md5_twins_have_no_cartesian_product(spark, queries):
         plan = _plan(queries[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_float_scan_prunes_on_stats_not_payload(spark, tmp_path):
+    """Float-band scan: the fmin/fmax prune is a WHERE on the
+    manifest scan whose ReadSchema needs column_stats but not a
+    payload decode for pruned chunks (the filter sits under the decode
+    MapInArrow)."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators import encode_table, scan_range
+
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") / 2.0).alias("x"))
+    specs = [("doc_id", "string"), ("x", "float")]
+    enc_dir = str(tmp_path / "fenc")
+    encode_table(df.repartitionByRange(4, "x")
+                 .sortWithinPartitions("x"),
+                 specs=specs, mode="scan").write.parquet(enc_dir)
+    man = spark.read.parquet(enc_dir)
+    plan = _plan(scan_range(man, "x", 10.0, 20.0, specs=specs,
+                            with_n_tok=False))
+    assert "fmin" in plan and "fmax" in plan
+    assert "MapInArrow" in plan
+    # the prune is a filter BELOW the arrow decode, readable from the
+    # parquet scan's pushed-down structure
+    assert plan.index("fmin") > plan.index("MapInArrow") or \
+        "Filter" in plan
+
+
+def test_zorder_cluster_single_range_exchange(spark):
+    """Morton clustering costs exactly one rangepartitioning Exchange
+    and compiles to pure codegen bit arithmetic — no UDF node."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators.zorder import zorder_cluster
+
+    df = spark.range(1000).select(
+        F.col("id").alias("a"), (999 - F.col("id")).alias("b"))
+    plan = _plan(zorder_cluster(df, ["a", "b"], 4))
+    assert plan.count("+- Exchange") == 1
+    assert "rangepartitioning" in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_join_delete_probes_with_a_join_not_literals(spark):
+    """The large-batch COW delete expresses its key probe as a JOIN
+    against the keys DataFrame — no driver-collected literal list in
+    the plan."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators import delete_rows, encode_table
+
+    src = spark.range(2000).select(
+        F.format_string("doc-%05d", "id").alias("doc_id"),
+        F.col("id").alias("v"))
+    specs = [("doc_id", "string"), ("v", "int")]
+    enc = encode_table(src, specs=specs, mode="range", key="doc_id",
+                       num_parts=4, target_values=400)
+    kdf = spark.range(50).select(
+        F.format_string("doc-%05d", "id").alias("doc_id"))
+    plan = _plan(delete_rows(enc, kdf, key="doc_id", specs=specs))
+    assert "Join" in plan
