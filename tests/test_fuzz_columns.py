@@ -110,3 +110,30 @@ def test_fuzz_binary_fsst_forced(xs):
     dec, dv = decode_column(entry)
     out = _rebuild("binary", dec, tbl.num_rows, dv)
     assert out.to_pylist() == col.to_pylist()
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True, width=64)),
+    max_size=40))
+def test_fuzz_float_stats_lanes(xs):
+    """Property: the recorded float zone map (fmin/fmax over non-null
+    non-NaN values) and count lanes agree with the raw column for any
+    adversarial IEEE mix — NaN/±Inf/-0.0/nulls/empty."""
+    from br_archive_spark.operators.encode import _entry_stats
+
+    col = pa.array(xs, type=pa.float64())
+    tbl = pa.table({"c": col})
+    data, validity = _extract(tbl, "c", "float")
+    s = _entry_stats("float", data, validity)
+    vals = [x for x in xs if x is not None]
+    finite_or_inf = [x for x in vals if x == x]      # drop NaN only
+    assert s["n_vals"] == len(vals)
+    assert s["null_count"] == sum(1 for x in xs if x is None)
+    assert s["vmin"] is None and s["vsum"] is None
+    if finite_or_inf:
+        assert s["fmin"] == min(finite_or_inf)
+        assert s["fmax"] == max(finite_or_inf)
+    else:
+        assert s["fmin"] is None and s["fmax"] is None
