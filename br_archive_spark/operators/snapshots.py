@@ -165,7 +165,7 @@ def _claim_seq(table_dir: str, seq: int, sid: str) -> None:
                 age = time.time() - os.stat(path).st_mtime
             except FileNotFoundError:
                 continue  # holder vanished between open and stat
-            row_exists = bool(glob_claimed_rows(rel, seq))
+            row_exists = bool(_claimed_rows(rel, seq))
             if attempt == 0 and age > _CLAIM_STALE_S and not row_exists:
                 try:
                     os.unlink(path)
@@ -177,7 +177,7 @@ def _claim_seq(table_dir: str, seq: int, sid: str) -> None:
                 f"{table_dir} — reload the head and retry")
 
 
-def glob_claimed_rows(log_dir: str, seq: int) -> list[str]:
+def _claimed_rows(log_dir: str, seq: int) -> list[str]:
     """Log-row files already appended at ``seq`` (local fs)."""
     import glob as _glob
 
