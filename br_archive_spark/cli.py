@@ -341,16 +341,23 @@ def cmd_evolve(args) -> int:
     metadata (checksum unchanged); delete rewrites only the chunks
     whose zone map can contain a deleted key (chunk-granular
     copy-on-write)."""
-    from .operators.evolve import delete_rows, drop_columns, rename_column
+    from .operators.evolve import (delete_rows, delete_where,
+                                   drop_columns, rename_column)
 
-    if not args.drop and not args.rename and not args.delete:
+    dw = getattr(args, "delete_where", None)
+    if not args.drop and not args.rename and not args.delete \
+            and not dw:
         print(json.dumps({"error": "nothing to do: pass --drop, "
-                                   "--rename OLD=NEW, and/or --delete"}))
+                                   "--rename OLD=NEW, --delete, "
+                                   "and/or --delete-where"}))
         return 1
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     if args.delete:
         man = delete_rows(man, args.delete, key=args.key)
+    if dw:
+        col, lo, hi = dw.split(":")
+        man = delete_where(man, col, float(lo), float(hi))
     if args.drop:
         man = drop_columns(man, args.drop)
     for spec in args.rename or []:
@@ -576,6 +583,11 @@ def main(argv: list[str] | None = None) -> int:
                    metavar="OLD=NEW")
     p.add_argument("--delete", nargs="*", default=[], metavar="KEY",
                    help="delete rows by key (chunk-granular COW)")
+    p.add_argument("--delete-where", default=None,
+                   metavar="COL:LO:HI",
+                   help="predicate delete over the numeric/float zone "
+                        "maps (codec-lane units for int kinds, raw "
+                        "doubles for float)")
     p.add_argument("--key", default="doc_id",
                    help="key column for --delete")
     p.set_defaults(fn=cmd_evolve)

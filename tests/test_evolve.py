@@ -503,3 +503,32 @@ def test_delete_where_numeric_and_float(spark):
     with pytest.raises(ValueError, match="NaN band"):
         delete_where(enc, "x", float("nan"), 1.0, specs=specs)
     enc.unpersist()
+
+
+def test_cli_evolve_delete_where(spark, tmp_path, capsys):
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_evolve
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            infer_specs)
+
+    df = spark.range(1000).select(
+        F.format_string("doc-%04d", "id").alias("doc_id"),
+        F.col("id").alias("v"))
+    specs = infer_specs(df)
+    man_dir = str(tmp_path / "man")
+    encode_table(df.repartitionByRange(4, "v")
+                 .sortWithinPartitions("v"),
+                 specs=specs, mode="scan",
+                 target_values=300).write.parquet(man_dir)
+    out_dir = str(tmp_path / "out")
+    args = Namespace(input=man_dir, output=out_dir, drop=[],
+                     rename=[], delete=[], delete_where="v:250:749",
+                     key="doc_id", master="local[2]",
+                     shuffle_partitions=4)
+    assert cmd_evolve(args) == 0
+    dec = decode_table(spark.read.parquet(out_dir), specs=specs,
+                       with_n_tok=False, verify_checksums=True)
+    assert dec.count() == 500
+    assert dec.where(F.col("v").between(250, 749)).count() == 0
