@@ -1282,6 +1282,78 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("int").alias("mill")))
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (functions/temporal.py::asof_join): every
+    purchase event gains the user's most recent view at-or-before it
+    (classic last-touch attribution), ties on ts resolved to the
+    greatest event_id. Union+window form: ONE Exchange on user_id, no
+    join node (plan-locked). Oracle: DuckDB inequality join + QUALIFY
+    row_number argmax — the O(n·m) form this operator avoids."""
+    from br_archive_spark.functions.temporal import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value")
+    out = asof_join(purchases, views, on=["user_id"],
+                    left_time="ts", right_time="ts",
+                    payload={"view_event_id": "event_id",
+                             "view_value": "value"},
+                    tiebreak="event_id")
+    return out.select("purchase_id", "user_id", "view_event_id",
+                      "view_value")
+
+
+def q_value_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon range pair-join (functions/temporal.py::
+    range_pair_join): all event pairs whose values differ by <= 0.05,
+    via eps-width bucketing + 3-bucket probe expansion — an equi-join
+    on the bucket id, structurally never a CartesianProduct
+    (plan-locked). Input bounded to event_id < 2000 so the driver
+    query (and its quadratic DuckDB oracle) stays O(small) at any sf,
+    like q_jaccard_pairs."""
+    from br_archive_spark.functions.temporal import range_pair_join
+
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_id") < 2000)
+          .select("event_id", "value"))
+    return range_pair_join(ev, "event_id", "value", eps=0.05)
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats (functions/cleaning.py::
+    repetition_stats): per-document word count, distinct words, most
+    frequent word count, and the keep verdict (top word <= 20% of
+    words). Shuffle-free: sort_array + one aggregate run-length scan
+    per row, plan-locked map-only."""
+    from br_archive_spark.functions.cleaning import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_stats(docs)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/cleaning.py::scrub_pii): emails and
+    phone-shaped numbers replaced with typed tokens plus per-doc
+    match counts. The synthetic corpus carries no PII, so the fixture
+    plants one email and one phone per bounded doc DETERMINISTICALLY
+    (doc_id-derived, identical concat in the oracle) — the scrub
+    itself is pure regexp_replace codegen, map-only (plan-locked)."""
+    from br_archive_spark.functions.cleaning import scrub_pii
+
+    docs = (_read(spark, sf_dir, "documents")
+            .where(F.col("doc_id") < 200)
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" reach user"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("@mail-test.example.com or 555-"),
+                             F.lpad((F.col("doc_id") % 10000)
+                                    .cast("string"), 4, "0"))
+                    .alias("text")))
+    return scrub_pii(docs)
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1340,6 +1412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removal": q_boilerplate_removal,
         "decontaminate": q_decontaminate,
         "pipeline_end_to_end": q_pipeline_end_to_end,
+        # --- new in r4 ---
+        "asof_attribution": q_asof_attribution,
+        "value_band_pairs": q_value_band_pairs,
+        "repetition_filter": q_repetition_filter,
+        "pii_scrub": q_pii_scrub,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2316,6 +2393,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(v.tid, 0) AS INT) AS token,
                    words.source
             FROM words LEFT JOIN v USING (word)
+        """,
+        # the O(n*m)-per-key inequality-join + argmax form the
+        # union+window asof_join avoids; ties broken identically
+        # (greatest ts, then greatest event_id)
+        "asof_attribution": """
+            WITH p AS (
+              SELECT event_id AS purchase_id, user_id, ts
+              FROM events WHERE event_type = 'purchase'
+            ), v AS (
+              SELECT event_id, user_id, ts, value
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT purchase_id, p.user_id AS user_id,
+                   v.event_id AS view_event_id, v.value AS view_value
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY purchase_id
+                ORDER BY v.ts DESC NULLS LAST,
+                         v.event_id DESC NULLS LAST) = 1
+        """,
+        # the quadratic theta-join the bucketed range_pair_join avoids
+        "value_band_pairs": """
+            WITH e AS (
+              SELECT event_id, value FROM events WHERE event_id < 2000
+            )
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   a.value AS value_a, b.value AS value_b
+            FROM e a JOIN e b
+              ON a.event_id < b.event_id
+             AND abs(a.value - b.value) <= 0.05
+        """,
+        # the shuffle-heavy unnest + GROUP BY (doc, word) form the
+        # sort_array run-length scan replaces
+        "repetition_filter": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), c AS (
+              SELECT doc_id, word, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(MAX(cnt) AS BIGINT) AS top_count,
+                   MAX(cnt) <= 0.2 * SUM(cnt) AS keep
+            FROM c GROUP BY doc_id
+        """,
+        # identical deterministic PII fixture (doc_id-derived email +
+        # phone), then the same RE2/Java-portable patterns via
+        # regexp_replace(..., 'g'); match counts via split-length - 1
+        "pii_scrub": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' reach user' || CAST(doc_id AS VARCHAR)
+                          || '@mail-test.example.com or 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                  4, '0') AS text
+              FROM documents WHERE doc_id < 200
+            ), s AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+                       )) - 1 AS BIGINT) AS n_emails,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM d
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '\\b[0-9]{3}-[0-9]{4}\\b',
+                                  '<PHONE>', 'g') AS text,
+                   n_emails,
+                   CAST(len(regexp_split_to_array(t1,
+                     '\\b[0-9]{3}-[0-9]{4}\\b')) - 1 AS BIGINT)
+                       AS n_phones
+            FROM s
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,

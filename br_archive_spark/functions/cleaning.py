@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["remove_boilerplate", "contaminated_ids"]
+__all__ = ["remove_boilerplate", "contaminated_ids", "repetition_stats",
+           "scrub_pii"]
 
 
 def remove_boilerplate(docs: DataFrame, text_col: str = "text",
@@ -100,3 +101,82 @@ def contaminated_ids(docs: DataFrame, probes: DataFrame,
             .join(F.broadcast(probe_grams), "_ngram", "left_semi")
             .select(F.col("_id").alias(id_col))
             .distinct())
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_top_word_frac: float = 0.2) -> DataFrame:
+    """Gopher-style within-document repetition signals: word count,
+    distinct-word count, the count of the single most frequent word,
+    and a ``keep`` verdict (``top_count <= max_top_word_frac *
+    n_words``) — the "most common word dominates the page" filter
+    from the Gopher/MassiveText cleaning rules.
+
+    Words split on single spaces (consecutive separators yield empty
+    words, identically in Spark and the DuckDB oracle). The top-word
+    count is computed WITHOUT a shuffle: ``sort_array`` groups equal
+    words adjacently, then one ``aggregate`` run-length scan takes
+    the longest run — O(w log w) per document, all whole-stage
+    codegen. The explode + groupBy(doc, word) alternative costs a
+    corpus-wide shuffle keyed on (doc, word); this form is map-only.
+
+    Scale shape (100 TB): embarrassingly parallel per document — no
+    Exchange anywhere in the plan (tests/test_plans.py locks this).
+    """
+    words = F.split(F.col(text_col), " ")
+    zero = F.lit(0).cast("long")
+    run_acc = F.struct(F.lit("").alias("prev"), zero.alias("cur"),
+                       zero.alias("best"))
+
+    def step(acc, w):
+        cur = (F.when(w == acc["prev"], acc["cur"] + F.lit(1))
+               .otherwise(F.lit(1)).cast("long"))
+        return F.struct(w.alias("prev"), cur.alias("cur"),
+                        F.greatest(acc["best"], cur).alias("best"))
+
+    top = F.aggregate(F.sort_array(words), run_acc, step,
+                      lambda acc: acc["best"])
+    return docs.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        top.alias("top_count"),
+    ).withColumn(
+        "keep",
+        F.col("top_count") <= F.lit(max_top_word_frac) * F.col("n_words"))
+
+
+# engine-portable patterns: valid and equivalent in Java regex (Spark)
+# and RE2 (DuckDB) — no backreferences, no lookaround
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{4}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text",
+              email_token: str = "<EMAIL>",
+              phone_token: str = "<PHONE>") -> DataFrame:
+    """Redact emails and phone-shaped numbers from ``text_col`` in
+    place and append per-document match counts (``n_emails``,
+    ``n_phones``) — the standard pre-training PII scrub pass.
+
+    Match counts come from ``size(split(text, pattern)) - 1`` (the
+    number of separators a regex split produces), which needs no
+    count-specific builtin and is reproducible verbatim in the DuckDB
+    oracle via ``regexp_split_to_array``. Emails are counted before
+    phones so a phone-looking substring inside an email local part is
+    attributed once.
+
+    Scale shape (100 TB): pure ``regexp_replace`` codegen, map-only,
+    zero shuffles; the scan's column pruning and pushdown are
+    untouched because this is a projection.
+    """
+    text = F.col(text_col)
+    n_emails = (F.size(F.split(text, PII_EMAIL_PATTERN)) - 1).cast("long")
+    after_email = F.regexp_replace(text, PII_EMAIL_PATTERN, email_token)
+    n_phones = (F.size(F.split(after_email, PII_PHONE_PATTERN)) - 1
+                ).cast("long")
+    cleaned = F.regexp_replace(after_email, PII_PHONE_PATTERN, phone_token)
+    others = [F.col(c) for c in docs.columns if c != text_col]
+    return docs.select(*others, cleaned.alias(text_col),
+                       n_emails.alias("n_emails"),
+                       n_phones.alias("n_phones"))

@@ -267,3 +267,29 @@ def test_join_delete_probes_with_a_join_not_literals(spark):
         F.format_string("doc-%05d", "id").alias("doc_id"))
     plan = _plan(delete_rows(enc, kdf, key="doc_id", specs=specs))
     assert "Join" in plan
+
+
+def test_asof_attribution_single_exchange_no_join(spark, queries):
+    """The as-of driver query is the union+window form: exactly one
+    hashpartitioning Exchange (the user_id window), zero join nodes —
+    the inequality-join + argmax shape lives only in the oracle."""
+    plan = _plan(queries["asof_attribution"](spark, SF_DIR))
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_value_band_pairs_no_cartesian(spark, queries):
+    """The range pair-join is an equi-join on the eps-bucket id —
+    never a CartesianProduct / BroadcastNestedLoopJoin."""
+    plan = _plan(queries["value_band_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_and_pii_are_map_only(spark, queries):
+    """Gopher repetition stats (sort_array + aggregate run scan) and
+    the PII scrub (regexp_replace) are embarrassingly parallel:
+    zero Exchanges in either plan."""
+    for name in ("repetition_filter", "pii_scrub"):
+        plan = _plan(queries[name](spark, SF_DIR))
+        assert "Exchange" not in plan, (name, plan)
