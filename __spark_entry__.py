@@ -1354,6 +1354,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(docs)
 
 
+def q_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination (functions/cleaning.py::
+    token_contaminated_ids, the GPT-3/PaLM recipe): docs in the token
+    table sharing any 3-consecutive-token run with the every-41st-doc
+    probe set (n=3 because these docs average ~4 tokens; production
+    default is 13). Probe n-grams broadcast, corpus scanned once with
+    inline sequence+slice n-grams, one semi-join + distinct."""
+    from br_archive_spark.functions.cleaning import token_contaminated_ids
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    probes = tok.where(F.col("doc_id").cast("long") % 41 == 0)
+    return token_contaminated_ids(tok, probes, n=3).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1417,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_band_pairs": q_value_band_pairs,
         "repetition_filter": q_repetition_filter,
         "pii_scrub": q_pii_scrub,
+        "token_decontaminate": q_token_decontaminate,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2469,6 +2484,28 @@ def oracle_sql() -> dict[str, str]:
                      '\\b[0-9]{3}-[0-9]{4}\\b')) - 1 AS BIGINT)
                        AS n_phones
             FROM s
+        """,
+        # same token table as roundtrip_lineitem_tokens; n-grams as
+        # comma-joined runs via 1-based inclusive list slicing
+        "token_decontaminate": """
+            WITH tok AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                     list(l_partkey
+                          ORDER BY l_linenumber, l_partkey) AS tokens
+              FROM lineitem GROUP BY l_orderkey
+            ), g AS (
+              SELECT doc_id,
+                     array_to_string(tokens[i:i+2], ',') AS ngram
+              FROM (SELECT doc_id, tokens,
+                           unnest(range(1, len(tokens) - 1)) AS i
+                    FROM tok WHERE len(tokens) >= 3)
+            ), pg AS (
+              SELECT DISTINCT ngram FROM g
+              WHERE CAST(doc_id AS BIGINT) % 41 = 0
+            )
+            SELECT DISTINCT doc_id
+            FROM g JOIN pg USING (ngram)
+            ORDER BY doc_id
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["remove_boilerplate", "contaminated_ids", "repetition_stats",
-           "scrub_pii"]
+           "scrub_pii", "token_contaminated_ids"]
 
 
 def remove_boilerplate(docs: DataFrame, text_col: str = "text",
@@ -180,3 +180,45 @@ def scrub_pii(docs: DataFrame, text_col: str = "text",
     return docs.select(*others, cleaned.alias(text_col),
                        n_emails.alias("n_emails"),
                        n_phones.alias("n_phones"))
+
+
+def token_contaminated_ids(tok: DataFrame, probes: DataFrame,
+                           n: int = 13, id_col: str = "doc_id",
+                           tokens_col: str = "tokens") -> DataFrame:
+    """Token-level decontamination (the GPT-3/PaLM recipe): ids of
+    documents in the TOKEN table sharing any ``n``-consecutive-token
+    run with the probe set. Word-level ``contaminated_ids`` checks
+    raw text before tokenization; this one runs on the north-star
+    ``tokens: array<int>`` column, where training-data overlap checks
+    actually happen (eval sets are compared post-tokenization so
+    whitespace/casing differences can't hide a leak).
+
+    An n-gram is serialized as the comma-joined token run — an exact,
+    engine-portable key (the DuckDB oracle builds the same string via
+    ``array_to_string(tokens[i:i+n-1], ',')``).
+
+    Scale shape (100 TB): identical to ``contaminated_ids`` — probe
+    n-grams deduplicated and BROADCAST, the corpus scanned ONCE with
+    n-grams generated inline (``sequence`` + ``slice`` codegen, no
+    corpus-side pre-explode materialization), one broadcast semi-join,
+    one final distinct over surviving ids.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.col(tokens_col)
+        # sequence(1, 0) is DESCENDING [1, 0], not empty — short docs
+        # need the explicit empty array (same guard as the word form)
+        idx = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        run = lambda i: F.array_join(  # noqa: E731
+            F.transform(F.slice(toks, i, n),
+                        lambda t: t.cast("string")), ",")
+        return df.select(F.col(id_col).alias("_id"),
+                         F.explode(F.transform(idx, run)).alias("_ngram"))
+
+    probe_grams = grams(probes).select("_ngram").distinct()
+    return (grams(tok)
+            .join(F.broadcast(probe_grams), "_ngram", "left_semi")
+            .select(F.col("_id").alias(id_col))
+            .distinct())

@@ -59,3 +59,43 @@ def test_scrub_pii_plan_is_map_only(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def _brute_token_contam(docs, probe_ids, n):
+    def grams(toks):
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+    pg = set()
+    for did, toks in docs:
+        if did in probe_ids:
+            pg |= grams(toks)
+    return sorted(did for did, toks in docs if grams(toks) & pg)
+
+
+def test_token_contaminated_ids_matches_bruteforce(spark):
+    from br_archive_spark.functions.cleaning import token_contaminated_ids
+    docs = [
+        ("p0", [1, 2, 3, 4, 5]),        # probe
+        ("a", [9, 1, 2, 3, 8]),         # shares run 1,2,3 -> flagged
+        ("b", [3, 2, 1]),               # reversed run -> clean
+        ("c", [1, 2]),                  # shorter than n -> clean
+        ("d", [11, 22, 33]),            # disjoint -> clean
+        ("p1", [7, 7]),                 # probe shorter than n: no grams
+        ("e", [7, 7, 7]),               # must NOT be flagged by p1
+        ("f", [4, 5, 1, 2, 3]),         # shares 1,2,3 (and 3,4,5? no)
+    ]
+    probe_ids = {"p0", "p1"}
+    df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+    probes = df.where(df.doc_id.isin(*probe_ids))
+    got = sorted(r["doc_id"] for r in
+                 token_contaminated_ids(df, probes, n=3).collect())
+    assert got == _brute_token_contam(docs, probe_ids, 3)
+    assert "e" not in got and "b" not in got
+
+
+def test_token_contaminated_ids_broadcasts_probes(spark):
+    from br_archive_spark.functions.cleaning import token_contaminated_ids
+    df = spark.createDataFrame([("a", [1, 2, 3])],
+                               "doc_id string, tokens array<int>")
+    plan = (token_contaminated_ids(df, df, n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan

@@ -122,3 +122,39 @@ def test_range_pairs_no_cartesian(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_hypothesis_fuzz(spark):
+    """Randomized model check: asof_join == per-row argmax brute force
+    over adversarial small-domain keys/times (dense tie collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lefts_s = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 6)),
+                       min_size=1, max_size=12)
+    rights_s = st.lists(st.tuples(st.integers(0, 3), st.integers(0, 6),
+                                  st.floats(allow_nan=False,
+                                            allow_infinity=False,
+                                            width=32)),
+                        min_size=0, max_size=12)
+
+    @settings(max_examples=12, deadline=None)
+    @given(lefts=lefts_s, rights=rights_s)
+    def check(lefts, rights):
+        lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+        rrows = [(k, t, i, v) for i, (k, t, v) in enumerate(rights)]
+        ldf = spark.createDataFrame(lrows, "k long, t long, lid long")
+        rdf = spark.createDataFrame(
+            rrows, "k long, t long, rid long, v double") if rrows \
+            else spark.createDataFrame(
+                [], "k long, t long, rid long, v double")
+        got = {r["lid"]: (r["rid"], r["v"])
+               for r in asof_join(ldf, rdf, on=["k"], left_time="t",
+                                  right_time="t",
+                                  payload={"rid": "rid", "v": "v"},
+                                  tiebreak="rid").collect()}
+        want = _brute_asof([(k, t, i) for k, t, i in lrows],
+                           [(k, t, i, v) for k, t, i, v in rrows])
+        assert got == want
+
+    check()
