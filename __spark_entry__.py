@@ -1368,6 +1368,23 @@ def q_token_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_contaminated_ids(tok, probes, n=3).orderBy("doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → cluster assignments (functions/graph.py::
+    connected_components, alternating large-star/small-star — the
+    O(log n)-round shuffle CC): events within 0.05 of each other in
+    value (the bounded range_pair_join) collapse into components
+    labeled by their minimum event_id. Oracle: DuckDB recursive-CTE
+    reachability + min label — the O(diameter) form this avoids."""
+    from br_archive_spark.functions.graph import connected_components
+    from br_archive_spark.functions.temporal import range_pair_join
+
+    ev = (_read(spark, sf_dir, "events")
+          .where(F.col("event_id") < 2000)
+          .select("event_id", "value"))
+    pairs = range_pair_join(ev, "event_id", "value", eps=0.05)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1432,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "pii_scrub": q_pii_scrub,
         "token_decontaminate": q_token_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2506,6 +2524,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT doc_id
             FROM g JOIN pg USING (ngram)
             ORDER BY doc_id
+        """,
+        # recursive-CTE reachability + min label: the O(diameter)
+        # label propagation the alternating-star operator avoids
+        "dedup_clusters": """
+            WITH RECURSIVE
+            ev AS (
+              SELECT event_id, value FROM events WHERE event_id < 2000
+            ),
+            e AS (
+              SELECT a.event_id AS u, b.event_id AS v
+              FROM ev a JOIN ev b
+                ON a.event_id <> b.event_id
+               AND abs(a.value - b.value) <= 0.05
+            ),
+            reach(node, r) AS (
+              SELECT DISTINCT u, u FROM e
+              UNION
+              SELECT reach.node, e.v FROM reach JOIN e
+                ON e.u = reach.r
+            )
+            SELECT node, MIN(r) AS component
+            FROM reach GROUP BY node
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,
