@@ -232,6 +232,41 @@ def cmd_tokenize(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """documents parquet -> cleaned parquet: PII scrub and/or the
+    Gopher repetition filter, composed in ONE map-only plan."""
+    from .functions.cleaning import repetition_stats, scrub_pii
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    dropped = 0
+    if args.max_top_word_frac is not None:
+        stats = repetition_stats(
+            docs, max_top_word_frac=args.max_top_word_frac)
+        keep = stats.where("keep").select("doc_id")
+        n0 = docs.count()
+        docs = docs.join(keep, "doc_id", "left_semi")
+        dropped = n0 - docs.count()
+    report = {"dropped_repetitive": int(dropped)}
+    if args.scrub_pii:
+        docs = scrub_pii(docs)
+        docs.write.mode("errorifexists").parquet(args.output)
+        out = spark.read.parquet(args.output)
+        from pyspark.sql import functions as F
+        st = out.agg(F.sum("n_emails").alias("e"),
+                     F.sum("n_phones").alias("p"),
+                     F.count(F.lit(1)).alias("n")).first()
+        report.update(docs=int(st["n"]),
+                      emails_redacted=int(st["e"] or 0),
+                      phones_redacted=int(st["p"] or 0))
+    else:
+        docs.write.mode("errorifexists").parquet(args.output)
+        report.update(docs=int(
+            spark.read.parquet(args.output).count()))
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .operators.verify import verify_roundtrip, verify_stats
 
@@ -527,6 +562,19 @@ def main(argv: list[str] | None = None) -> int:
                         "sharing any word n-gram with them")
     p.add_argument("--ngram", type=int, default=8)
     p.set_defaults(fn=cmd_tokenize)
+
+    p = sub.add_parser("clean",
+                       help="documents parquet -> cleaned parquet "
+                            "(PII scrub, repetition filter)")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/phones, append match counts")
+    p.add_argument("--max-top-word-frac", type=float, default=None,
+                   metavar="FRAC",
+                   help="drop docs whose most frequent word exceeds "
+                        "FRAC of all words (Gopher repetition rule)")
+    p.set_defaults(fn=cmd_clean)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
     p.add_argument("input")

@@ -99,3 +99,30 @@ def test_token_contaminated_ids_broadcasts_probes(spark):
     plan = (token_contaminated_ids(df, df, n=3)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_cli_clean_pii_and_repetition(spark, tmp_path, capsys):
+    """CLI `clean`: repetition filter drops the degenerate doc, PII
+    scrub redacts and reports corpus-wide counts."""
+    import json
+
+    from br_archive_spark.cli import main
+
+    docs = spark.createDataFrame([
+        ("1", "alpha beta gamma write a@b.io now"),
+        ("2", "spam spam spam spam spam ham"),
+        ("3", "plain words only here"),
+    ], "doc_id string, text string")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/docs")
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "clean", f"{d}/docs", "-o", f"{d}/out",
+               "--scrub-pii", "--max-top-word-frac", "0.5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep == {"dropped_repetitive": 1, "docs": 2,
+                   "emails_redacted": 1, "phones_redacted": 0}
+    out = {r["doc_id"]: r["text"]
+           for r in spark.read.parquet(f"{d}/out").collect()}
+    assert out["1"] == "alpha beta gamma write <EMAIL> now"
+    assert "2" not in out
