@@ -1385,6 +1385,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "id_a", "id_b")
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-to-budget mixture sampling (functions/packing.py::
+    sample_by_tokens): per stratum, keep the md5-ordered prefix of
+    documents whose cumulative n_chars stays within the stratum's
+    budget — the token-budget form of domain mixing (stratified_sample
+    hits a ratio; training mixtures are specified in tokens). Bucketed
+    by an order-preserving md5 hex-prefix range so no stratum ever
+    owns a single reducer. Oracle: the same running-sum-under-budget
+    rule as one SQL window."""
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source", "n_chars")
+    out = sample_by_tokens(
+        docs, {"src0": 4000, "src1": 2500, "src2": 1000},
+        weight_col="n_chars")
+    return out.select("doc_id", "source", "n_chars")
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1450,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_decontaminate": q_token_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "token_budget_sample": q_token_budget_sample,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2546,6 +2567,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(r) AS component
             FROM reach GROUP BY node
+        """,
+        "token_budget_sample": """
+            SELECT doc_id, source, n_chars
+            FROM (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+                     n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2')
+            ) t
+            WHERE cum <= CASE source WHEN 'src0' THEN 4000
+                                     WHEN 'src1' THEN 2500
+                                     ELSE 1000 END
         """,
         "token_histogram": """
             SELECT CAST(l_partkey AS BIGINT) AS token,

@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pack_sequences", "train_val_split", "token_histogram",
-           "stratified_sample"]
+           "stratified_sample", "sample_by_tokens"]
 
 
 def pack_sequences(df: DataFrame, max_len: int,
@@ -164,6 +164,88 @@ def token_histogram(df: DataFrame, tokens_col: str = "tokens",
     if top_k:
         return hist.orderBy(F.col("freq").desc(), "token").limit(top_k)
     return hist
+
+
+def sample_by_tokens(df: DataFrame, budgets: dict[str, int],
+                     strata_col: str = "source",
+                     id_col: str = "doc_id",
+                     weight_col: str = "n_tok",
+                     num_buckets: int | None = None) -> DataFrame:
+    """Exact-to-budget per-stratum selection: keep, per stratum, the
+    md5-ordered prefix of documents whose cumulative ``weight_col``
+    (token count) stays within the stratum's budget.
+
+    :func:`stratified_sample` hits a target RATIO; training mixtures
+    are specified in TOKENS ("50 B tokens of web, 5 B of code"), and a
+    ratio over skewed doc lengths misses a token target by the skew.
+    The selection rule here is deterministic and engine-portable: a
+    doc survives iff its running total in ``md5(id)`` order (id as
+    tiebreak) is ``<= budgets[stratum]``; strata absent from
+    ``budgets`` are dropped. The md5 order is a stable uniform shuffle
+    — a pure function of the id, so the same docs survive on any
+    engine, any run, any cluster size.
+
+    Scale design — the naive form is a per-stratum ordered running
+    sum: ONE reducer per stratum, and a training mixture has ~10
+    strata, so ~10 reducers would own 100 TB. Instead the
+    :func:`pack_sequences` bucket-offset trick, with one improvement:
+    the bucket key is a PREFIX RANGE OF THE md5 HASH ITSELF
+    (``floor(int(hex[:4]) * n / 65536)``) — order-preserving in the
+    sort key and uniform by construction, so no driver-side sampling
+    pass is needed at all. Per-(stratum, bucket) windows run in
+    parallel; per-bucket totals (metadata-sized) prefix-sum on the
+    driver into start offsets; a broadcast join hands every row its
+    global running total. Cost: one narrow aggregate + one window
+    shuffle + one broadcast — no single-reducer stage, no RNG.
+
+    Reference analog: the cost-bounded "take while it fits" rule of
+    stored-vs-compressed (``src/io/lib_bra_io_file_chunks.c:268-297``)
+    lifted from bytes-per-entry to tokens-per-stratum.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+    strata = sorted(s for s, b in budgets.items() if b > 0)
+    if not strata:
+        return df.where(F.lit(False))
+    base = (df.where(F.col(strata_col).isin(strata))
+            .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+            .withColumn("_b", F.floor(
+                F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+                * n / 65536).cast("int")))
+    w = (Window.partitionBy(strata_col, "_b")
+         .orderBy("_h", id_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = base.withColumn(
+        "_cum", F.sum(F.col(weight_col).cast("long")).over(w))
+
+    # per-(stratum, bucket) totals -> global start offsets: one tiny
+    # row per bucket; the hex-prefix bucket id is monotone in _h, so
+    # bucket-order prefix sums ARE the global md5-order offsets
+    totals = (local.groupBy(strata_col, "_b")
+              .agg(F.max("_cum").alias("_t")).collect())
+    by_stratum: dict[str, list] = {}
+    for r in totals:
+        by_stratum.setdefault(r[strata_col], []).append(
+            (r["_b"], r["_t"]))
+    rows = []
+    for s, bs in by_stratum.items():
+        acc = 0
+        for b, t in sorted(bs):
+            rows.append((s, b, acc))
+            acc += t
+    off_df = spark.createDataFrame(
+        rows, f"{strata_col} string, _b int, _off long")
+
+    pairs = []
+    for s in strata:
+        pairs += [F.lit(s), F.lit(int(budgets[s]))]
+    budget = F.create_map(*pairs)[F.col(strata_col)]
+    return (local.join(F.broadcast(off_df), [strata_col, "_b"])
+            .where(F.col("_off") + F.col("_cum") <= budget)
+            .drop("_h", "_b", "_cum", "_off"))
 
 
 def stratified_sample(df: DataFrame, fractions: dict[str, float],

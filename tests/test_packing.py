@@ -111,6 +111,96 @@ def test_stratified_sample_deterministic_and_exact(spark):
     assert stratified_sample(extra, fr, strata_col="source").count() == 0
 
 
+def _brute_sample_by_tokens(rows, budgets):
+    """Driver-side reference: per-stratum md5-order prefix under the
+    cumulative-weight budget."""
+    import hashlib
+
+    keep = set()
+    by_s = {}
+    for doc_id, source, w in rows:
+        by_s.setdefault(source, []).append(
+            (hashlib.md5(doc_id.encode()).hexdigest(), doc_id, w))
+    for s, docs in by_s.items():
+        if budgets.get(s, 0) <= 0:
+            continue
+        acc = 0
+        for _, doc_id, w in sorted(docs):
+            acc += w
+            if acc > budgets[s]:
+                break
+            keep.add(doc_id)
+    return keep
+
+
+def test_sample_by_tokens_matches_bruteforce(spark):
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    rows = [(str(i), f"s{i % 3}", (i * 37) % 400 + 1)
+            for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    budgets = {"s0": 9000, "s1": 2500, "s2": 70}
+    got = {r["doc_id"] for r in
+           sample_by_tokens(df, budgets, weight_col="n_tok").collect()}
+    assert got == _brute_sample_by_tokens(rows, budgets)
+
+
+def test_sample_by_tokens_budget_edges(spark):
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    rows = [(str(i), "s0" if i < 50 else "s1", 10) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    # budget >= stratum total keeps the whole stratum
+    out = sample_by_tokens(df, {"s0": 500}, weight_col="n_tok")
+    assert out.where(F.col("source") == "s0").count() == 50
+    # absent / zero-budget strata are dropped
+    assert out.where(F.col("source") == "s1").count() == 0
+    assert sample_by_tokens(df, {"s1": 0},
+                            weight_col="n_tok").count() == 0
+    # exact boundary: budget of 35 with weight-10 docs keeps exactly 3
+    out3 = sample_by_tokens(df, {"s0": 35}, weight_col="n_tok")
+    assert out3.count() == 3
+    # original columns survive, helpers don't
+    assert set(out3.columns) == {"doc_id", "source", "n_tok"}
+
+
+def test_sample_by_tokens_bucket_invariant(spark):
+    """Same survivors at any bucket count — the hex-prefix bucketing
+    is an implementation detail, not a semantics knob."""
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    rows = [(f"d{i}", f"s{i % 2}", i % 90 + 1) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    budgets = {"s0": 4000, "s1": 1500}
+    ref = {r["doc_id"] for r in
+           sample_by_tokens(df, budgets, weight_col="n_tok",
+                            num_buckets=1).collect()}
+    for n in (2, 7, 32):
+        got = {r["doc_id"] for r in
+               sample_by_tokens(df.repartition(5), budgets,
+                                weight_col="n_tok",
+                                num_buckets=n).collect()}
+        assert got == ref
+    assert ref == _brute_sample_by_tokens(rows, budgets)
+
+
+def test_sample_by_tokens_no_single_reducer(spark):
+    """Plan shape: the window runs per (stratum, bucket) — no
+    Exchange SinglePartition anywhere (the naive per-stratum running
+    sum would put one reducer per stratum on the whole table)."""
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    df = spark.createDataFrame(
+        [(str(i), "s0", 5) for i in range(50)],
+        "doc_id string, source string, n_tok int")
+    out = sample_by_tokens(df, {"s0": 100}, weight_col="n_tok")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_stratified_sample_near_one_fraction(spark):
     """Regression: fractions just below 1.0 must keep ~everything —
     round(f*65536)==65536 must clamp to the 'g' sentinel, never emit
