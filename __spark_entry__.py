@@ -1405,6 +1405,22 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM perplexity scoring (functions/text.py::
+    perplexity_score) over the lineitem token corpus, self-scored
+    against its own histogram: LM is vocab-bounded so it broadcasts;
+    one explode + broadcast join + hash agg; result in 1e-4-bit units
+    (the basis-points trick) for cross-engine hashing. Returns the
+    worst (highest cross-entropy) 500 documents — the filter's kill
+    list. Oracle: the identical smoothed-log2 window-free SQL."""
+    from br_archive_spark.functions.text import perplexity_score
+
+    tok = _lineitem_token_table(spark, sf_dir)
+    scored = perplexity_score(tok)
+    return (scored.orderBy(F.col("xent_bp").desc(), "doc_id")
+            .limit(500))
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1471,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_decontaminate": q_token_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "token_budget_sample": q_token_budget_sample,
+        "perplexity_filter": q_perplexity_filter,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2567,6 +2584,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(r) AS component
             FROM reach GROUP BY node
+        """,
+        "perplexity_filter": """
+            WITH toks AS (
+              SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+                     CAST(l_partkey AS BIGINT) AS token
+              FROM lineitem
+            ),
+            lm AS (
+              SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+            ),
+            tot AS (
+              SELECT CAST(SUM(freq) AS DOUBLE) AS t,
+                     CAST(COUNT(*) AS DOUBLE) AS v
+              FROM lm
+            )
+            SELECT doc_id,
+                   CAST(ROUND(-10000 * AVG(
+                     log2((freq + 1.0) / (t + v)))) AS BIGINT)
+                     AS xent_bp
+            FROM toks JOIN lm USING (token) CROSS JOIN tot
+            GROUP BY doc_id
+            ORDER BY xent_bp DESC, doc_id
+            LIMIT 500
         """,
         "token_budget_sample": """
             SELECT doc_id, source, n_chars

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["token_count", "occurrence_count", "punct_count",
            "quality_score", "lang_id", "fingerprint", "LANG_MARKERS",
-           "tokenize_corpus"]
+           "tokenize_corpus", "perplexity_score"]
 
 
 def token_count(text: Column | str) -> Column:
@@ -192,3 +192,51 @@ def tokenize_corpus(docs, text_col: str = "text",
         "source").withColumn("n_tok", F.size("tokens")).select(
         "doc_id", "tokens", "n_tok", "source")
     return token_table, vocab
+
+
+def perplexity_score(df, lm=None, tokens_col: str = "tokens",
+                     id_col: str = "doc_id", alpha: float = 1.0):
+    """Per-document unigram-LM cross-entropy over the ``tokens``
+    column — the CCNet-style perplexity quality filter, run where real
+    pipelines run it: post-tokenization, against a token-frequency
+    language model.
+
+    Score = ``-avg(log2 p(t))`` over the document's tokens with
+    additive smoothing ``p(t) = (freq + alpha) / (total + alpha*V)``;
+    reported in 1e-4-bit units (``xent_bp``, a long) so the value is
+    hash-stable across engines (the basis-points trick the cosine
+    queries use). ``lm`` is any ``(token, freq)`` DataFrame — an
+    external model, or ``None`` to self-score against the corpus's own
+    :func:`~br_archive_spark.functions.packing.token_histogram`.
+    Tokens absent from an external ``lm`` take the smoothed floor
+    ``alpha / denom`` (``alpha`` must be > 0 for that case).
+
+    Scale shape (100 TB): the LM is vocab-bounded (map-side-combined
+    histogram), so it BROADCASTS; scoring is one explode + broadcast
+    join + one hash aggregate keyed by ``id_col`` — no sort, no
+    per-row Python, and the corpus is scanned once. The two LM
+    scalars (total count, vocab size) are one metadata-sized driver
+    action. Unigram statistics are order-independent, which is what
+    makes the exact SQL oracle one window-free query.
+    """
+    from .packing import token_histogram
+
+    if lm is None:
+        lm = token_histogram(df, tokens_col)
+    tot_v = lm.agg(F.sum("freq").cast("double").alias("t"),
+                   F.count(F.lit(1)).cast("double").alias("v")) \
+        .collect()[0]
+    denom = tot_v["t"] + alpha * tot_v["v"]
+    logp = lm.select(
+        F.col("token").cast("long").alias("token"),
+        F.log2((F.col("freq") + F.lit(float(alpha))) / F.lit(denom))
+        .alias("_logp"))
+    floor = F.lit(__import__("math").log2(alpha / denom)
+                  if alpha > 0 else float("-inf"))
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens_col).alias("token")) \
+        .withColumn("token", F.col("token").cast("long"))
+    return (toks.join(F.broadcast(logp), "token", "left")
+            .groupBy(id_col)
+            .agg(F.round(F.avg(F.coalesce(F.col("_logp"), floor))
+                         * -10000).cast("long").alias("xent_bp")))

@@ -345,3 +345,49 @@ def test_tokenize_corpus_feeds_encode_roundtrip(spark):
     enc = encode_table(tok, num_parts=2, target_values=256)
     res = verify_roundtrip(tok, enc)
     assert res["ok"] and res["mismatched_rows"] == 0
+
+
+def test_perplexity_score_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from br_archive_spark.functions.text import perplexity_score
+
+    rows = [(str(i), [(i * j) % 37 for j in range(1, (i % 9) + 2)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    freq = Counter(t for _, ts in rows for t in ts)
+    tot, v = sum(freq.values()), len(freq)
+
+    def xent(ts):
+        return round(-10000 * sum(
+            math.log2((freq[t] + 1) / (tot + v)) for t in ts) / len(ts))
+
+    got = {r["doc_id"]: r["xent_bp"]
+           for r in perplexity_score(df).collect()}
+    assert got == {d: xent(ts) for d, ts in rows}
+
+
+def test_perplexity_score_external_lm_and_plan(spark):
+    """Unseen tokens take the smoothed floor; the LM side must
+    broadcast (vocab-bounded), never sort-merge."""
+    import math
+
+    from br_archive_spark.functions.text import perplexity_score
+
+    df = spark.createDataFrame(
+        [("a", [1, 1, 99]), ("b", [2])],
+        "doc_id string, tokens array<int>")
+    lm = spark.createDataFrame([(1, 5), (2, 3)], "token long, freq long")
+    out = perplexity_score(df, lm=lm)
+    got = {r["doc_id"]: r["xent_bp"] for r in out.collect()}
+    denom = 8 + 2
+
+    def lp(f):
+        return math.log2((f + 1) / denom)
+
+    assert got["a"] == round(-10000 * (2 * lp(5) + lp(0)) / 3)
+    assert got["b"] == round(-10000 * lp(3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
