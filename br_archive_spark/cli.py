@@ -267,6 +267,59 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """token/documents parquet -> mixture-sampled parquet: per-stratum
+    ratio (md5 cutoff) or exact token budget, optional train/val tag."""
+    from pyspark.sql import functions as F
+
+    from .functions.packing import (sample_by_tokens, stratified_sample,
+                                    train_val_split)
+
+    if bool(args.budget) == bool(args.fraction):
+        print("sample: pass exactly one of --budget / --fraction",
+              file=sys.stderr)
+        return 2
+
+    def parse(specs, cast):
+        out = {}
+        for s in specs:
+            k, _, v = s.rpartition(":")
+            if not k:
+                raise SystemExit(f"sample: bad spec {s!r} "
+                                 "(want STRATUM:VALUE)")
+            out[k] = cast(v)
+        return out
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    if args.budget:
+        df = sample_by_tokens(df, parse(args.budget, int),
+                              strata_col=args.strata_col,
+                              id_col=args.id_col,
+                              weight_col=args.weight_col)
+    else:
+        df = stratified_sample(df, parse(args.fraction, float),
+                               strata_col=args.strata_col,
+                               id_col=args.id_col)
+    if args.split:
+        df = df.withColumn(args.split,
+                           train_val_split(df, id_col=args.id_col))
+    df.write.mode("errorifexists").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    agg = [F.count(F.lit(1)).alias("n")]
+    if args.budget:
+        agg.append(F.sum(args.weight_col).cast("long").alias("w"))
+    per = out.groupBy(args.strata_col).agg(*agg).collect()
+    report = {"rows": int(sum(r["n"] for r in per)),
+              "per_stratum": {r[args.strata_col]: int(r["n"])
+                              for r in per}}
+    if args.budget:
+        report["tokens_per_stratum"] = {
+            r[args.strata_col]: int(r["w"]) for r in per}
+    print(json.dumps(report, sort_keys=True))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .operators.verify import verify_roundtrip, verify_stats
 
@@ -575,6 +628,28 @@ def main(argv: list[str] | None = None) -> int:
                    help="drop docs whose most frequent word exceeds "
                         "FRAC of all words (Gopher repetition rule)")
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser("sample",
+                       help="mixture sampling: per-stratum ratio or "
+                            "exact token budget, optional split tag")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--budget", action="append", default=[],
+                   metavar="STRATUM:TOKENS",
+                   help="exact token budget per stratum (repeatable; "
+                        "md5-ordered prefix under the budget)")
+    p.add_argument("--fraction", action="append", default=[],
+                   metavar="STRATUM:F",
+                   help="keep fraction per stratum (repeatable; "
+                        "md5-cutoff)")
+    p.add_argument("--strata-col", default="source")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--weight-col", default="n_tok",
+                   help="token-count column for --budget")
+    p.add_argument("--split", metavar="COL", default=None,
+                   help="also tag train/val in column COL "
+                        "(md5 cutoff '1a' ≈ 10%%)")
+    p.set_defaults(fn=cmd_sample)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
     p.add_argument("input")

@@ -213,3 +213,39 @@ def test_stratified_sample_near_one_fraction(spark):
     out = stratified_sample(docs, {"s": 0.999995},
                             strata_col="source")
     assert out.count() >= 999
+
+
+def test_cli_sample_budget_and_fraction(spark, tmp_path, capsys):
+    """CLI `sample`: --budget keeps the md5-prefix under the token
+    budget with an exact JSON report; --fraction takes the ratio path;
+    --split tags train/val; mixing modes is rejected."""
+    import json
+
+    from br_archive_spark.cli import main
+
+    rows = [(str(i), "s0" if i < 40 else "s1", 10) for i in range(80)]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    d = str(tmp_path)
+    docs.write.parquet(f"{d}/docs")
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "sample", f"{d}/docs", "-o", f"{d}/out",
+               "--budget", "s0:200", "--budget", "s1:45",
+               "--split", "split"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["per_stratum"] == {"s0": 20, "s1": 4}
+    assert rep["tokens_per_stratum"] == {"s0": 200, "s1": 40}
+    out = spark.read.parquet(f"{d}/out")
+    assert set(out.columns) == {"doc_id", "source", "n_tok", "split"}
+    assert {r["doc_id"] for r in out.collect()} == \
+        _brute_sample_by_tokens(rows, {"s0": 200, "s1": 45})
+    # ratio mode
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "sample", f"{d}/docs", "-o", f"{d}/out2",
+               "--fraction", "s0:1.0"])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["per_stratum"] == {"s0": 40}
+    # exactly one mode required
+    assert main(["sample", f"{d}/docs", "-o", f"{d}/out3"]) == 2
