@@ -42,7 +42,7 @@ def int_chunk_stats(values: np.ndarray) -> dict:
     n = len(values)
     if n == 0:
         return {"n": 0, "vmin": 0, "vmax": 0, "runs": 0, "distinct_est": 0,
-                "dmax": 0, "sorted": True}
+                "dmax": 0, "ddmax": 0, "sorted": True}
     vmin, vmax = int(values.min()), int(values.max())
     # diffs stay exact in the native dtype iff the value span fits —
     # int32 wrap can't fake a zero, but would corrupt sorted/dmax
@@ -63,6 +63,7 @@ def int_chunk_stats(values: np.ndarray) -> dict:
         "runs": runs,
         "distinct_est": distinct_est,
         "dmax": int(np.abs(d).max()) if len(d) else 0,
+        "ddmax": int(np.abs(np.diff(d)).max()) if len(d) > 1 else 0,
         "sorted": bool(len(d) == 0 or d.min() >= 0),
     }
 
@@ -85,6 +86,10 @@ def _estimates(st: dict) -> dict[str, float]:
     }
     if st["sorted"]:
         est["delta"] = n * bits_needed(st["dmax"]) / 8 + 24
+    # delta-of-delta is order-agnostic (zigzag second differences):
+    # regular strides — timestamps, auto-increment ids — estimate near
+    # zero bits/value; irregular data estimates large and never wins
+    est["dd"] = n * bits_needed(2 * st["ddmax"]) / 8 + 40
     return est
 
 

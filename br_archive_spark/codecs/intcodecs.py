@@ -157,6 +157,52 @@ def _dec_delta(params: bytes, payload: bytes) -> np.ndarray:
     return out
 
 
+def _enc_dd(values: np.ndarray) -> tuple[bytes, bytes]:
+    """Delta-of-delta (the Gorilla timestamp idea, VLDB'15): store the
+    first value, the first delta, and zigzag-packed SECOND differences.
+    Regularly spaced sequences (sampled timestamps, auto-increment
+    ids, fixed-stride offsets) have near-zero second differences, so
+    the payload packs at ~0 bits/value where plain delta still pays
+    ``bits(stride)`` per value. int64 wrap-around in the differences
+    round-trips exactly: two's-complement diff/cumsum are inverses."""
+    n = len(values)
+    v = values.astype(np.int64, copy=False)
+    if n == 0:
+        return _I64.pack(0) + _I64.pack(0) + _FOR_HDR.pack(0, 0, 0), b""
+    first = int(v[0])
+    if n == 1:
+        return (_I64.pack(first) + _I64.pack(0)
+                + _FOR_HDR.pack(0, 0, 1), b"")
+    d = np.diff(v)
+    first_d = int(d[0])
+    z = _zigzag(np.diff(d))
+    width = bits_needed(int(z.max())) if len(z) else 0
+    params = (_I64.pack(first) + _I64.pack(first_d)
+              + _FOR_HDR.pack(0, width, n))
+    return params, pack_uint(z, width)
+
+
+def _dec_dd(params: bytes, payload: bytes) -> np.ndarray:
+    (first,) = _I64.unpack_from(params, 0)
+    (first_d,) = _I64.unpack_from(params, 8)
+    _, width, n = _FOR_HDR.unpack_from(params, 16)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    if n == 1:
+        return out
+    d = np.empty(n - 1, dtype=np.int64)
+    d[0] = first_d
+    if n > 2:
+        dd = _unzigzag(unpack_uint(payload, width, n - 2))
+        np.cumsum(dd, out=d[1:])
+        d[1:] += first_d
+    np.cumsum(d, out=out[1:])
+    out[1:] += first
+    return out
+
+
 # ---------------------------------------------------------------- DICT
 
 # dense-histogram cutoff: below this value span, dictionary building is
@@ -460,6 +506,7 @@ INT_CODECS = {
     "for": (_enc_for, _dec_for),
     "rle": (_enc_rle, _dec_rle),
     "delta": (_enc_delta, _dec_delta),
+    "dd": (_enc_dd, _dec_dd),
     "dict": (_enc_dict, _dec_dict),
     "dict_rle": (_enc_dict_rle, _dec_dict_rle),
     "dict_z": (_enc_dict_z, _dec_dict_z),

@@ -887,6 +887,10 @@ def decode_table(encoded: DataFrame,
     from .encode import TOKEN_SPECS
 
     specs = specs or TOKEN_SPECS
+    # n_tok is the length of the (last) int_list column; a table
+    # without one has no n_tok to emit — silently derive rather than
+    # failing deep in the UDF with an opaque NoneType error
+    with_n_tok = with_n_tok and any(k == "int_list" for _, k in specs)
     out_spark_schema = _decoded_spark_schema(specs, with_n_tok)
     fn = _make_decode_fn(specs, with_n_tok, verify_checksums,
                          global_dict=global_dict)

@@ -355,3 +355,38 @@ def test_fsst_slab_path_concatenates_exactly():
             [strs[r] for r in rows]
     finally:
         S._SLAB_BYTES = old
+
+
+def test_dd_regular_stride_packs_to_header():
+    """Delta-of-delta on a fixed-stride sequence: second differences
+    are all zero, so the payload is empty — plain delta still pays
+    bits(stride) per value."""
+    v = np.arange(1_000_000, 1_000_000 + 50 * 20000, 50, dtype=np.int64)
+    p, b = encode_int("dd", v)
+    assert len(b) == 0 and len(p) <= 32
+    assert np.array_equal(decode_int("dd", p, b), v)
+    dp, db = encode_int("delta", v)
+    assert len(p) + len(b) < (len(dp) + len(db)) / 100
+    # the cost model prefers it on this shape
+    codec, ap, ab = encode_int_auto(v)
+    assert len(ap) + len(ab) <= len(p) + len(b)
+
+
+def test_dd_jittered_timestamps_beats_delta():
+    """Near-regular timestamps (stride 1000 ± 3): dd packs ~3 bits per
+    value, delta ~10."""
+    rng = np.random.default_rng(7)
+    v = np.cumsum(rng.integers(997, 1004, 20000)).astype(np.int64)
+    p, b = encode_int("dd", v)
+    assert np.array_equal(decode_int("dd", p, b), v)
+    dp, db = encode_int("delta", v)
+    assert len(p) + len(b) < 0.6 * (len(dp) + len(db))
+
+
+def test_dd_int64_wraparound_roundtrip():
+    """Differences that wrap int64 still round-trip (two's-complement
+    diff/cumsum are inverses)."""
+    v = np.array([-(2**62), 2**62, -(2**62) + 5, 7, 2**63 - 1],
+                 dtype=np.int64)
+    p, b = encode_int("dd", v)
+    assert np.array_equal(decode_int("dd", p, b), v)

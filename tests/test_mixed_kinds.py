@@ -146,3 +146,26 @@ def test_decode_files_mixed_kinds_bulk_sink(spark, dirs):
                  output_dir=out_dir).collect()
     dec = spark.read.parquet(out_dir)
     _assert_tables_equal(src, dec)
+
+
+def test_decode_table_without_int_list_derives_n_tok(spark):
+    """A table with no int_list column decodes under the default
+    with_n_tok=True — the flag silently derives to False instead of
+    dying in the UDF (n_tok is the length of the int_list column;
+    absent column, absent output)."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators import decode_table, encode_table
+    from br_archive_spark.operators.encode import infer_specs
+
+    df = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.timestamp_micros(F.lit(1_700_000_000_000_000)
+                           + F.col("id") * 1_000_000).alias("ts"))
+    specs = infer_specs(df)
+    enc = encode_table(df, specs=specs, num_parts=2)
+    dec = decode_table(enc, specs=specs)
+    assert "n_tok" not in dec.columns
+    got = dec.select("doc_id", "ts")
+    assert df.exceptAll(got).count() == 0
+    assert got.exceptAll(df).count() == 0
