@@ -1421,6 +1421,26 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(500))
 
 
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (functions/similarity.py::ivf_topk) — the cell-probing
+    scale path beside LSH: deterministic md5-sampled coarse centroids
+    (engine-portable, no RNG/k-means), inline argmax cell assignment
+    in the corpus scan projection, candidates via an equi-join on the
+    cell id (probe side broadcast), exact cosine only inside probed
+    cells. Every fold is operand-order-identical to the DuckDB oracle,
+    so centroid choice, cell assignment, probe sets, and final ranks
+    all reproduce exactly — no _md5 twin needed."""
+    from br_archive_spark.functions.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")))
+    queries = emb.where(F.col("vec_id") < 20)
+    out = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+    return out.select("query_id", "neighbor_id",
+                      F.col("rank").cast("int").alias("rank"))
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1488,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "token_budget_sample": q_token_budget_sample,
         "perplexity_filter": q_perplexity_filter,
+        "knn_ivf": q_knn_ivf,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2584,6 +2605,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(r) AS component
             FROM reach GROUP BY node
+        """,
+        # IVF ANN: the same left-fold arithmetic as the Spark side —
+        # centroid choice (md5 order), cell argmax (first-max index),
+        # probe ranks, and neighbor ranks are all bit-reproducible
+        "knn_ivf": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                     - 1 AS cidx,
+                     emb AS cemb
+              FROM e
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 8
+            ),
+            cn AS (
+              SELECT cidx, cemb,
+                     sqrt(list_reduce(list_transform(cemb, x -> x * x),
+                          (a, b) -> a + b)) AS cnorm
+              FROM cents
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cidx,
+                     list_reduce(list_transform(
+                         list_zip(e.emb, c.cemb), z -> z[1] * z[2]),
+                         (a, b) -> a + b) / c.cnorm AS sim
+              FROM e CROSS JOIN cn c
+            ),
+            ranked AS (
+              SELECT vec_id, cidx,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, cidx) AS rn
+              FROM sims
+            ),
+            cell AS (SELECT vec_id, cidx AS cell FROM ranked
+                     WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cidx AS cell
+                       FROM ranked WHERE rn <= 2 AND vec_id < 20),
+            en AS (
+              SELECT vec_id, emb,
+                     sqrt(list_reduce(list_transform(emb, x -> x * x),
+                          (a, b) -> a + b)) AS nrm
+              FROM e
+            ),
+            scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_reduce(list_transform(
+                         list_zip(q.emb, c.emb), z -> z[1] * z[2]),
+                         (a, b) -> a + b) / (q.nrm * c.nrm) AS cosine
+              FROM probes p
+              JOIN cell a ON a.cell = p.cell
+              JOIN en c ON c.vec_id = a.vec_id
+              JOIN en q ON q.vec_id = p.query_id
+              WHERE a.vec_id != p.query_id
+            )
+            SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rnk
+                  FROM scored)
+            WHERE rnk <= 5
         """,
         "perplexity_filter": """
             WITH toks AS (

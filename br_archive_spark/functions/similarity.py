@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_norm", "cosine_topk", "lsh_topk", "hyperplane_family"]
+__all__ = ["with_norm", "cosine_topk", "lsh_topk", "hyperplane_family",
+           "ivf_centroids", "ivf_topk"]
 
 
 def hyperplane_family(planes: int, dim: int,
@@ -147,6 +148,107 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine",
                           _dot("_qv", "_cv") / (F.col("_qn") * F.col("_cn"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cosine"))
+
+
+# IVF coarse-quantizer size guard: centroid vectors ship as plan
+# literals (n_centroids × dim doubles) — the same plan-blowup guard
+# rationale as the Bloom probe cap
+_IVF_MAX_CENTROIDS = 256
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = 16,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic IVF "training": the ``n_centroids`` corpus
+    vectors with the smallest ``md5(id)`` — a uniform, engine-portable
+    sample (no RNG, no k-means iterations). Quantizer quality affects
+    recall, never correctness, and a deterministic sample keeps the
+    whole index value-checkable in an external engine. Driver-capped
+    like ``build_global_dict`` (a TakeOrdered of n_centroids rows)."""
+    rows = (corpus
+            .select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_v"))
+            .orderBy(F.md5(F.col("_id").cast("string")), "_id")
+            .limit(n_centroids).collect())
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def _centroid_sims(vec_col, centroids: list[list[float]]):
+    """Array of cosine similarities against the literal centroid list,
+    one left-fold dot per centroid divided by the driver-computed
+    centroid norm — operand order identical to a DuckDB
+    ``list_reduce`` fold, so the doubles (and every argmax/rank
+    derived from them) reproduce bit-for-bit outside Spark."""
+    import math
+
+    sims = []
+    for c in centroids:
+        n = 0.0
+        for x in c:
+            n += x * x
+        norm = math.sqrt(n) or 1.0
+        cl = F.array(*[F.lit(x) for x in c])
+        sims.append(_dot(F.col(vec_col), cl) / F.lit(norm))
+    return F.array(*sims)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list[list[float]] | None = None,
+             n_centroids: int = 16, nprobe: int = 2) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-probing scale
+    path alongside :func:`lsh_topk`: assign every corpus vector to its
+    nearest coarse centroid (ONE inline codegen projection, no row
+    blowup), search each query only in its ``nprobe`` nearest cells.
+
+    Scale shape (100 TB): the corpus is scanned once; cell assignment
+    is an argmax fold over ``n_centroids`` literal vectors inside the
+    scan projection; candidate generation is an EQUI-join on the cell
+    id (probe side broadcast — nprobe rows per query), never a cross
+    join; exact cosine runs only on the ~nprobe/n_centroids fraction
+    of the corpus that shares probed cells. Recall < 1 by
+    construction; measure against :func:`cosine_topk`.
+
+    Every step is deterministic and fold-order-stable, so the whole
+    index — centroid choice, cell assignment, probe set, final ranks —
+    has an exact SQL oracle (unlike the xxhash64 LSH sketch, which
+    needs its md5-literal twin for value checks).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, n_centroids, id_col, vec_col)
+    if len(centroids) > _IVF_MAX_CENTROIDS:
+        raise ValueError(
+            f"ivf_topk: {len(centroids)} centroids exceed the "
+            f"plan-literal cap {_IVF_MAX_CENTROIDS}; shard the index "
+            "or use lsh_topk for finer partitioning")
+    sims = _centroid_sims(vec_col, centroids)
+    # first-max index == ROW_NUMBER(sim DESC, idx ASC) == 1 in SQL
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"), F.col("_norm").alias("_cn"),
+        cell.alias("_cell"))
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"), F.col("_norm").alias("_qn"),
+        F.posexplode(sims).alias("_pcell", "_psim"))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_psim").desc(), F.col("_pcell").asc())
+    probes = (q.withColumn("_prank", F.row_number().over(wp))
+              .where(F.col("_prank") <= nprobe)
+              .drop("_psim", "_prank"))
+
+    scored = (c.join(F.broadcast(probes),
+                     F.col("_cell") == F.col("_pcell"))
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("cosine", _dot("_qv", "_cv")
+                          / (F.col("_qn") * F.col("_cn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -391,3 +391,49 @@ def test_perplexity_score_external_lm_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_topk_recall_and_candidates(spark, emb_corpus):
+    """IVF with nprobe=3 of 8 cells must recover >=0.7 of the exact
+    rank-1 neighbors (the planted near-dups are near-parallel, so they
+    share a cell with their source almost surely)."""
+    from br_archive_spark.functions.similarity import cosine_topk, ivf_topk
+
+    queries = emb_corpus.where("vec_id < 30")
+    exact1 = {(r["query_id"], r["neighbor_id"]) for r in
+              cosine_topk(emb_corpus, queries, k=1).collect()}
+    ivf = ivf_topk(emb_corpus, queries, k=1,
+                   n_centroids=8, nprobe=3).collect()
+    got1 = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    assert len(exact1 & got1) / len(exact1) >= 0.7
+    # ranks are well-formed and self-matches excluded
+    assert all(r["rank"] == 1 and r["query_id"] != r["neighbor_id"]
+               for r in ivf)
+
+
+def test_ivf_topk_deterministic_and_plan(spark, emb_corpus):
+    """Same output twice (no RNG anywhere); candidate generation is an
+    equi-join on the cell id — never a CartesianProduct."""
+    from br_archive_spark.functions.similarity import ivf_topk
+
+    queries = emb_corpus.where("vec_id < 10")
+    out = ivf_topk(emb_corpus, queries, k=3, n_centroids=4, nprobe=2)
+    a = sorted(map(tuple, out.select(
+        "query_id", "neighbor_id", "rank").collect()))
+    b = sorted(map(tuple, ivf_topk(
+        emb_corpus.repartition(7), queries, k=3, n_centroids=4,
+        nprobe=2).select("query_id", "neighbor_id", "rank").collect()))
+    assert a == b and len(a) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_centroid_cap(spark, emb_corpus):
+    import pytest as _pytest
+
+    from br_archive_spark.functions.similarity import ivf_topk
+
+    with _pytest.raises(ValueError, match="plan-literal cap"):
+        ivf_topk(emb_corpus, emb_corpus.limit(1),
+                 centroids=[[1.0] * 4] * 300)
