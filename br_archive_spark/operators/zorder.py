@@ -91,10 +91,58 @@ def zorder_cluster(df: DataFrame, cols: list[str],
                    num_parts: int) -> DataFrame:
     """Range-partition + locally sort ``df`` by its Morton code —
     feed straight into ``encode_table(mode="scan")`` for chunks whose
-    zone maps are tight on EVERY ``cols`` member. One shuffle, the
-    same cost as any reclustering."""
+    zone maps are tight on EVERY ``cols`` member. One shuffle (plus a
+    one-time seeded sample), the same cost as any reclustering.
+
+    Determinism: Spark's own ``repartitionByRange`` re-samples its
+    bounds with a seed tied to session history (the RDD id), so the
+    identical call can yield a different layout — and different
+    pruning quality — run to run. Like ``pack_sequences``, the cut
+    points here come from a seed-42 sample collected ONCE and embedded
+    as literals, making the layout a pure function of the input. Rows
+    are then placed EXACTLY one bucket per partition: bucket i ships
+    under a relabeled key l_i chosen (by one metadata-sized probe job)
+    so that ``pmod(murmur3(l_i), num_parts) == i`` — Spark's own
+    HashPartitioning then acts as the identity on buckets, with none
+    of the bucket-merging collisions a raw ``repartition(n, pid)``
+    hash would produce (a merged pair of non-adjacent z-ranges widens
+    every straddling chunk's bounds)."""
     z = zorder_key(df, cols).alias("_z")
-    return (df.select("*", z)
-            .repartitionByRange(num_parts, "_z")
+    base = df.select("*", z)
+    if num_parts <= 1:
+        return (base.repartition(1).sortWithinPartitions("_z")
+                .drop("_z"))
+    n = base.count()
+    frac = min(1.0, (num_parts * 200) / max(n, 1))
+    sample = sorted(r["_z"] for r in
+                    base.select("_z")
+                    .sample(False, frac, seed=42).collect())
+    cuts = sorted({sample[len(sample) * i // num_parts]
+                   for i in range(1, num_parts)}) \
+        if len(sample) > num_parts else []
+    if cuts:
+        carr = F.array(*[F.lit(int(c)).cast("long") for c in cuts])
+        pid = F.aggregate(
+            carr, F.lit(0),
+            lambda acc, c: acc + F.when(F.col("_z") >= c, 1)
+            .otherwise(0))
+    else:
+        pid = F.lit(0)
+    spark = df.sparkSession
+    k = len(cuts) + 1
+    lab_rows = (spark.range(num_parts * 64)
+                .select(F.col("id").cast("int").alias("l"))
+                .withColumn("m", F.pmod(F.hash(F.col("l")),
+                                        F.lit(num_parts)))
+                .groupBy("m").agg(F.min("l").alias("l")).collect())
+    label_of = {int(r["m"]): int(r["l"]) for r in lab_rows}
+    if len(label_of) < min(k, num_parts):  # pragma: no cover
+        # P(miss) ~ num_parts * e^-64 — fall back to raw pid hashing
+        labels = list(range(k))
+    else:
+        labels = [label_of[i % num_parts] for i in range(k)]
+    labels_arr = F.array(*[F.lit(x) for x in labels])
+    return (base.withColumn("_pl", F.get(labels_arr, pid))
+            .repartition(num_parts, "_pl")
             .sortWithinPartitions("_z")
-            .drop("_z"))
+            .drop("_z", "_pl"))

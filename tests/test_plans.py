@@ -233,9 +233,12 @@ def test_float_scan_prunes_on_stats_not_payload(spark, tmp_path):
         "Filter" in plan
 
 
-def test_zorder_cluster_single_range_exchange(spark):
-    """Morton clustering costs exactly one rangepartitioning Exchange
-    and compiles to pure codegen bit arithmetic — no UDF node."""
+def test_zorder_cluster_single_exchange(spark):
+    """Morton clustering costs exactly one row-payload Exchange
+    (hashpartitioning on the relabeled literal-cut bucket — the
+    deterministic replacement for rangepartitioning's
+    session-seeded sampling) and compiles to pure codegen bit
+    arithmetic — no UDF node."""
     import pyspark.sql.functions as F
 
     from br_archive_spark.operators.zorder import zorder_cluster
@@ -244,7 +247,8 @@ def test_zorder_cluster_single_range_exchange(spark):
         F.col("id").alias("a"), (999 - F.col("id")).alias("b"))
     plan = _plan(zorder_cluster(df, ["a", "b"], 4))
     assert plan.count("+- Exchange") == 1
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
 
