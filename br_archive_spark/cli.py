@@ -144,12 +144,26 @@ def cmd_list(args) -> int:
 def cmd_snapshot(args) -> int:
     # import the submodule explicitly: operators/__init__ re-exports a
     # FUNCTION named `snapshots`, which shadows the module attribute
-    from .operators.snapshots import (commit_snapshot, expire_snapshots,
+    from .operators.snapshots import (commit_snapshot, delete_tag,
+                                      expire_snapshots, list_tags,
                                       recluster_snapshot, rollback,
                                       snapshot_diff, snapshot_fsck,
-                                      snapshots)
+                                      snapshots, tag_snapshot)
+
+    if args.action == "tags":         # pure fs — no session needed
+        print(json.dumps(list_tags(args.table), sort_keys=True))
+        return 0
+    if args.action == "untag":
+        delete_tag(args.table, args.name)
+        print(json.dumps({"deleted": args.name}))
+        return 0
 
     spark = _spark(args)
+    if args.action == "tag":
+        print(json.dumps(tag_snapshot(
+            spark, args.table, args.name, snapshot_id=args.id,
+            replace=args.force)))
+        return 0
     if args.action == "log":
         for r in snapshots(spark, args.table).collect():
             print(json.dumps(r.asDict()))
@@ -579,6 +593,23 @@ def main(argv: list[str] | None = None) -> int:
                         "columns instead of --key (multi-band "
                         "scan_where prunes on every listed column)")
     q.add_argument("--num-parts", type=int, default=None)
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("tag",
+                           help="pin a named ref on a snapshot "
+                                "(retained by expire)")
+    q.add_argument("table")
+    q.add_argument("name")
+    q.add_argument("--id", default=None,
+                   help="snapshot id (default: head)")
+    q.add_argument("--force", action="store_true",
+                   help="move an existing tag")
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("tags", help="list tags")
+    q.add_argument("table")
+    q.set_defaults(fn=cmd_snapshot)
+    q = snapsub.add_parser("untag", help="delete a tag")
+    q.add_argument("table")
+    q.add_argument("name")
     q.set_defaults(fn=cmd_snapshot)
     q = snapsub.add_parser("fsck",
                            help="index<->data consistency audit "

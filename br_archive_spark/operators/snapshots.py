@@ -61,7 +61,9 @@ from .fsutil import path_tag, resolve_fs, write_parquet_atomic
 
 __all__ = ["commit_snapshot", "snapshots", "load_snapshot",
            "rollback", "expire_snapshots", "incremental_manifest",
-           "snapshot_diff", "CommitConflict", "snapshot_fsck", "recluster_snapshot"]
+           "snapshot_diff", "CommitConflict", "snapshot_fsck",
+           "recluster_snapshot", "tag_snapshot", "list_tags",
+           "delete_tag", "resolve_ref"]
 
 _LOG_RE = re.compile(r"(\d{8})-([0-9a-f]{16})\.parquet$")
 
@@ -322,6 +324,106 @@ def commit_snapshot(manifest: DataFrame, table_dir: str,
     return row
 
 
+# ------------------------------------------------------------- refs
+
+# snapshot ids are 16 lowercase hex chars; tag names must never be
+# mistakable for one (or for a log seq)
+_SID_RE = re.compile(r"^[0-9a-f]{16}$")
+_REF_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _refs_dir(table_dir: str) -> str:
+    return f"{table_dir}/_refs"
+
+
+def tag_snapshot(spark: SparkSession, table_dir: str, name: str,
+                 snapshot_id: str | None = None,
+                 replace: bool = False) -> dict:
+    """Named ref on a snapshot — the Iceberg TAG analog.
+
+    A tag is one tiny ``_refs/<name>.json`` file mapping the name to a
+    snapshot id (default: head). Tags are first-class refs: every
+    reader that takes a snapshot id (``load_snapshot``, ``rollback``,
+    ``snapshot_diff``, CLI ``--at``) accepts a tag name, and —
+    the part that matters operationally — :func:`expire_snapshots`
+    RETAINS tagged snapshots regardless of ``keep_last``, so a
+    ``v1.0-train`` tag pins the exact table a model was trained on
+    while routine GC keeps running. Creation is atomic (tmp + rename);
+    an existing name raises unless ``replace=True``.
+    """
+    import json as _json
+    import os as _os
+
+    from pyarrow.fs import FileType
+
+    if _SID_RE.match(name) or re.match(r"^\d{8}$", name) \
+            or not _REF_NAME_RE.match(name):
+        raise ValueError(
+            f"tag name {name!r} invalid (1-64 of [A-Za-z0-9._-], not "
+            "starting with punctuation, not shaped like a snapshot id "
+            "or seq)")
+    log = _read_log(spark, table_dir)
+    if not log:
+        raise FileNotFoundError(f"no snapshot log under {table_dir}")
+    sid = snapshot_id or log[-1]["snapshot_id"]
+    if not _index_exists(table_dir, sid):
+        raise FileNotFoundError(
+            f"snapshot {sid} has no index under {table_dir}")
+    fs, rel = resolve_fs(f"{_refs_dir(table_dir)}/{name}.json")
+    fs.create_dir(rel.rsplit("/", 1)[0], recursive=True)
+    if not replace and fs.get_file_info(rel).type != FileType.NotFound:
+        raise ValueError(
+            f"tag {name!r} already exists (pass replace=True to move)")
+    payload = _json.dumps({"name": name, "snapshot_id": sid,
+                           "created_at": time.time()}).encode()
+    tmp = f"{rel}.tmp-{_os.getpid()}"
+    with fs.open_output_stream(tmp) as f:
+        f.write(payload)
+    fs.move(tmp, rel)
+    return {"name": name, "snapshot_id": sid}
+
+
+def list_tags(table_dir: str) -> dict[str, str]:
+    """All tags as ``{name: snapshot_id}`` (empty if none)."""
+    import json as _json
+
+    from pyarrow.fs import FileSelector, FileType
+
+    fs, rel = resolve_fs(_refs_dir(table_dir))
+    if fs.get_file_info(rel).type != FileType.Directory:
+        return {}
+    out: dict[str, str] = {}
+    for info in fs.get_file_info(FileSelector(rel)):
+        if (info.type == FileType.File and info.path.endswith(".json")
+                and ".tmp-" not in info.path):
+            with fs.open_input_stream(info.path) as f:
+                d = _json.loads(f.read())
+            out[d["name"]] = d["snapshot_id"]
+    return out
+
+
+def delete_tag(table_dir: str, name: str) -> None:
+    from pyarrow.fs import FileType
+
+    fs, rel = resolve_fs(f"{_refs_dir(table_dir)}/{name}.json")
+    if fs.get_file_info(rel).type == FileType.NotFound:
+        raise FileNotFoundError(f"no tag {name!r} under {table_dir}")
+    fs.delete_file(rel)
+
+
+def resolve_ref(table_dir: str, ref: str) -> str:
+    """A 16-hex string IS a snapshot id; anything else resolves
+    through the tag registry (unknown → FileNotFoundError)."""
+    if _SID_RE.match(ref):
+        return ref
+    tags = list_tags(table_dir)
+    if ref in tags:
+        return tags[ref]
+    raise FileNotFoundError(
+        f"unknown snapshot ref {ref!r} under {table_dir} "
+        f"(tags: {sorted(tags) or 'none'})")
+
+
 def snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     """The commit log as a DataFrame (the ``unbra -l`` analog for
     table history), seq-ascending."""
@@ -348,7 +450,8 @@ def load_snapshot(spark: SparkSession, table_dir: str,
     log = _read_log(spark, table_dir)
     if not log:
         raise FileNotFoundError(f"no snapshot log under {table_dir}")
-    sid = snapshot_id or log[-1]["snapshot_id"]
+    sid = resolve_ref(table_dir, snapshot_id) if snapshot_id \
+        else log[-1]["snapshot_id"]
     if not _index_exists(table_dir, sid):
         raise FileNotFoundError(
             f"snapshot {sid} has no index under {table_dir} "
@@ -402,7 +505,9 @@ def incremental_manifest(spark: SparkSession, table_dir: str,
     log = _read_log(spark, table_dir)
     if not log:
         raise FileNotFoundError(f"no snapshot log under {table_dir}")
-    to_id = to_id or log[-1]["snapshot_id"]
+    to_id = resolve_ref(table_dir, to_id) if to_id \
+        else log[-1]["snapshot_id"]
+    from_id = resolve_ref(table_dir, from_id)
     fidx = _index_for(spark, table_dir, from_id)
     tidx = _index_for(spark, table_dir, to_id)
     delta = tidx.join(F.broadcast(fidx.select("chunk_id", "checksum")),
@@ -430,7 +535,9 @@ def snapshot_diff(spark: SparkSession, table_dir: str,
     log = _read_log(spark, table_dir)
     if not log:
         raise FileNotFoundError(f"no snapshot log under {table_dir}")
-    to_id = to_id or log[-1]["snapshot_id"]
+    to_id = resolve_ref(table_dir, to_id) if to_id \
+        else log[-1]["snapshot_id"]
+    from_id = resolve_ref(table_dir, from_id)
     fidx = _index_for(spark, table_dir, from_id)
     tidx = _index_for(spark, table_dir, to_id)
     key = ["chunk_id", "checksum"]
@@ -467,8 +574,10 @@ def snapshot_diff(spark: SparkSession, table_dir: str,
 
 def rollback(spark: SparkSession, table_dir: str,
              snapshot_id: str) -> dict:
-    """Make ``snapshot_id`` the head again — a pure log append (the
-    target's data and index already exist; nothing moves)."""
+    """Make ``snapshot_id`` (id or tag) the head again — a pure log
+    append (the target's data and index already exist; nothing
+    moves)."""
+    snapshot_id = resolve_ref(table_dir, snapshot_id)
     log = _read_log(spark, table_dir)
     prior = [r for r in log if r["snapshot_id"] == snapshot_id]
     if not prior:
@@ -512,6 +621,12 @@ def expire_snapshots(spark: SparkSession, table_dir: str,
             retained.append(r["snapshot_id"])
         if len(retained) >= keep_last:
             break
+    # tags pin their snapshots against GC regardless of keep_last —
+    # the Iceberg tag-retention contract; a tag whose index is already
+    # gone (tagged after expiry, or a legacy table) can't pin anything
+    tagged = [s for s in list_tags(table_dir).values()
+              if s not in retained and _index_exists(table_dir, s)]
+    retained += sorted(set(tagged))
     keep_seqs: set[int] = set()
     for sid in retained:
         idx = spark.read.parquet(_index_path(table_dir, sid))

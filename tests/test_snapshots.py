@@ -610,3 +610,78 @@ def test_recluster_snapshot_zorder(spark, tmp_path):
     assert dec.count() == n
     with pytest.raises(ValueError, match="exactly one"):
         recluster_snapshot(spark, d, key="doc_id", zorder=["a", "b"])
+
+
+def test_tags_resolve_pin_and_cli(spark, table, capsys):
+    """Iceberg-tag analog: a tag resolves everywhere a snapshot id
+    does, pins its snapshot against expire regardless of keep_last,
+    and round-trips through the CLI."""
+    import json
+
+    from br_archive_spark.cli import main
+    from br_archive_spark.operators.snapshots import (delete_tag,
+                                                      list_tags,
+                                                      resolve_ref,
+                                                      tag_snapshot)
+
+    d, src, r1 = table
+    man1 = load_snapshot(spark, d)
+    tag_snapshot(spark, d, "v1.0-train")           # tag the head
+    # advance the head twice so v1 falls outside keep_last=2
+    for step in ("8", "9"):
+        ups = spark.createDataFrame(
+            [(step, f"UPDATED-{step}")], "doc_id string, text string")
+        man1 = upsert_rows(load_snapshot(spark, d), ups,
+                           key="doc_id", specs=SPECS)
+        commit_snapshot(man1, d, op="merge")
+    assert resolve_ref(d, "v1.0-train") == r1["snapshot_id"]
+    assert resolve_ref(d, r1["snapshot_id"]) == r1["snapshot_id"]
+    with pytest.raises(FileNotFoundError, match="unknown snapshot ref"):
+        resolve_ref(d, "nope")
+
+    # load/diff by tag
+    out = decode_table(load_snapshot(spark, d, "v1.0-train"),
+                       specs=SPECS, with_n_tok=False)
+    assert _sorted_rows(out) == _sorted_rows(src)
+    diff = snapshot_diff(spark, d, "v1.0-train")
+    assert diff.where("op = 'add'").count() == 2
+
+    # duplicate without replace raises; replace moves it
+    with pytest.raises(ValueError, match="already exists"):
+        tag_snapshot(spark, d, "v1.0-train")
+    head = snapshots(spark, d).collect()[-1]["snapshot_id"]
+    tag_snapshot(spark, d, "latest", snapshot_id=head)
+
+    # expire keep_last=1 would drop r1 — the tag pins it
+    rep = expire_snapshots(spark, d, keep_last=1)
+    assert r1["snapshot_id"] in rep["retained"]
+    out = decode_table(load_snapshot(spark, d, "v1.0-train"),
+                       specs=SPECS, with_n_tok=False,
+                       verify_checksums=True)
+    assert _sorted_rows(out) == _sorted_rows(src)
+
+    # untag, then the same expire reclaims it
+    delete_tag(d, "v1.0-train")
+    rep = expire_snapshots(spark, d, keep_last=1)
+    assert r1["snapshot_id"] not in rep["retained"]
+    with pytest.raises(FileNotFoundError):
+        load_snapshot(spark, d, r1["snapshot_id"])
+
+    # CLI surface
+    assert main(["--master", "local[2]", "--shuffle-partitions", "4",
+                 "snapshot", "tag", d, "rc1"]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "tags", d]) == 0
+    tags = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tags == {"latest": head, "rc1": head}
+    assert main(["snapshot", "untag", d, "rc1"]) == 0
+    assert list_tags(d) == {"latest": head}
+
+
+def test_tag_name_validation(spark, table):
+    from br_archive_spark.operators.snapshots import tag_snapshot
+
+    d, _, r1 = table
+    for bad in (r1["snapshot_id"], "00000001", "-lead", "a b", "x" * 70):
+        with pytest.raises(ValueError, match="invalid"):
+            tag_snapshot(spark, d, bad)
