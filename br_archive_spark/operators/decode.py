@@ -880,6 +880,15 @@ def decode_table(encoded: DataFrame,
                  global_dict=None) -> DataFrame:
     """Reconstruct the original table from an encoded manifest DataFrame.
 
+    ``specs`` may be a SUBSET of the encoded columns — column pruning:
+    only the requested columns decode. With ``verify_checksums=False``
+    the unrequested entries are also filtered out of the manifest rows
+    JVM-side, so their payload bytes never cross the Arrow exchange
+    into Python; with verification on (the default) the full row must
+    ship because the chunk checksum covers every entry's bytes —
+    the same contract as the reference's trailing per-entry CRC
+    (``src/io/lib_bra_io_file_ctx.c:672-685``).
+
     ``global_dict`` must be the GlobalDict the table was encoded with
     when chunks carry ``gdict.*`` codecs (load it with
     ``codecs.gdict.load_global_dict``); dict-id mismatches raise.
@@ -896,4 +905,13 @@ def decode_table(encoded: DataFrame,
                          global_dict=global_dict)
     cols = ["chunk_id", "n_rows", "checksum", "checksum_algo",
             "columns"]
-    return encoded.select(*cols).mapInArrow(fn, out_spark_schema)
+    pruned = encoded.select(*cols)
+    if not verify_checksums:
+        from pyspark.sql import functions as F
+
+        wanted = F.array(*[F.lit(n) for n, _ in specs])
+        pruned = pruned.withColumn(
+            "columns",
+            F.filter("columns",
+                     lambda e: F.array_contains(wanted, e["name"])))
+    return pruned.mapInArrow(fn, out_spark_schema)

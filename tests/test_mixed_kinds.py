@@ -169,3 +169,39 @@ def test_decode_table_without_int_list_derives_n_tok(spark):
     got = dec.select("doc_id", "ts")
     assert df.exceptAll(got).count() == 0
     assert got.exceptAll(df).count() == 0
+
+
+def test_decode_column_pruning_partial_specs(spark):
+    """specs may be a SUBSET of the encoded columns: only requested
+    columns decode (exactly, checksum-verified); with
+    verify_checksums=False the unrequested entries are filtered out of
+    the manifest rows JVM-side before the Arrow exchange."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators import decode_table, encode_table
+
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(F.col("id").cast("int"),
+                (F.col("id") + 1).cast("int")).alias("tokens"),
+        F.concat(F.lit("txt-"), F.col("id")).alias("text"))
+    specs = [("doc_id", "string"), ("tokens", "int_list"),
+             ("text", "string")]
+    enc = encode_table(df, specs=specs, num_parts=2).cache()
+
+    # verified partial decode: full rows ship (checksum covers all
+    # entries) but only the requested column reconstructs
+    only = decode_table(enc, specs=[("doc_id", "string")],
+                        verify_checksums=True)
+    assert only.columns == ["doc_id"]
+    assert df.select("doc_id").exceptAll(only).count() == 0
+
+    # unverified partial decode: the plan filters the entry array
+    # before mapInArrow, so unrequested payloads never reach Python
+    fast = decode_table(enc, specs=[("text", "string")],
+                        verify_checksums=False)
+    assert df.select("text").exceptAll(fast).count() == 0
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "filter(columns" in plan.replace(" ", "").lower() or \
+        "array_contains" in plan
+    enc.unpersist()
