@@ -1441,6 +1441,42 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("int").alias("rank"))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4 curation operators composed as ONE Spark plan:
+    token-budget mixture sampling (md5-prefix under per-source char
+    budgets) → frequency-ranked tokenization (vocab 512) → unigram-LM
+    perplexity scoring (self-scored, broadcast LM) → keep docs below
+    49000 e-4 bits → columnar encode → decode → exact token equality.
+    Each stage has its own value-checked driver query
+    (token_budget_sample, tokenize_encode, perplexity_filter,
+    roundtrip_*); this checks their COMPOSITION, oracle = the same
+    stages chained as CTEs."""
+    from br_archive_spark.functions.packing import sample_by_tokens
+    from br_archive_spark.functions.text import (perplexity_score,
+                                                 tokenize_corpus)
+    from br_archive_spark.operators import decode_table, encode_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        "source", "n_chars")
+    sampled = sample_by_tokens(
+        docs, {"src0": 4000, "src1": 2500, "src2": 1000,
+               "src3": 3000, "src4": 3000, "src5": 2000},
+        weight_col="n_chars")
+    tok, _vocab = tokenize_corpus(sampled, vocab_size=512)
+    scored = perplexity_score(tok)
+    kept = (tok.join(scored, "doc_id")
+            .where(F.col("xent_bp") < 49000)
+            .select("doc_id", "tokens", "n_tok", "source"))
+    enc = encode_table(kept, num_parts=2, target_values=1 << 15)
+    dec = decode_table(enc)
+    return (dec.select("doc_id", F.posexplode("tokens")
+                       .alias("pos", "token"), "source")
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.col("token").cast("int").alias("token"),
+                    "source"))
+
+
 # --------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------
@@ -1509,6 +1545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "perplexity_filter": q_perplexity_filter,
         "knn_ivf": q_knn_ivf,
+        "curation_pipeline": q_curation_pipeline,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
         "compression_stats": q_compression_stats,
@@ -2605,6 +2642,69 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, MIN(r) AS component
             FROM reach GROUP BY node
+        """,
+        "curation_pipeline": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text, source,
+                     n_chars
+              FROM documents
+            ),
+            samp AS (
+              SELECT doc_id, text, source FROM (
+                SELECT doc_id, text, source,
+                       SUM(n_chars) OVER (PARTITION BY source
+                         ORDER BY md5(doc_id), doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum
+                FROM d
+                WHERE source IN ('src0','src1','src2',
+                                 'src3','src4','src5')
+              ) WHERE cum <= CASE source
+                               WHEN 'src0' THEN 4000
+                               WHEN 'src1' THEN 2500
+                               WHEN 'src2' THEN 1000
+                               WHEN 'src3' THEN 3000
+                               WHEN 'src4' THEN 3000
+                               ELSE 2000 END
+            ),
+            w AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text),
+                                               '[a-z0-9]+')) AS word,
+                     generate_subscripts(
+                         regexp_extract_all(lower(text), '[a-z0-9]+'),
+                         1) - 1 AS pos
+              FROM samp
+            ),
+            v AS (
+              SELECT word,
+                     ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word)
+                         AS token_id
+              FROM w GROUP BY word
+              ORDER BY COUNT(*) DESC, word LIMIT 512
+            ),
+            t AS (
+              SELECT w.doc_id, w.pos,
+                     CAST(COALESCE(v.token_id, 0) AS BIGINT) AS token,
+                     w.source
+              FROM w LEFT JOIN v USING (word)
+            ),
+            lm AS (SELECT token, COUNT(*) AS freq FROM t
+                   GROUP BY token),
+            tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS tt,
+                           CAST(COUNT(*) AS DOUBLE) AS vv FROM lm),
+            x AS (
+              SELECT doc_id,
+                     CAST(ROUND(-10000 * AVG(
+                       log2((freq + 1.0) / (tt + vv)))) AS BIGINT)
+                       AS xent_bp
+              FROM t JOIN lm USING (token) CROSS JOIN tot
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+                   CAST(t.token AS INT) AS token, t.source
+            FROM t JOIN x USING (doc_id)
+            WHERE x.xent_bp < 49000
         """,
         # IVF ANN: the same left-fold arithmetic as the Spark side —
         # centroid choice (md5 order), cell argmax (first-max index),
