@@ -390,3 +390,15 @@ def test_dd_int64_wraparound_roundtrip():
                  dtype=np.int64)
     p, b = encode_int("dd", v)
     assert np.array_equal(decode_int("dd", p, b), v)
+
+
+def test_delta_dd_int64_extreme_span():
+    """Full-span int64 arrays force zigzag widths up to 64 — the
+    widest bitpack lane — and still round-trip exactly."""
+    lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    for codec in ("dd", "delta"):
+        for arr in ([lo, hi, -1, 0, 7], [hi, lo], [0, lo], [lo, 0, hi]):
+            v = np.array(arr, dtype=np.int64)
+            p, b = encode_int(codec, v)
+            assert np.array_equal(decode_int(codec, p, b), v), \
+                (codec, arr)
