@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_metadata", "extract_features",
-           "frame_sample", "decode_image", "decode_audio",
+           "frame_sample", "resize_images", "decode_image", "decode_audio",
            "HAS_PIL", "HAS_AV"]
 
 # canonical media column group: payload + typed metadata
@@ -210,5 +210,53 @@ def frame_sample(df: DataFrame, payload_col: str = "payload",
                     frames.append(p[fidx * 32:(fidx + 1) * 32])
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs,
                                 "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema)
+
+
+def resize_images(df: DataFrame, width: int = 64, height: int = 64,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  use_fake: "bool | None" = None) -> DataFrame:
+    """Image payloads → resized image payloads — the normalization
+    step a vision-training pipeline runs before feature extraction.
+
+    Real path (PIL): decode → RGB → ``resize((width, height))`` →
+    re-encode PNG. Fake path (auto-selected where PIL is absent):
+    digest-expanded bytes whose length follows the same
+    target-size law as a raw RGB buffer, so batch shapes, Arrow
+    transfer sizes, and downstream schema behave like the real path.
+    Selection is a driver-side constant — both paths compile to the
+    identical mapInPandas plan. Output: (id, payload, width, height);
+    resized payloads re-enter the engine through the ``binary``
+    column kind like any other media payload.
+    """
+    schema = f"{id_col} string, payload binary, width int, height int"
+    if use_fake is None:
+        use_fake = not HAS_PIL
+    if not use_fake and not HAS_PIL:
+        raise NotImplementedError(
+            "real image resize requires PIL (not installed); pass "
+            "use_fake=None to auto-degrade")
+
+    n_fake = max(16, width * height * 3 // 64)
+
+    def _fake_resize(p: bytes) -> bytes:
+        d = hashlib.sha256(p).digest()
+        return (d * (n_fake // len(d) + 1))[:n_fake]
+
+    def _real_resize(p: bytes) -> bytes:  # pragma: no cover - needs PIL
+        img = (_PILImage.open(io.BytesIO(p)).convert("RGB")
+               .resize((width, height)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        do = _fake_resize if use_fake else _real_resize
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col].astype(str),
+                                "payload": [do(p)
+                                            for p in pdf[payload_col]],
+                                "width": width, "height": height})
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema)

@@ -437,3 +437,50 @@ def test_ivf_centroid_cap(spark, emb_corpus):
     with _pytest.raises(ValueError, match="plan-literal cap"):
         ivf_topk(emb_corpus, emb_corpus.limit(1),
                  centroids=[[1.0] * 4] * 300)
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_images: deterministic fake path everywhere — output
+    schema, per-row payload sizing, and idempotence; the real PIL
+    branch is exercised by test_multimodal_resize_real_path."""
+    from br_archive_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(f"m{i}", bytes([i % 251]) * (100 + i)) for i in range(12)],
+        "doc_id string, payload binary")
+    out = resize_images(df, width=32, height=32, use_fake=True)
+    rows = out.collect()
+    assert len(rows) == 12
+    assert all(r["width"] == 32 and r["height"] == 32 for r in rows)
+    n_expect = max(16, 32 * 32 * 3 // 64)
+    assert all(len(r["payload"]) == n_expect for r in rows)
+    again = {r["doc_id"]: bytes(r["payload"])
+             for r in resize_images(df, 32, 32, use_fake=True).collect()}
+    assert all(again[r["doc_id"]] == bytes(r["payload"]) for r in rows)
+
+
+def test_multimodal_resize_real_path(spark):
+    """Real PIL resize: runs where PIL exists, SKIPS (not fakes)
+    without it."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from br_archive_spark.functions.multimodal import resize_images
+
+    def png_bytes(seed):
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 255, (40, 24, 3), dtype=np.uint8)
+        buf = _io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(f"i{s}", png_bytes(s)) for s in range(4)],
+        "doc_id string, payload binary")
+    out = resize_images(df, width=16, height=16, use_fake=False)
+    for r in out.collect():
+        img = Image.open(_io.BytesIO(bytes(r["payload"])))
+        assert img.size == (16, 16)
