@@ -94,3 +94,38 @@ def test_encode_empty_table(spark):
     assert enc.count() == 0 or \
         enc.agg({"n_rows": "sum"}).collect()[0][0] in (0, None)
     assert decode_table(enc).count() == 0
+
+
+def test_token_budget_sampling_hot_stratum(spark):
+    """Stratum skew: with one stratum owning 90% of 20k docs, the
+    md5-prefix selection stays exact to the budget (the hex-prefix
+    buckets spread the hot stratum across the window's partitions —
+    the no-single-reducer plan shape is locked in test_packing)."""
+    import hashlib
+
+    from br_archive_spark.functions.packing import sample_by_tokens
+
+    rows = [(str(i), "hot" if i % 10 else "cold", (i % 37) + 1)
+            for i in range(20_000)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, n_tok int")
+    budgets = {"hot": 40_000, "cold": 900}
+    got = {r["doc_id"] for r in
+           sample_by_tokens(df, budgets, weight_col="n_tok",
+                            num_buckets=32).collect()}
+
+    keep = set()
+    by_s: dict = {}
+    for doc_id, source, w in rows:
+        by_s.setdefault(source, []).append(
+            (hashlib.md5(doc_id.encode()).hexdigest(), doc_id, w))
+    for s, docs in by_s.items():
+        acc = 0
+        for _, doc_id, w in sorted(docs):
+            acc += w
+            if acc > budgets[s]:
+                break
+            keep.add(doc_id)
+    assert got == keep
+    # the hot budget actually bound the selection (not all-keep)
+    assert 0 < len([d for d in got if int(d) % 10]) < 18_000
