@@ -126,14 +126,25 @@ def _sketch(vec_col: str, planes: int, salt: int | None = None):
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
              planes: int = 12, dim: int = 64,
-             family: list[list[float]] | None = None) -> DataFrame:
+             family: list[list[float]] | None = None,
+             multiprobe: int = 0) -> DataFrame:
     """Approximate top-k: exact cosine restricted to same-LSH-bucket
-    candidates (single-probe). Recall < 1 by construction; compare with
+    candidates. Recall < 1 by construction; compare with
     :func:`cosine_topk` to measure.
 
     ``family``: optional literal hyperplane matrix (from
     :func:`hyperplane_family`) replacing the in-plan xxhash64 weights —
-    use when the sketch must be reproducible outside Spark."""
+    use when the sketch must be reproducible outside Spark.
+
+    ``multiprobe``: also probe the buckets at Hamming distance 1 from
+    the query's sketch in the first ``multiprobe`` planes (the
+    multi-probe LSH idea, Lv et al. VLDB'07, with the probe sequence
+    simplified to single-bit flips). A near neighbor that disagrees on
+    exactly one plane — the dominant miss mode at high ``planes`` — is
+    recovered without adding tables. Cost scales on the QUERY side
+    only: ``1 + multiprobe`` probe rows per query feed the same
+    equi-join; the corpus is still sketched and scanned once, and the
+    probe values are distinct so no candidate pair duplicates."""
     sk = (_sketch_lit(vec_col, family) if family is not None
           else _sketch(vec_col, planes))
     c = with_norm(corpus, vec_col).select(
@@ -144,6 +155,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
         sk.alias("_qbucket"))
+    if multiprobe:
+        flips = [F.col("_qbucket")] + [
+            F.col("_qbucket").bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(min(multiprobe, planes))]
+        q = (q.withColumn("_probes", F.array(*flips))
+             .withColumn("_qbucket", F.explode("_probes"))
+             .drop("_probes"))
     scored = (c.join(q, F.col("_bucket") == F.col("_qbucket"))
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("cosine",
