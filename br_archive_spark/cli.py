@@ -334,6 +334,32 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_score(args) -> int:
+    """token parquet -> the same rows plus a per-doc unigram-LM
+    cross-entropy column (xent_bp), optional kill-threshold filter."""
+    from pyspark.sql import functions as F
+
+    from .functions.text import perplexity_score
+
+    spark = _spark(args)
+    df = spark.read.parquet(args.input)
+    lm = spark.read.parquet(args.lm) if args.lm else None
+    scored = df.join(
+        perplexity_score(df, lm=lm, tokens_col=args.tokens_col,
+                         id_col=args.id_col),
+        args.id_col)
+    n_in = df.count()
+    if args.max_xent is not None:
+        scored = scored.where(F.col("xent_bp") < args.max_xent)
+    scored.write.mode("errorifexists").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    st = out.agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("xent_bp").alias("m")).first()
+    print(json.dumps({"docs_in": int(n_in), "docs_out": int(st["n"]),
+                      "mean_xent_bp": round(float(st["m"] or 0), 1)}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     from .operators.verify import verify_roundtrip, verify_stats
 
@@ -681,6 +707,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="also tag train/val in column COL "
                         "(md5 cutoff '1a' ≈ 10%%)")
     p.set_defaults(fn=cmd_sample)
+
+    p = sub.add_parser("score",
+                       help="unigram-LM perplexity column over a "
+                            "token table, optional filter")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--lm", default=None,
+                   help="(token, freq) parquet LM; default: "
+                        "self-score against the corpus histogram")
+    p.add_argument("--max-xent", type=int, default=None,
+                   metavar="BP",
+                   help="drop docs at or above BP (1e-4 bits/token)")
+    p.add_argument("--tokens-col", default="tokens")
+    p.add_argument("--id-col", default="doc_id")
+    p.set_defaults(fn=cmd_score)
 
     p = sub.add_parser("list", help="manifest stats without decoding")
     p.add_argument("input")

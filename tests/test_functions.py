@@ -516,3 +516,36 @@ def test_lsh_multiprobe_improves_recall(spark):
     assert r1 >= r0
     assert r1 >= 0.9, (r0, r1)
     assert r0 < 0.9  # the planted noise makes single-probe miss some
+
+
+def test_cli_score_filters_by_perplexity(spark, tmp_path, capsys):
+    """CLI `score`: xent_bp column appended, threshold filter drops
+    the high-entropy doc, JSON report is exact."""
+    import json
+    import math
+    from collections import Counter
+
+    from br_archive_spark.cli import main
+
+    rows = [("a", [1, 1, 1, 1]), ("b", [1, 1, 2, 1]), ("c", [3, 4, 5])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    d = str(tmp_path)
+    df.write.parquet(f"{d}/tok")
+    freq = Counter(t for _, ts in rows for t in ts)
+    tot, v = sum(freq.values()), len(freq)
+
+    def xent(ts):
+        return round(-10000 * sum(
+            math.log2((freq[t] + 1) / (tot + v)) for t in ts) / len(ts))
+
+    cut = xent(rows[2][1])  # doc c is the most surprising
+    assert cut > max(xent(rows[0][1]), xent(rows[1][1]))
+    rc = main(["--master", "local[2]", "--shuffle-partitions", "4",
+               "score", f"{d}/tok", "-o", f"{d}/scored",
+               "--max-xent", str(cut)])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs_in"] == 3 and rep["docs_out"] == 2
+    out = {r["doc_id"]: r["xent_bp"] for r in
+           spark.read.parquet(f"{d}/scored").collect()}
+    assert out == {"a": xent(rows[0][1]), "b": xent(rows[1][1])}
