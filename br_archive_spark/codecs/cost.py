@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from .bitpack import bits_needed
-from .intcodecs import ZSTD_AVAILABLE, encode_int
+from .intcodecs import ZSTD_AVAILABLE, _zigzag, encode_int
 from .strcodecs import encode_str
 
 __all__ = ["choose_int_codec", "encode_int_auto", "encode_str_auto",
@@ -42,7 +42,7 @@ def int_chunk_stats(values: np.ndarray) -> dict:
     n = len(values)
     if n == 0:
         return {"n": 0, "vmin": 0, "vmax": 0, "runs": 0, "distinct_est": 0,
-                "dmax": 0, "ddmax": 0, "sorted": True}
+                "dzmax": 0, "ddzmax": 0, "sorted": True}
     vmin, vmax = int(values.min()), int(values.max())
     # diffs stay exact in the native dtype iff the value span fits —
     # int32 wrap can't fake a zero, but would corrupt sorted/dmax
@@ -51,6 +51,10 @@ def int_chunk_stats(values: np.ndarray) -> dict:
     else:
         d = np.diff(values.astype(np.int64))
     runs = int(np.count_nonzero(d)) + 1
+    # int64 view of the diffs for the zigzag-domain width stats below:
+    # exact for narrow dtypes; for int64 inputs the (wrapping) diff is
+    # already what _enc_delta/_enc_dd will pack, so the widths match
+    d64 = d.astype(np.int64, copy=False)
     stride = max(1, n // _SAMPLE)
     sample = values[::stride]
     distinct_est = int(len(np.unique(sample)) * (n / len(sample)) ** 0.5) \
@@ -62,8 +66,12 @@ def int_chunk_stats(values: np.ndarray) -> dict:
         "vmax": vmax,
         "runs": runs,
         "distinct_est": distinct_est,
-        "dmax": int(np.abs(d).max()) if len(d) else 0,
-        "ddmax": int(np.abs(np.diff(d)).max()) if len(d) > 1 else 0,
+        # diff maxima live in the zigzag (uint64) domain — the exact
+        # width domain the delta/dd codecs pack in — so int64 wrap
+        # (INT64_MIN diffs, |INT64_MIN| staying negative under two's
+        # complement np.abs) can never surface a negative here
+        "dzmax": int(_zigzag(d64).max()) if len(d) else 0,
+        "ddzmax": int(_zigzag(np.diff(d64)).max()) if len(d) > 1 else 0,
         "sorted": bool(len(d) == 0 or d.min() >= 0),
     }
 
@@ -85,11 +93,11 @@ def _estimates(st: dict) -> dict[str, float]:
         + st["runs"] * (w_code + w_run) / 8 + 48,
     }
     if st["sorted"]:
-        est["delta"] = n * bits_needed(st["dmax"]) / 8 + 24
+        est["delta"] = n * bits_needed(st["dzmax"]) / 8 + 24
     # delta-of-delta is order-agnostic (zigzag second differences):
     # regular strides — timestamps, auto-increment ids — estimate near
     # zero bits/value; irregular data estimates large and never wins
-    est["dd"] = n * bits_needed(2 * st["ddmax"]) / 8 + 40
+    est["dd"] = n * bits_needed(st["ddzmax"]) / 8 + 40
     return est
 
 

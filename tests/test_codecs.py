@@ -135,6 +135,39 @@ def test_int_auto_property(xs):
     assert np.array_equal(decode_int(codec, p, b), v)
 
 
+I64MIN, I64MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+@pytest.mark.parametrize("xs", [
+    [I64MIN, I64MAX],          # full-span diff wraps to -1 in int64
+    [I64MIN, 0, 0],            # r4 fuzz crash: |diff| = |INT64_MIN| < 0
+    [I64MAX, I64MIN],          # descending full-span
+    [I64MIN, I64MAX, I64MIN, 0, I64MAX],
+    [I64MIN] * 7,              # runs of the extreme value
+    [I64MIN + k for k in range(9)],   # sorted at the bottom edge
+])
+def test_int_auto_int64_extremes(xs):
+    """Regression for the r4 INT64_MIN cost-model crash: np.diff of
+    full-range int64 wraps and two's-complement np.abs(INT64_MIN) stays
+    negative, so the old dmax/ddmax stats fed bits_needed a negative
+    and encode crashed on legal input. Stats now live in the zigzag
+    (uint64) domain (codecs/cost.py); selection must succeed and the
+    chosen codec must round-trip exactly."""
+    v = np.array(xs, dtype=np.int64)
+    codec, p, b = encode_int_auto(v)
+    assert np.array_equal(decode_int(codec, p, b).astype(np.int64), v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(I64MIN, I64MAX), max_size=300))
+def test_int_auto_property_full_range(xs):
+    """Full int64 domain through auto-selection (the r4 property only
+    exercised +/-2^31)."""
+    v = np.array(xs, dtype=np.int64)
+    codec, p, b = encode_int_auto(v)
+    assert np.array_equal(decode_int(codec, p, b).astype(np.int64), v)
+
+
 # ---------------------------------------------------------------- strings
 
 def _str_buffers(strs):

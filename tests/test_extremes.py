@@ -1,0 +1,185 @@
+"""Full-range int64 wrap-hazard sweep over the TABLE layer (r5).
+
+The r4 fuzz crash (INT64_MIN through the codec cost model,
+VERDICT r4 "What's wrong" #1) showed that wrap hazards can hide above
+the codec layer. These tests push full-domain int64 — and the
+date / timestamp / decimal lanes that map onto it — through
+``encode_table``/``decode_table``, the ``column_stats`` writers
+(``operators/encode.py:_entry_stats``), and the zone-map pruning math
+(``operators/decode.py:scan_range``), not just ``encode_int_auto``.
+Reference analog: the stacked encoder round-trips
+(``test/test_bra_encoders.cpp:172-402``) which the reference also runs
+on pathological byte patterns, generalized here to typed lanes.
+"""
+
+import datetime
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from br_archive_spark.operators.chunk import decode_column, encode_column
+from br_archive_spark.operators.encode import _entry_stats, _extract
+
+I64MIN, I64MAX = -(2 ** 63), 2 ** 63 - 1
+
+
+# ------------------------------------------------- stats-lane fuzz
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.integers(I64MIN, I64MAX)),
+                max_size=40))
+def test_fuzz_int_stats_lanes_full_range(xs):
+    """Property: the int zone map (vmin/vmax) is exact over non-null
+    values for ANY int64 mix, vsum is either the exact Python-int sum
+    or None (never a wrapped value), and the counts match — the lanes
+    scan_range/agg_encoded trust for skip-without-decode."""
+    col = pa.array(xs, type=pa.int64())
+    tbl = pa.table({"c": col})
+    data, validity = _extract(tbl, "c", "int")
+    s = _entry_stats("int", data, validity)
+    vals = [x for x in xs if x is not None]
+    assert s["null_count"] == sum(1 for x in xs if x is None)
+    if not vals:
+        assert s["vmin"] is None and s["vmax"] is None
+        assert s["n_vals"] == 0
+        return
+    assert s["n_vals"] == len(vals)
+    assert s["vmin"] == min(vals)
+    assert s["vmax"] == max(vals)
+    if s["vsum"] is not None:
+        assert s["vsum"] == sum(vals)       # exact, unbounded Python int
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(I64MIN, I64MAX), max_size=60))
+def test_fuzz_timestamp_lane_full_range(xs):
+    """The timestamp lane is int64 epoch micros: the chunk layer must
+    round-trip any int64 payload bit-exactly (auto-selection included)."""
+    vals = np.array(xs, dtype=np.int64)
+    entry = encode_column("ts", "timestamp", vals)
+    out, validity = decode_column(entry)
+    assert validity is None
+    np.testing.assert_array_equal(np.asarray(out, np.int64), vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-(10 ** 18) + 1, 10 ** 18 - 1), max_size=60))
+def test_fuzz_decimal_lane_full_range(xs):
+    """decimal(18,s) unscaled lane over its full legal domain."""
+    vals = np.array(xs, dtype=np.int64)
+    entry = encode_column("p", "decimal(18,4)", vals)
+    out, validity = decode_column(entry)
+    assert validity is None
+    np.testing.assert_array_equal(np.asarray(out, np.int64), vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.one_of(st.none(),
+                                 st.integers(-(2 ** 31), 2 ** 31 - 1)),
+                       max_size=10)),
+    max_size=20))
+def test_fuzz_int_list_stats_lanes(xs):
+    """int_list element-level zone map over extreme int32 elements with
+    row- and element-level nulls."""
+    col = pa.array(xs, type=pa.list_(pa.int32()))
+    tbl = pa.table({"c": col})
+    data, validity = _extract(tbl, "c", "int_list")
+    s = _entry_stats("int_list", data, validity)
+    elems = [e for row in xs if row is not None
+             for e in row if e is not None]
+    n_null = sum(1 for row in xs if row is None) + \
+        sum(1 for row in xs if row is not None
+            for e in row if e is None)
+    assert s["null_count"] == n_null
+    if elems:
+        assert s["vmin"] == min(elems) and s["vmax"] == max(elems)
+        assert s["n_vals"] == len(elems)
+        if s["vsum"] is not None:
+            assert s["vsum"] == sum(elems)
+
+
+# ------------------------------------------------- full table path
+
+def test_encode_table_int64_extremes(spark):
+    """INT64_MIN/MAX columns through the COMPLETE distributed path:
+    encode_table (stats writers included) -> decode_table -> exact
+    rows, then scan_range with full-domain bounds (pruning arithmetic
+    must not wrap either)."""
+    from br_archive_spark.operators import decode_table, encode_table
+    from br_archive_spark.operators.decode import scan_range
+
+    rows = [
+        ("a", I64MIN, [0, -1]),
+        ("b", I64MAX, [I64MIN and -2, 2 ** 31 - 1, -(2 ** 31)]),
+        ("c", None, None),
+        ("d", 0, []),
+        ("e", I64MIN, [7]),
+        ("f", I64MAX - 1, [5, None, -5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, v long, tokens array<int>")
+    specs = [("doc_id", "string"), ("v", "int"), ("tokens", "int_list")]
+    enc = encode_table(df, specs=specs, num_parts=3).cache()
+    dec = decode_table(enc, specs=specs, with_n_tok=False)
+    got = sorted([tuple(r) for r in dec.collect()])
+    assert got == sorted(rows)
+    # zone-map pruning with extreme bounds: exact rows, no wrap
+    hit = scan_range(enc, "v", I64MIN, I64MIN, specs=specs,
+                     with_n_tok=False)
+    assert sorted(r.doc_id for r in hit.collect()) == ["a", "e"]
+    hit = scan_range(enc, "v", I64MAX - 1, I64MAX, specs=specs,
+                     with_n_tok=False)
+    assert sorted(r.doc_id for r in hit.collect()) == ["b", "f"]
+    hit = scan_range(enc, "v", I64MIN, I64MAX, specs=specs,
+                     with_n_tok=False)
+    assert hit.count() == 5                # null row excluded
+    enc.unpersist()
+
+
+def test_encode_table_temporal_extremes(spark):
+    """Legal-domain extremes of the date / timestamp / decimal lanes
+    through encode_table: year-1 and year-9999 timestamps, extreme
+    date32 days, max-magnitude decimal(18,0).
+
+    Rows are built and compared entirely JVM-side (SQL literals in,
+    canonical strings out): PySpark's driver-side datetime conversion
+    cannot represent year-1 instants in a non-UTC local zone, and that
+    limitation is Spark's, not the codec path under test."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            infer_specs)
+
+    df = spark.sql("""
+        SELECT * FROM VALUES
+          (1, DATE'0001-01-01', TIMESTAMP'0001-01-01 00:00:00',
+           CAST(999999999999999999 AS DECIMAL(18,0))),
+          (2, DATE'9999-12-31', TIMESTAMP'9999-12-31 23:59:59.999999',
+           CAST(-999999999999999999 AS DECIMAL(18,0))),
+          (3, CAST(NULL AS DATE), CAST(NULL AS TIMESTAMP),
+           CAST(NULL AS DECIMAL(18,0))),
+          (4, DATE'1970-01-01', TIMESTAMP'1970-01-01 00:00:00.000001',
+           CAST(0 AS DECIMAL(18,0)))
+          AS t(id, d, ts, p)
+    """)
+    specs = infer_specs(df)
+    dec = decode_table(encode_table(df, specs=specs, num_parts=2),
+                       specs=specs, with_n_tok=False)
+
+    def canon(frame):
+        from pyspark.sql import functions as F
+        rows = frame.select(
+            "id",
+            F.col("d").cast("string").alias("d"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.col("p").cast("string").alias("p"),
+        ).collect()
+        return sorted(tuple(r) for r in rows)
+
+    assert canon(dec) == canon(df)
+    exp = canon(df)
+    assert exp[0][1:] == ("0001-01-01", "0001-01-01 00:00:00.000000",
+                          "999999999999999999")

@@ -12,7 +12,7 @@ vectors to generated cases.
 
 import numpy as np
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from br_archive_spark.operators.chunk import decode_column, encode_column
@@ -59,6 +59,9 @@ def test_fuzz_binary_column(xs):
 @given(st.lists(st.one_of(st.none(),
                           st.integers(-(2 ** 63), 2 ** 63 - 1)),
                 max_size=40))
+@example(
+    xs=[-9_223_372_036_854_775_808, None, None],
+).via('discovered failure')
 def test_fuzz_int_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.int64()), "int")
 
