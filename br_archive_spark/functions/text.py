@@ -223,6 +223,13 @@ def perplexity_score(df, lm=None, tokens_col: str = "tokens",
 
     if lm is None:
         lm = token_histogram(df, tokens_col)
+    elif alpha <= 0:
+        # an external LM may miss corpus tokens; with alpha <= 0 the
+        # floor is -inf and the ANSI cast to long would throw a cryptic
+        # CAST_OVERFLOW deep inside the job — fail fast at call time
+        raise ValueError(
+            "perplexity_score: alpha must be > 0 with an external lm "
+            "(unseen tokens would floor at -inf)")
     tot_v = lm.agg(F.sum("freq").cast("double").alias("t"),
                    F.count(F.lit(1)).cast("double").alias("v")) \
         .collect()[0]

@@ -60,16 +60,21 @@ def _binary_views(arr: pa.Array) -> list:
     return [data[off[i]:off[i + 1]] for i in range(len(arr))]
 
 
-def _filtered_list(arr_type, keep_counts, flat_kept):
+def _filtered_list(arr_type, keep_counts, flat_kept, null_mask=None):
     """Rebuild a list array from per-row kept counts + filtered flat
     values, cast back to the input's exact list type (field names
-    must match for RecordBatch schema equality)."""
+    must match for RecordBatch schema equality). ``null_mask`` (bool
+    per row, True = null) re-applies the source array's validity —
+    without it a NULL list row would silently come back as an empty
+    list (ADVICE r4: ``column_stats`` round-trip)."""
     import numpy as np
 
     new_offs = np.concatenate(
         [[0], np.cumsum(keep_counts)]).astype(np.int64)
     lst = pa.LargeListArray.from_arrays(
-        pa.array(new_offs, pa.int64()), flat_kept)
+        pa.array(new_offs, pa.int64()), flat_kept,
+        mask=pa.array(np.asarray(null_mask, dtype=bool))
+        if null_mask is not None else None)
     return lst.cast(arr_type)
 
 
@@ -167,7 +172,8 @@ def drop_columns(encoded: DataFrame, cols: list[str]) -> DataFrame:
                 scum = np.concatenate([[0], np.cumsum(sk)])
                 s_kept = scum[soffs[1:]] - scum[soffs[:-1]]
                 repl["column_stats"] = _filtered_list(
-                    st_arr.type, s_kept, sflat.filter(skeep))
+                    st_arr.type, s_kept, sflat.filter(skeep),
+                    null_mask=np.asarray(pc.is_null(st_arr)))
             if "key_col" in names:
                 kc = batch.column(names.index("key_col"))
                 gone = np.asarray(pc.fill_null(
@@ -326,19 +332,28 @@ def add_column(encoded: DataFrame, values: DataFrame, name: str,
     atype = _arrow_type(kind)
     out_schema = joined.drop("_vals").schema
 
-    def _append_list(arr, new_flat, offs, perm_offs, perm):
+    def _append_list(arr, new_flat, offs, perm_offs, perm,
+                     null_mask=None):
         """Per row: the old elements then one appended element —
-        concat + take, buffer-level, cast back to the input type."""
+        concat + take, buffer-level, cast back to the input type.
+        ``null_mask`` re-applies the source rows' validity so a NULL
+        list row stays NULL (r3 to_pylist behavior) rather than
+        materializing as a one-entry list."""
+        import numpy as np
+
         combo = pa.concat_arrays(
             [arr.flatten().combine_chunks()
              if isinstance(arr.flatten(), pa.ChunkedArray)
              else arr.flatten(), new_flat])
         lst = pa.LargeListArray.from_arrays(
-            pa.array(perm_offs, pa.int64()), combo.take(perm))
+            pa.array(perm_offs, pa.int64()), combo.take(perm),
+            mask=pa.array(np.asarray(null_mask, dtype=bool))
+            if null_mask is not None else None)
         return lst.cast(arr.type)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
+        import pyarrow.compute as pc
 
         for batch in batches:
             n = batch.num_rows
@@ -421,7 +436,8 @@ def add_column(encoded: DataFrame, values: DataFrame, name: str,
                 new_stats = pa.array(
                     stats_rows, type=st_arr.type.value_type)
                 repl["column_stats"] = _append_list(
-                    st_arr, new_stats, *_stats_perm(st_arr, n))
+                    st_arr, new_stats, *_stats_perm(st_arr, n),
+                    null_mask=np.asarray(pc.is_null(st_arr)))
             arrays = [repl.get(f, batch.column(i))
                       for i, f in enumerate(names) if f != "_vals"]
             keep = pa.schema([f for f in batch.schema
@@ -882,7 +898,13 @@ def delete_where(encoded: DataFrame, column: str, lo, hi,
         have_stats = _has_float_stats(encoded)
         disjoint = _fstats_disjoint(column, lo, hi)
     elif _int_kind(kind) and kind != "int_list":
-        lo, hi = int(lo), int(hi)
+        import math
+
+        # snap INWARD so the effective integer band is always
+        # contained in the requested band — int() truncates toward
+        # zero, which WIDENS a negative fractional bound (hi=-3.7 ->
+        # -3 would delete value -3 the caller asked to keep)
+        lo, hi = math.ceil(lo), math.floor(hi)
         have_stats = _has_numeric_stats(encoded)
         disjoint = _stats_disjoint(column, lo, hi)
     else:

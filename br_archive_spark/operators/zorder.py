@@ -61,7 +61,12 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
     aggs = []
     for c in cols:
         d = F.col(c).cast("double")
-        aggs += [F.min(d).alias(f"_lo_{c}"), F.max(d).alias(f"_hi_{c}")]
+        # bounds over FINITE values only: a NaN max (Spark ranks NaN
+        # above everything) or an Inf bound would poison the span and
+        # collapse every row's rank
+        fin = F.when(~F.isnan(d) & (F.abs(d) != F.lit(float("inf"))), d)
+        aggs += [F.min(fin).alias(f"_lo_{c}"),
+                 F.max(fin).alias(f"_hi_{c}")]
     b = df.agg(*aggs).first()
     parts = []
     top = (1 << bits) - 1
@@ -71,14 +76,17 @@ def zorder_key(df: DataFrame, cols: list[str]) -> Column:
             rank = F.lit(0).cast("long")
         else:
             d = F.col(c).cast("double")
-            rank = F.least(
-                F.lit(top),
-                F.greatest(F.lit(0), ((d - F.lit(float(lo)))
-                                      / F.lit(float(hi - lo))
-                                      * F.lit(float(top)))
-                           .cast("long")))
-        # NULL -> 0 (low corner), NaN -> top (casts saturate via
-        # greatest/least; nan comparisons fall to the null arm)
+            scaled = ((d - F.lit(float(lo))) / F.lit(float(hi - lo))
+                      * F.lit(float(top)))
+            # clamp in the DOUBLE domain, THEN cast: under ANSI mode
+            # (this repo's default) casting NaN/Inf to long throws
+            # CAST_OVERFLOW, so the clamp must precede the cast. NaN
+            # ranks top explicitly; +/-Inf saturate via the clamp
+            # (bounds above are finite, so scaled is +/-Inf there).
+            rank = F.when(F.isnan(d), F.lit(top).cast("long")).otherwise(
+                F.least(F.lit(float(top)),
+                        F.greatest(F.lit(0.0), scaled)).cast("long"))
+        # NULL -> 0 (low corner); NaN -> top
         rank = F.coalesce(rank, F.lit(0).cast("long"))
         parts.append(F.shiftleft(_spread(rank, table), i))
     z = parts[0]

@@ -58,6 +58,39 @@ def stream_changes(spark: SparkSession, table_dir: str, output_dir: str,
                   .option("pathGlobFilter", "[0-9]*-*.parquet")
                   .parquet(os.path.join(table_dir, "_log")))
 
+    _legacy: dict = {}
+
+    def _legacy_seqs(sess) -> set:
+        # upgrade shim (ADVICE r4): outputs written by the
+        # pre-seq-partitioned release sit as flat parquet files
+        # directly in output_dir, so the seq= directory probe alone
+        # would re-emit every historical commit on restart. Read the
+        # old files' seqs ONCE per stream (cached) and treat them as
+        # done; fresh sinks pay a single directory listing.
+        if "seqs" not in _legacy:
+            from pyarrow.fs import FileSelector, FileType
+
+            from ..operators.fsutil import resolve_fs
+
+            fs, rel = resolve_fs(output_dir)
+            try:
+                infos = fs.get_file_info(
+                    FileSelector(rel, recursive=False))
+            except FileNotFoundError:
+                infos = []
+            flat = [i.base_name for i in infos
+                    if i.type == FileType.File
+                    and i.base_name.endswith(".parquet")]
+            if flat:
+                old = sess.read.parquet(
+                    *[f"{output_dir}/{b}" for b in flat])
+                _legacy["seqs"] = {int(r["seq"]) for r in
+                                   old.select("seq").distinct()
+                                   .collect()}
+            else:
+                _legacy["seqs"] = set()
+        return _legacy["seqs"]
+
     def _seq_done(seq: int) -> bool:
         # the sink is partitioned by seq, so "already emitted" is one
         # directory stat — per-batch work scales with the batch's NEW
@@ -81,7 +114,8 @@ def stream_changes(spark: SparkSession, table_dir: str, output_dir: str,
             # local-fs loser never appends, this guards non-local
             # logs); also skip seqs a replayed micro-batch already
             # emitted
-            if r["seq"] in seen_seq or _seq_done(r["seq"]):
+            if r["seq"] in seen_seq or r["seq"] in _legacy_seqs(sess) \
+                    or _seq_done(r["seq"]):
                 continue
             seen_seq.add(r["seq"])
             if not r["parent_id"]:

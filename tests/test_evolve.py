@@ -532,3 +532,71 @@ def test_cli_evolve_delete_where(spark, tmp_path, capsys):
                        with_n_tok=False, verify_checksums=True)
     assert dec.count() == 500
     assert dec.where(F.col("v").between(250, 749)).count() == 0
+
+
+def test_null_column_stats_stay_null(spark, encoded):
+    """ADVICE r4 regression: the Arrow-native rewrites rebuilt list
+    columns without a validity bitmap, so a chunk whose column_stats
+    was NULL came out of drop_columns as an empty list and out of
+    add_column as a one-entry list. NULL rows must stay NULL (the r3
+    behavior), non-null rows must evolve normally, and decode must
+    still checksum-verify."""
+    from br_archive_spark.operators import add_column
+
+    src, specs, enc = encoded
+    nulled = enc.withColumn(
+        "column_stats",
+        F.when(F.col("part_id") % 2 == 0,
+               F.col("column_stats"))).cache()
+    null_ids = {r["chunk_id"] for r in
+                nulled.where(F.col("column_stats").isNull())
+                .select("chunk_id").collect()}
+    assert null_ids and len(null_ids) < nulled.count()
+
+    dropped = drop_columns(nulled, ["text"])
+    for r in dropped.select("chunk_id", "column_stats").collect():
+        if r["chunk_id"] in null_ids:
+            assert r["column_stats"] is None
+        else:
+            assert r["column_stats"] is not None
+            assert all(e["name"] != "text" for e in r["column_stats"])
+
+    vals = src.select("doc_id", (F.col("v") * 3).alias("s2"))
+    added = add_column(nulled, vals, "s2", "int", key="doc_id")
+    for r in added.select("chunk_id", "column_stats").collect():
+        if r["chunk_id"] in null_ids:
+            assert r["column_stats"] is None
+        else:
+            assert any(e["name"] == "s2" for e in r["column_stats"])
+    dec = decode_table(added, specs=specs + [("s2", "int")],
+                       with_n_tok=False, verify_checksums=True)
+    assert dec.count() == src.count()
+    nulled.unpersist()
+
+
+def test_delete_where_fractional_bounds_contained(spark):
+    """ADVICE r4 regression: int(lo)/int(hi) truncate toward zero,
+    which WIDENED a negative fractional band — hi=-3.7 became -3 and
+    deleted rows the request excluded. Fractional bounds must snap
+    inward (ceil(lo), floor(hi)); an all-fractional band containing
+    no integer deletes nothing."""
+    from br_archive_spark.operators import (decode_table, delete_where,
+                                            encode_table, infer_specs)
+
+    df = spark.range(-10, 11).select(
+        F.format_string("doc%03d", F.col("id") + 10).alias("doc_id"),
+        F.col("id").alias("v"))
+    specs = infer_specs(df)
+    enc = encode_table(df.repartitionByRange(3, "v")
+                       .sortWithinPartitions("v"),
+                       specs=specs, mode="scan", target_values=6).cache()
+
+    out = delete_where(enc, "v", -4.5, -3.7, specs=specs)
+    dec = decode_table(out, specs=specs, with_n_tok=False)
+    kept = sorted(r["v"] for r in dec.collect())
+    assert kept == [v for v in range(-10, 11) if v != -4]  # -3 SURVIVES
+
+    noop = delete_where(enc, "v", 2.2, 2.8, specs=specs)
+    dec2 = decode_table(noop, specs=specs, with_n_tok=False)
+    assert sorted(r["v"] for r in dec2.collect()) == list(range(-10, 11))
+    enc.unpersist()

@@ -391,6 +391,11 @@ def test_perplexity_score_external_lm_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # ADVICE r4: alpha <= 0 with an external lm floors unseen tokens
+    # at -inf and the ANSI long cast would blow up mid-job — must
+    # fail fast at call time instead
+    with pytest.raises(ValueError, match="alpha must be > 0"):
+        perplexity_score(df, lm=lm, alpha=0.0)
 
 
 def test_ivf_topk_recall_and_candidates(spark, emb_corpus):

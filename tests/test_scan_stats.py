@@ -697,3 +697,38 @@ def test_zorder_key_properties(spark):
     assert all(r["z"] >= 0 for r in z3)
     with pytest.raises(ValueError, match="2 or 3"):
         zorder_key(df, ["a"])
+
+
+def test_zorder_nan_inf_nulls(spark):
+    """r5 regression (ADVICE r4): under ANSI mode the old
+    cast-then-clamp order threw CAST_OVERFLOW on any NaN or +/-Inf
+    double, killing the whole zorder job. Non-finite rows must rank
+    deterministically instead (NaN/+Inf at the top corner, -Inf/NULL
+    at the low corner), bounds must come from finite values only, and
+    zorder_cluster must preserve the full row set."""
+    from br_archive_spark.operators.zorder import zorder_cluster, zorder_key
+
+    rows = [(1, 10.0, 5.0), (2, float("nan"), 6.0),
+            (3, float("inf"), 7.0), (4, float("-inf"), 8.0),
+            (5, None, 9.0), (6, 20.0, float("nan")),
+            (7, 15.0, None)] + [(10 + i, float(i), float(i * 2))
+                                for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    got = {r["id"]: r["z"] for r in
+           df.select("id", zorder_key(df, ["a", "b"]).alias("z"))
+           .collect()}
+    assert len(got) == len(rows) and all(z >= 0 for z in got.values())
+    # isolate axis a (constant b collapses its rank to 0): NaN and
+    # +Inf must saturate to exactly the finite-max rank, -Inf and
+    # NULL to the finite-min rank
+    iso = df.withColumn("b", F.lit(0.0))
+    ga = {r["id"]: r["z"] for r in
+          iso.select("id", zorder_key(iso, ["a", "b"]).alias("z"))
+          .collect()}
+    top_a, lo_a = ga[10 + 39], ga[10 + 0]   # finite max a=39, min a=0
+    assert ga[2] == top_a and ga[3] == top_a    # NaN, +Inf -> top
+    assert ga[4] == lo_a and ga[5] == lo_a      # -Inf, NULL -> low
+    # full clustering pass survives and loses no rows
+    zed = zorder_cluster(df, ["a", "b"], 4)
+    assert sorted(r["id"] for r in zed.select("id").collect()) == \
+        sorted(r for r, *_ in rows)

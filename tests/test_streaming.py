@@ -151,3 +151,57 @@ def test_stream_changes_follows_commit_log(spark, tmp_path):
     new = {(r["doc_id"], r["text"], r["op"])
            for r in feed2.where(F.col("seq") == 3).collect()}
     assert new == {("8", "b-8", "del"), ("8", "V3", "add")}
+
+
+def test_stream_changes_legacy_unpartitioned_sink(spark, tmp_path):
+    """Upgrade shim (ADVICE r4): a sink written by the old
+    UNPARTITIONED release holds flat parquet files with no seq=
+    directories. A restarted stream must read those files' seqs once
+    and skip them — not re-emit every historical commit as duplicate
+    rows next to the old ones."""
+    from br_archive_spark.operators import (commit_snapshot,
+                                            encode_table, load_snapshot,
+                                            upsert_rows)
+    from br_archive_spark.streaming import stream_changes
+
+    SPECS = [("doc_id", "string"), ("text", "string")]
+    d = str(tmp_path / "tbl")
+    out = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    src = spark.range(100).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("b-"), "id").alias("text"))
+    enc = encode_table(src, specs=SPECS, mode="range", key="doc_id",
+                       num_parts=1, target_values=64)
+    commit_snapshot(enc, d, op="encode")
+    man2 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("7", "V2")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    commit_snapshot(man2, d, op="upsert")
+
+    # fake the OLD release's output for seq 2: flat files, seq a
+    # plain column, directly in output_dir
+    legacy = spark.createDataFrame(
+        [("7", "b-7", "del", 2, "x"), ("7", "V2", "add", 2, "x")],
+        "doc_id string, text string, op string, seq long, "
+        "snapshot_id string")
+    legacy.coalesce(1).write.mode("overwrite").parquet(out)
+
+    man3 = upsert_rows(
+        load_snapshot(spark, d),
+        spark.createDataFrame([("8", "V3")],
+                              "doc_id string, text string"),
+        key="doc_id", specs=SPECS, num_parts=1)
+    commit_snapshot(man3, d, op="upsert")
+
+    q = stream_changes(spark, d, out, ckpt, specs=SPECS)
+    q.awaitTermination(120)
+    import os as _os
+    new_dirs = sorted(p for p in _os.listdir(out)
+                      if p.startswith("seq="))
+    assert new_dirs == ["seq=3"]            # seq 2 NOT re-emitted
+    new = {(r["doc_id"], r["text"], r["op"]) for r in
+           spark.read.parquet(f"{out}/seq=3").collect()}
+    assert new == {("8", "b-8", "del"), ("8", "V3", "add")}
