@@ -573,6 +573,35 @@ def q_float_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_cents"))
 
 
+def q_string_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String zone maps (r5): string columns record per-chunk
+    truncate(16) smin/smax bounds in ``column_stats`` (Iceberg's
+    truncated lower/upper-bound trick) and ``scan_range`` prunes
+    chunks whose bounds prove the band empty before any payload
+    decode — the reference's skip-without-decode
+    (src/io/lib_bra_io_file_ctx.c:596-602) extended from the single
+    key column to EVERY string column. c_name is 18 chars, longer
+    than the 16-char truncation, so this exercises the loose-bound
+    edge: smax is the bumped prefix and the residual filter owns
+    exactness."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            scan_range)
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    clustered = (cust.repartitionByRange(8, "c_name")
+                 .sortWithinPartitions("c_name"))
+    specs = infer_specs(clustered)
+    enc = encode_table(clustered, specs=specs, mode="scan",
+                       target_values=1 << 10)
+    out = scan_range(enc, "c_name",
+                     "Customer#000000100", "Customer#000000499",
+                     specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_mktsegment")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1488,19 +1517,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so the driver's ~50-query correctness window covers the
-    entries with the LEAST prior driver evidence first (VERDICT r3
-    next-steps #1): the five never-driver-checked queries and the six
-    rotated out of the r3 window lead; long-green relational veterans
-    (3 rounds of exact-oracle passes, r1-r3) sit at the tail."""
+    """Two-round rotation policy (VERDICT r4 next-steps #3): the
+    driver's ~50-query window covers entries with the LEAST recent
+    driver evidence first, keeping the invariant "every registry
+    entry has a green row within the last 2 rounds". Order: new-in-r5
+    queries, then the 24 entries rotated OUT of the r4 window (green
+    r1-r3 but unchecked against the r4/r5 HEAD), then the 50
+    r4-checked entries (all exact-green in CORRECTNESS_r04)."""
     return {
-        # --- never driver-checked before r4 ---
+        # --- new in r5 ---
+        "string_range_scan": q_string_range_scan,
+        # --- rotated out of the r4 window (green r1-r3) ---
+        "compression_stats": q_compression_stats,
+        "quality_filter_by_lang": q_quality_filter_by_lang,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "order_rank_window": q_order_rank_window,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_md5": q_simhash_pairs_md5,
+        "orders_rollup": q_orders_rollup,
+        "customers_without_orders": q_customers_without_orders,
+        "heavy_parts_set_ops": q_heavy_parts_set_ops,
+        "above_avg_orders": q_above_avg_orders,
+        "events_hourly": q_events_hourly,
+        "part_supplier_agg": q_part_supplier_agg,
+        "small_qty_revenue": q_small_qty_revenue,
+        "heavy_suppliers_semi": q_heavy_suppliers_semi,
+        "events_pivot": q_events_pivot,
+        "events_moving_sum": q_events_moving_sum,
+        "order_price_percentiles": q_order_price_percentiles,
+        # --- r4-window entries (all exact-green in r4) ---
         "knn_lsh_md5": q_knn_lsh_md5,
         "embedding_neardup_lsh_md5": q_embedding_neardup_lsh_md5,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "token_histogram": q_token_histogram,
-        # --- rotated out of the r3 window ---
         "jaccard_pairs": q_jaccard_pairs,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1548,31 +1605,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "fsst_row_lookup": q_fsst_row_lookup,
         "events_sessions": q_events_sessions,
-        "compression_stats": q_compression_stats,
-        "quality_filter_by_lang": q_quality_filter_by_lang,
-        "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
-        "order_rank_window": q_order_rank_window,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "minhash_pairs": q_minhash_pairs,
-        "minhash_pairs_md5": q_minhash_pairs_md5,
-        "simhash_pairs": q_simhash_pairs,
-        "simhash_pairs_md5": q_simhash_pairs_md5,
-        # --- long-green veterans (exact-oracle passes r1+r2+r3) ---
-        "orders_rollup": q_orders_rollup,
-        "customers_without_orders": q_customers_without_orders,
-        "heavy_parts_set_ops": q_heavy_parts_set_ops,
-        "above_avg_orders": q_above_avg_orders,
-        "events_hourly": q_events_hourly,
-        "part_supplier_agg": q_part_supplier_agg,
-        "small_qty_revenue": q_small_qty_revenue,
-        "heavy_suppliers_semi": q_heavy_suppliers_semi,
-        "events_pivot": q_events_pivot,
-        "events_moving_sum": q_events_moving_sum,
-        "order_price_percentiles": q_order_price_percentiles,
     }
 
 
@@ -1914,6 +1946,13 @@ def oracle_sql() -> dict[str, str]:
                        AS price_cents
             FROM orders
             WHERE o_totalprice BETWEEN 50000.0 AND 80000.0
+        """,
+        "string_range_scan": """
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   c_name, c_mktsegment
+            FROM customer
+            WHERE c_name BETWEEN 'Customer#000000100'
+                             AND 'Customer#000000499'
         """,
         "zorder_scan": """
             SELECT o_orderkey, o_custkey,

@@ -420,18 +420,24 @@ def cmd_scan(args) -> int:
     the column's codec-lane unit (cents for decimal(.,2), days for
     date, epoch micros for timestamp). Specs come from the manifest
     itself (``manifest_specs``); prints prune stats + matching rows."""
-    from .operators.decode import (_fstats_disjoint, _stats_disjoint,
-                                   manifest_specs, scan_range)
+    from .operators.decode import (_fstats_disjoint, _sstats_disjoint,
+                                   _stats_disjoint, manifest_specs,
+                                   scan_range)
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     specs = manifest_specs(man)
-    is_float = dict(specs).get(args.column) == "float"
-    lo = args.lo if is_float else int(args.lo)
-    hi = args.hi if is_float else int(args.hi)
+    kind = dict(specs).get(args.column)
+    if kind == "float":
+        lo, hi = float(args.lo), float(args.hi)
+        disjoint = _fstats_disjoint(args.column, lo, hi)
+    elif kind == "string":
+        lo, hi = str(args.lo), str(args.hi)
+        disjoint = _sstats_disjoint(args.column, lo, hi)
+    else:
+        lo, hi = int(float(args.lo)), int(float(args.hi))
+        disjoint = _stats_disjoint(args.column, lo, hi)
     total = man.count()
-    disjoint = (_fstats_disjoint(args.column, lo, hi) if is_float
-                else _stats_disjoint(args.column, lo, hi))
     surviving = man.where(~disjoint).count()
     rows = scan_range(man, args.column, lo, hi, specs=specs,
                       with_n_tok=False,
@@ -751,13 +757,15 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("scan",
-                       help="zone-map-pruned numeric range scan")
+                       help="zone-map-pruned range scan "
+                            "(numeric, float, or string columns)")
     p.add_argument("input")
     p.add_argument("--column", required=True)
-    p.add_argument("--lo", type=float, required=True,
+    p.add_argument("--lo", required=True,
                    help="lower bound, codec-lane units (cents/days/us; "
-                        "raw doubles for float columns)")
-    p.add_argument("--hi", type=float, required=True)
+                        "raw doubles for float columns; raw strings "
+                        "for string columns)")
+    p.add_argument("--hi", required=True)
     p.add_argument("--show", type=int, default=0, metavar="N",
                    help="include N sample rows in the output")
     p.add_argument("--global-dict", default=None)

@@ -394,6 +394,35 @@ def _fstats_disjoint(column: str, lo: float, hi: float):
            | (s["fmax"] < F.lit(float(lo)))))
 
 
+def _has_string_stats(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r5 string lanes
+    (``smin``/``smax``) — older manifests degrade to no string
+    pruning."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "smin" in elem.fieldNames()
+
+
+def _sstats_disjoint(column: str, lo: str, hi: str):
+    """String twin of :func:`_stats_disjoint` over the truncate(16)
+    bounds. ``smin`` is a (possibly loose) LOWER bound and ``smax`` an
+    UPPER bound or null for "unbounded above" (encode-side
+    ``_trunc_upper`` found no incrementable codepoint) — so the two
+    prune arms gate independently: ``smin > hi`` always proves
+    disjointness; ``smax < lo`` only when smax is present. Both
+    comparisons are binary-collation string compares, the same total
+    order the bounds were computed in (UTF-8 bytes == codepoints)."""
+    from pyspark.sql import functions as F
+
+    return F.exists(
+        "column_stats",
+        lambda s: (s["name"] == F.lit(column))
+        & s["smin"].isNotNull()
+        & ((s["smin"] > F.lit(hi))
+           | (s["smax"].isNotNull() & (s["smax"] < F.lit(lo)))))
+
+
 def _int_view(column: str, kind: str):
     """The decoded column re-expressed in its codec-lane integer unit
     (the unit ``column_stats`` bounds are recorded in): days for date,
@@ -461,6 +490,8 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
         raise ValueError(f"scan_range: {column!r} not in encode specs")
     if kind == "float":
         band = (column, float(lo), float(hi))
+    elif kind == "string":
+        band = (column, str(lo), str(hi))
     else:
         band = (column, int(lo), int(hi))
     return scan_where(encoded, [band],
@@ -509,6 +540,11 @@ def scan_where(encoded: DataFrame,
                 raise ValueError(
                     f"scan_where: NaN bound on {column!r} — float "
                     "range predicates exclude NaN by definition")
+        elif kind == "string":
+            if not isinstance(lo, str) or not isinstance(hi, str):
+                raise ValueError(
+                    f"scan_where: string column {column!r} takes "
+                    "string bounds")
         elif not _int_kind(kind) or kind == "int_list":
             hint = (" (list kinds have no scalar row value to filter)"
                     if kind in ("int_list",) or _float_kind(kind)
@@ -527,12 +563,17 @@ def scan_where(encoded: DataFrame,
         dec_specs = [s for s in specs if s[0] in need]
     has_int = _has_numeric_stats(encoded)
     has_f = _has_float_stats(encoded)
+    has_s = _has_string_stats(encoded)
     drop = None
     for column, lo, hi in bands:
         if kinds[column] == "float":
             if not has_f:
                 continue            # pre-r4 manifest: no float pruning
             d = _fstats_disjoint(column, float(lo), float(hi))
+        elif kinds[column] == "string":
+            if not has_s:
+                continue            # pre-r5 manifest: no string pruning
+            d = _sstats_disjoint(column, str(lo), str(hi))
         else:
             if not has_int:
                 continue
@@ -545,6 +586,8 @@ def scan_where(encoded: DataFrame,
     for column, lo, hi in bands:
         if kinds[column] == "float":
             c = F.col(column).between(float(lo), float(hi))
+        elif kinds[column] == "string":
+            c = F.col(column).between(str(lo), str(hi))
         else:
             c = _int_view(column, kinds[column]).between(int(lo),
                                                          int(hi))
@@ -585,16 +628,23 @@ def scan_range_files(spark, manifest_path: str, column: str,
     from .encode import TOKEN_SPECS as _TS
 
     man = spark.read.parquet(manifest_path)
-    is_float = dict(specs or _TS).get(column) == "float"
-    if (not is_float and not _has_numeric_stats(man)) \
-            or (is_float and not _has_float_stats(man)):
+    kind = dict(specs or _TS).get(column)
+    is_float, is_str = kind == "float", kind == "string"
+    if (is_float and not _has_float_stats(man)) \
+            or (is_str and not _has_string_stats(man)) \
+            or (not is_float and not is_str
+                and not _has_numeric_stats(man)):
         # pre-stats manifest: no file skipping possible; fall through
         # to the (prune-free) chunk scan rather than miss rows
         return scan_range(man, column, lo, hi, specs=specs,
                           with_n_tok=with_n_tok,
                           global_dict=global_dict)
-    disjoint = (_fstats_disjoint(column, float(lo), float(hi))
-                if is_float else _stats_disjoint(column, lo, hi))
+    if is_float:
+        disjoint = _fstats_disjoint(column, float(lo), float(hi))
+    elif is_str:
+        disjoint = _sstats_disjoint(column, str(lo), str(hi))
+    else:
+        disjoint = _stats_disjoint(column, lo, hi)
     phase1 = (man.withColumn("_f", F.input_file_name())
               .where(~disjoint)
               .select("_f").distinct())
@@ -645,6 +695,7 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         F.filter("column_stats",
                  lambda c: c["name"] == F.lit(column)), 1)
     has_f = _has_float_stats(encoded)
+    has_s = _has_string_stats(encoded)
     per = encoded.select(
         s["vmin"].alias("c_vmin"), s["vmax"].alias("c_vmax"),
         s["vsum"].alias("c_vsum"), s["n_vals"].alias("c_n"),
@@ -652,7 +703,11 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         (s["fmin"] if has_f
          else F.lit(None).cast("double")).alias("c_fmin"),
         (s["fmax"] if has_f
-         else F.lit(None).cast("double")).alias("c_fmax"))
+         else F.lit(None).cast("double")).alias("c_fmax"),
+        (s["smin"] if has_s
+         else F.lit(None).cast("string")).alias("c_smin"),
+        (s["smax"] if has_s
+         else F.lit(None).cast("string")).alias("c_smax"))
     # a chunk whose stats are unusable (missing entry, or values
     # present but no exact sum) poisons only the lanes it cannot serve
     bad_sum = F.max(F.when(F.col("c_vsum").isNull()
@@ -675,7 +730,16 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         # null elsewhere — NaN-free by construction (encode excludes
         # NaN from fmin/fmax), so min/max over chunks stay exact
         F.min("c_fmin").alias("fmin"),
-        F.max("c_fmax").alias("fmax"))
+        F.max("c_fmax").alias("fmax"),
+        # string lanes (r5): truncate(16) BOUNDS, not exact extremes —
+        # smin <= true min and smax >= true max (containment, not
+        # equality). smax comes back null ("unbounded above") if any
+        # chunk with values recorded no upper bound.
+        F.min("c_smin").alias("smin"),
+        F.when(F.max(F.when(F.col("c_smax").isNull()
+                            & F.col("c_smin").isNotNull(), 1)
+                     .otherwise(0)) == 1, None)
+        .otherwise(F.max("c_smax")).alias("smax"))
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],

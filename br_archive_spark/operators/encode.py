@@ -100,6 +100,15 @@ MANIFEST_SCHEMA = pa.schema([
     # never match NaN, so bounds over comparable values stay exact).
     # Null on int-backed/string kinds and all-null/all-NaN chunks —
     # same never-prune-on-null rule as vmin/vmax.
+    # smin/smax: string zone map (r5) — Iceberg-style truncate(16)
+    # bounds over the non-null values of string kinds. smin is a
+    # 16-char prefix of the true min (a valid LOWER bound: a prefix
+    # never sorts above the string it prefixes); smax is the true max
+    # when short, else its 16-char prefix with the last incrementable
+    # codepoint bumped (a valid UPPER bound) — or null when no such
+    # codepoint exists (all at U+10FFFF), meaning "unbounded above":
+    # consumers may still prune on smin alone. Null smin on non-string
+    # kinds and all-null chunks — the usual never-prune-on-null rule.
     ("column_stats", pa.list_(pa.struct([
         ("name", pa.string()),
         ("kind", pa.string()),
@@ -113,6 +122,8 @@ MANIFEST_SCHEMA = pa.schema([
         ("null_count", pa.int64()),
         ("fmin", pa.float64()),
         ("fmax", pa.float64()),
+        ("smin", pa.string()),
+        ("smax", pa.string()),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -141,7 +152,7 @@ MANIFEST_SPARK_SCHEMA = (
     "column_stats array<struct<name:string,kind:string,codec:string,"
     "orig_bytes:long,enc_bytes:long,"
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
-    "fmin:double,fmax:double>>, "
+    "fmin:double,fmax:double,smin:string,smax:string>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -348,6 +359,35 @@ def _float_kind(kind: str) -> bool:
     return kind in ("float", "float_list", "double_list")
 
 
+_STR_TRUNC = 16
+
+
+def _trunc_lower(s: str) -> str:
+    """Iceberg ``truncate(16)`` lower bound: a prefix never sorts
+    above the string it prefixes, so the 16-char prefix of the true
+    min is a valid (possibly loose) lower bound."""
+    return s[:_STR_TRUNC]
+
+
+def _trunc_upper(s: str):
+    """Iceberg-style upper bound: the string itself when short;
+    otherwise its 16-char prefix with the LAST incrementable codepoint
+    bumped (trailing U+10FFFF chars dropped), which sorts >= every
+    string sharing the prefix. None when no codepoint can be bumped —
+    "unbounded above", consumers must not prune on the upper side."""
+    if len(s) <= _STR_TRUNC:
+        return s
+    cps = [ord(c) for c in s[:_STR_TRUNC]]
+    for i in reversed(range(len(cps))):
+        nxt = cps[i] + 1
+        if nxt > 0x10FFFF:
+            continue
+        if 0xD800 <= nxt <= 0xDFFF:     # skip the surrogate gap
+            nxt = 0xE000
+        return "".join(chr(x) for x in cps[:i]) + chr(nxt)
+    return None
+
+
 def _entry_stats(kind: str, data, validity) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
     ``{vmin, vmax, vsum, null_count}``.
@@ -421,7 +461,39 @@ def _entry_stats(kind: str, data, validity) -> dict:
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(fvals), "null_count": null_count,
                 "fmin": float(finite.min()) if len(finite) else None,
-                "fmax": float(finite.max()) if len(finite) else None}
+                "fmax": float(finite.max()) if len(finite) else None,
+                "smin": None, "smax": None}
+    elif kind == "string":
+        # string zone map (r5): truncate(16) bounds, Iceberg
+        # semantics — smin a prefix of the true min (lower bound),
+        # smax the true max or its bumped prefix (upper bound, null =
+        # unbounded above). min/max runs vectorized on a zero-copy
+        # rebuild of the Arrow array; UTF-8 byte order equals
+        # codepoint order, so Python/Spark/Arrow comparisons agree.
+        blob, offs = data
+        n = len(offs) - 1
+        row_valid = validity[0] if validity is not None else None
+        if row_valid is not None:
+            null_count += int((~row_valid).sum())
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(), n,
+            [None, pa.py_buffer(np.ascontiguousarray(offs)),
+             pa.py_buffer(blob)])
+        if row_valid is not None:
+            arr = arr.filter(pa.array(row_valid))
+        if len(arr) == 0:
+            return {"vmin": None, "vmax": None, "vsum": None,
+                    "n_vals": 0, "null_count": null_count,
+                    "fmin": None, "fmax": None,
+                    "smin": None, "smax": None}
+        import pyarrow.compute as pc
+
+        mm = pc.min_max(arr)
+        return {"vmin": None, "vmax": None, "vsum": None,
+                "n_vals": len(arr), "null_count": null_count,
+                "fmin": None, "fmax": None,
+                "smin": _trunc_lower(mm["min"].as_py()),
+                "smax": _trunc_upper(mm["max"].as_py())}
     else:
         if validity is not None:
             for v in validity:
@@ -429,11 +501,11 @@ def _entry_stats(kind: str, data, validity) -> dict:
                     null_count += int((~v).sum())
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
-                "fmin": None, "fmax": None}
+                "fmin": None, "fmax": None, "smin": None, "smax": None}
     if len(vals) == 0:
         return {"vmin": None, "vmax": None, "vsum": 0,
                 "n_vals": 0, "null_count": null_count,
-                "fmin": None, "fmax": None}
+                "fmin": None, "fmax": None, "smin": None, "smax": None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
@@ -442,7 +514,7 @@ def _entry_stats(kind: str, data, validity) -> dict:
         vsum = None
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
-            "fmin": None, "fmax": None}
+            "fmin": None, "fmax": None, "smin": None, "smax": None}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],

@@ -131,6 +131,11 @@ def verify_stats(encoded: DataFrame,
             all_ok &= ok
             out[name] = col
             continue
+        if kind == "string":
+            col, ok = _verify_string_lanes(encoded, dec, name)
+            all_ok &= ok
+            out[name] = col
+            continue
         if not _int_kind(kind):
             continue
         extra_nulls = 0
@@ -173,6 +178,40 @@ def verify_stats(encoded: DataFrame,
         all_ok &= ok
         out[name] = col
     return {"ok": bool(all_ok), "columns": out}
+
+
+def _verify_string_lanes(encoded, dec, name: str):
+    """String-lane cross-check (r5): smin/smax are truncate(16)
+    BOUNDS, so the contract is CONTAINMENT, not equality — the
+    manifest's smin must sort <= the decoded min and its smax (when
+    present; null = declared unbounded above) >= the decoded max.
+    Count lanes stay exact."""
+    from pyspark.sql import functions as F
+
+    from .decode import _has_string_stats, agg_encoded
+
+    if not _has_string_stats(encoded):
+        return {"ok": True, "skipped": "manifest predates string "
+                "stats (no smin/smax lanes)"}, True
+    truth = dec.agg(
+        F.count(name).alias("n_values"),
+        F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+        .alias("n_nulls"),
+        F.min(name).alias("smin"), F.max(name).alias("smax")
+    ).collect()[0]
+    man = agg_encoded(encoded, name).collect()[0]
+    col, ok = {}, True
+    for lane_name in ("n_values", "n_nulls"):
+        m, t = man[lane_name], truth[lane_name] or 0
+        col[lane_name] = {"manifest": m, "decoded": t}
+        ok &= m == t
+    col["smin"] = {"manifest": man["smin"], "decoded": truth["smin"]}
+    col["smax"] = {"manifest": man["smax"], "decoded": truth["smax"]}
+    if truth["n_values"]:
+        ok &= man["smin"] is not None and man["smin"] <= truth["smin"]
+        ok &= man["smax"] is None or man["smax"] >= truth["smax"]
+    col["ok"] = ok
+    return col, ok
 
 
 def _verify_float_lanes(encoded, dec, name: str, kind: str):

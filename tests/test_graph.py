@@ -58,3 +58,34 @@ def test_cc_every_node_labeled_once(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     out = connected_components(df, "a", "b").collect()
     assert len(out) == len({r["node"] for r in out}) == 5
+
+
+def test_cc_digest_convergence_check(spark):
+    """The r5 convergence check: an order-independent set digest
+    (count + bit_xor(xxhash64)) — NOT a per-round double exceptAll.
+    The digest must be row-order invariant, partitioning invariant,
+    and discriminate differing sets; the whole check is one aggregate
+    job (≤2 with AQE shuffle materialization), where each old
+    exceptAll anti-join cost a full shuffle of the edge set."""
+    from br_archive_spark.functions.graph import _edge_digest
+
+    a = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 9)], "u long, v long")
+    b = spark.createDataFrame(                 # same set, other order
+        [(5, 9), (1, 2), (2, 3)], "u long, v long").repartition(7)
+    c = spark.createDataFrame(                 # differs in one edge
+        [(1, 2), (2, 3), (5, 8)], "u long, v long")
+    da, db, dc = _edge_digest(a), _edge_digest(b), _edge_digest(c)
+    assert da == db
+    assert da != dc
+    assert da[0] == 3
+    # empty set digests cleanly (count 0) and differs from non-empty
+    empty = _edge_digest(a.where("u > 100"))
+    assert empty[0] == 0 and empty != da
+
+    sc = spark.sparkContext
+    sc.setJobGroup("cc-digest", "one aggregate per check")
+    _edge_digest(a)
+    sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-digest")
+    assert 1 <= len(jobs) <= 2, jobs

@@ -181,16 +181,27 @@ def test_agg_encoded_overflow_sum_goes_null_not_wrong(spark):
 
 
 def test_agg_encoded_statless_column_all_null(spark, encoded):
-    """A string column has no numeric stats: every lane must be null
-    (unknown), not zero (wrong)."""
+    """A string column has no NUMERIC stats: the v* lanes must be
+    null (unknown), not zero (wrong). Since r5 it does carry count
+    lanes and truncate(16) string BOUNDS — smin must sort <= the true
+    min and smax >= the true max (containment, not equality)."""
     df = spark.range(50).select(
         F.col("id").cast("string").alias("doc_id"),
         F.col("id").alias("v"))
     specs = [("doc_id", "string"), ("v", "int")]
     enc = encode_table(df, specs=specs, mode="scan")
     row = agg_encoded(enc, "doc_id").collect()[0]
-    assert all(row[k] is None
-               for k in ("n_values", "vmin", "vmax", "vsum"))
+    assert all(row[k] is None for k in ("vmin", "vmax", "vsum"))
+    assert row["n_values"] == 50 and row["n_nulls"] == 0
+    lo, hi = min(str(i) for i in range(50)), max(str(i)
+                                                 for i in range(50))
+    assert row["smin"] is not None and row["smin"] <= lo
+    assert row["smax"] is None or row["smax"] >= hi
+    # a BINARY-free lane check: columns with truly no stats at all
+    # (e.g. binary kind) still come back all-null — covered by
+    # test_mixed_kinds; here the int column sanity-checks the join
+    iv = agg_encoded(enc, "v").collect()[0]
+    assert (iv["vmin"], iv["vmax"], iv["n_values"]) == (0, 49, 50)
 
 
 def test_scan_range_files_skips_files(spark, tmp_path):
@@ -350,7 +361,8 @@ def test_verify_stats_green_and_catches_forgery(spark, encoded):
                "    'vmin', CAST(-999 AS BIGINT), 'vmax', s.vmax,"
                "    'vsum', s.vsum, 'n_vals', s.n_vals,"
                "    'null_count', s.null_count,"
-               "    'fmin', s.fmin, 'fmax', s.fmax) ELSE s END)"))
+               "    'fmin', s.fmin, 'fmax', s.fmax,"
+               "    'smin', s.smin, 'smax', s.smax) ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
     assert not res2["columns"]["ckey"]["ok"]
@@ -562,7 +574,7 @@ def test_float_zone_map_scan_prunes_and_matches(spark):
 
     res = verify_stats(enc, specs=specs)
     assert res["ok"], res
-    assert set(res["columns"]) == {"price", "score", "maybe"}
+    assert set(res["columns"]) == {"doc_id", "price", "score", "maybe"}
 
     row = agg_encoded(enc, "price").first()
     assert (row["fmin"], row["fmax"]) == (0.0, 3999 * 0.25)
@@ -732,3 +744,133 @@ def test_zorder_nan_inf_nulls(spark):
     zed = zorder_cluster(df, ["a", "b"], 4)
     assert sorted(r["id"] for r in zed.select("id").collect()) == \
         sorted(r for r, *_ in rows)
+
+
+# ------------------------------------------------ string zone maps (r5)
+
+def test_trunc_upper_bound_semantics():
+    """Iceberg truncate(16) upper bound: short strings pass through,
+    long ones get a bumped 16-char prefix that sorts >= the original,
+    the surrogate gap is skipped, and an unboundable prefix (all
+    U+10FFFF) declares None."""
+    from br_archive_spark.operators.encode import (_trunc_lower,
+                                                   _trunc_upper)
+
+    assert _trunc_upper("short") == "short"
+    s = "abcdefghijklmnop" + "zzz"           # 16 + tail
+    up = _trunc_upper(s)
+    assert len(up) == 16 and up > s and up == "abcdefghijklmnoq"
+    assert _trunc_lower(s) == "abcdefghijklmnop" <= s
+    # last prefix char at the surrogate boundary: bump skips D800-DFFF
+    t = "x" * 15 + "퟿" + "tail"
+    assert _trunc_upper(t) == "x" * 15 + "" > t
+    # last char maxed: bump an earlier one, drop the rest
+    u = "ab" + "\U0010ffff" * 14 + "tail"
+    assert _trunc_upper(u) == "ac" and _trunc_upper(u) > u
+    # nothing incrementable
+    assert _trunc_upper("\U0010ffff" * 17) is None
+
+
+def test_string_zone_map_scan_prunes_and_matches(spark):
+    """String zone maps (r5): smin/smax truncate(16) bounds prune
+    chunks for scan_range/scan_where on a string column
+    (chunks_decoded < chunks_total), results stay exact including the
+    truncation edge (a probe equal to the truncated prefix must KEEP
+    the chunk), and NULL rows never match a range."""
+    from br_archive_spark.operators import encode_table, scan_range
+    from br_archive_spark.operators.decode import (_sstats_disjoint,
+                                                   scan_where)
+    from br_archive_spark.operators.verify import verify_stats
+
+    langs = ["ar", "de", "en", "fr", "ja", "pt", "ru", "zh"]
+    df = spark.range(6000).select(
+        F.format_string("doc%06d", "id").alias("doc_id"),
+        F.when(F.col("id") % 53 == 0, None)
+        .otherwise(F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("id") % 8 + 1).cast("int"))).alias("lang"),
+        F.concat(F.lit("prefix-that-is-longer-than-sixteen-"),
+                 F.col("id")).alias("url"))
+    specs = [("doc_id", "string"), ("lang", "string"),
+             ("url", "string")]
+    src = df.repartitionByRange(8, "lang").sortWithinPartitions("lang")
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=700).cache()
+    total = enc.count()
+    kept = enc.where(~_sstats_disjoint("lang", "en", "en")).count()
+    assert kept < total, (kept, total)
+
+    got = scan_range(enc, "lang", "en", "en", specs=specs,
+                     with_n_tok=False)
+    exp = df.where(F.col("lang") == "en")
+    assert got.count() == exp.count() > 0
+    assert got.where(F.col("lang").isNull()).count() == 0
+
+    # range band over two languages
+    two = scan_range(enc, "lang", "de", "fr", specs=specs,
+                     with_n_tok=False)
+    assert two.count() == df.where(
+        F.col("lang").between("de", "fr")).count()
+
+    # truncation edge: every url shares a >16-char prefix, so smin ==
+    # the truncated prefix for every chunk; a probe band equal to that
+    # exact prefix must keep chunks (smin <= probe) and return the
+    # rows the residual admits (none — no url EQUALS the bare prefix)
+    p16 = "prefix-that-is-longer-than-sixteen-"[:16]
+    eq = scan_range(enc, "url", p16, p16, specs=specs,
+                    with_n_tok=False)
+    assert eq.count() == 0
+    # but a band from the prefix upward catches everything
+    allrows = scan_range(enc, "url", p16, p16 + "￿",
+                         specs=specs, with_n_tok=False)
+    assert allrows.count() == 6000
+
+    # conjunctive mixed-kind bands still compose
+    both = scan_where(enc, [("lang", "en", "en"),
+                            ("doc_id", "doc000000", "doc002999")],
+                      specs=specs, with_n_tok=False)
+    assert both.count() == df.where(
+        (F.col("lang") == "en")
+        & F.col("doc_id").between("doc000000", "doc002999")).count()
+
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert res["columns"]["lang"]["ok"]
+    enc.unpersist()
+
+
+def test_string_scan_range_files_and_degrade(spark, tmp_path):
+    """File-skipping two-phase scan prunes shard FILES on string
+    bounds; a manifest whose column_stats predate the smin/smax lanes
+    degrades to a prune-free scan with zero missed rows."""
+    from br_archive_spark.operators import encode_table
+    from br_archive_spark.operators.decode import scan_range_files
+
+    df = spark.range(4000).select(
+        F.format_string("doc%06d", "id").alias("doc_id"),
+        F.element_at(F.array(F.lit("alpha"), F.lit("beta"),
+                             F.lit("gamma"), F.lit("delta")),
+                     (F.col("id") % 4 + 1).cast("int")).alias("src"))
+    specs = [("doc_id", "string"), ("src", "string")]
+    man_dir = str(tmp_path / "man")
+    (encode_table(df.repartitionByRange(4, "src")
+                  .sortWithinPartitions("src"),
+                  specs=specs, mode="scan", target_values=500)
+     .write.parquet(man_dir))
+    got = scan_range_files(spark, man_dir, "src", "beta", "beta",
+                           specs=specs, with_n_tok=False)
+    assert got.count() == 1000
+
+    # strip the r5 lanes -> pre-r5 manifest shape; scan must degrade
+    old = spark.read.parquet(man_dir).withColumn(
+        "column_stats",
+        F.expr("transform(column_stats, s -> named_struct("
+               "'name', s.name, 'kind', s.kind, 'codec', s.codec,"
+               "'orig_bytes', s.orig_bytes, 'enc_bytes', s.enc_bytes,"
+               "'vmin', s.vmin, 'vmax', s.vmax, 'vsum', s.vsum,"
+               "'n_vals', s.n_vals, 'null_count', s.null_count,"
+               "'fmin', s.fmin, 'fmax', s.fmax))"))
+    from br_archive_spark.operators.decode import scan_range
+    deg = scan_range(old, "src", "beta", "beta", specs=specs,
+                     with_n_tok=False)
+    assert deg.count() == 1000
