@@ -602,6 +602,39 @@ def q_string_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name", "c_mktsegment")
 
 
+def q_bloom_int_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int-column bloom point lookup (r5): per-chunk membership blooms
+    over the distinct values of every scalar int column
+    (``column_stats.bloom``, operators/bloom.py) answer "definitely
+    not in this chunk" on a HASH layout — where every partition spans
+    the full o_orderkey range and min/max zone maps cannot prune.
+    ``lookup_values`` bit-tests the bloom words in pure Catalyst, then
+    decodes only surviving chunks. Probe keys are the 4 smallest + 4
+    largest orderkeys (driver-side metadata collect) plus two absent
+    sentinels (0, -5) the bloom must reject without any decode —
+    membership pruning as the reference's skip-without-decode
+    (src/io/lib_bra_io_file_ctx.c:596-602) for point probes."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            lookup_values)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus")
+    lo = [r[0] for r in orders.select("o_orderkey")
+          .orderBy("o_orderkey").limit(4).collect()]
+    hi = [r[0] for r in orders.select("o_orderkey")
+          .orderBy(F.desc("o_orderkey")).limit(4).collect()]
+    specs = infer_specs(orders)
+    enc = encode_table(orders, specs=specs, mode="hash", num_parts=8,
+                       key="o_orderkey", target_values=1 << 11)
+    out = lookup_values(enc, "o_orderkey",
+                        lo + hi + [0, -5],
+                        specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        "o_orderstatus")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1527,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r5 ---
         "string_range_scan": q_string_range_scan,
+        "bloom_int_lookup": q_bloom_int_lookup,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -1953,6 +1987,20 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_name BETWEEN 'Customer#000000100'
                              AND 'Customer#000000499'
+        """,
+        "bloom_int_lookup": """
+            WITH probe AS (
+                (SELECT o_orderkey FROM orders
+                 ORDER BY o_orderkey LIMIT 4)
+                UNION ALL
+                (SELECT o_orderkey FROM orders
+                 ORDER BY o_orderkey DESC LIMIT 4)
+            )
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_custkey AS BIGINT) AS o_custkey,
+                   o_orderstatus
+            FROM orders
+            WHERE o_orderkey IN (SELECT o_orderkey FROM probe)
         """,
         "zorder_scan": """
             SELECT o_orderkey, o_custkey,

@@ -2,6 +2,7 @@ from .chunk import decode_column, encode_column
 from .compact import compact_manifest
 from .decode import (ChecksumError, agg_encoded, decode_files,
                      decode_table, lookup_docs, lookup_range,
+                     lookup_values,
                      lookup_rows, manifest_specs, scan_range,
                      scan_range_files, scan_where)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
@@ -19,7 +20,8 @@ __all__ = [
     "encode_column", "decode_column",
     "encode_table", "encode_files", "decode_table", "decode_files",
     "infer_specs",
-    "lookup_docs", "lookup_rows", "lookup_range", "compact_manifest",
+    "lookup_docs", "lookup_rows", "lookup_range", "lookup_values",
+    "compact_manifest",
     "scan_range", "scan_range_files", "scan_where", "agg_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
     "delete_where",

@@ -30,8 +30,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["build_bloom", "probe_positions", "bloom_sizes",
-           "hash_key"]
+__all__ = ["build_bloom", "build_int_bloom", "probe_positions",
+           "probe_positions_int", "bloom_sizes", "hash_key",
+           "hash_int"]
 
 _MASK = (1 << 64) - 1
 _C1 = 0x9E3779B97F4A7C15          # splitmix64 constants
@@ -114,10 +115,9 @@ def _geometry(n_keys: int) -> tuple[int, int]:
     return m, _K
 
 
-def build_bloom(blob, offsets) -> list[int]:
-    """Bloom words (int64 list, power-of-two length) for one chunk's
-    key column. k derived positions per key via double hashing."""
-    h1 = _hash_np(blob, offsets)
+def _bloom_from_hashes(h1: np.ndarray) -> list[int]:
+    """Bloom words (int64 list, power-of-two length) from per-key
+    64-bit hashes. k derived positions per key via double hashing."""
     if len(h1) == 0:
         return [0] * (_MIN_BITS // 64)
     m, k = _geometry(len(h1))
@@ -138,6 +138,35 @@ def build_bloom(blob, offsets) -> list[int]:
         .view(np.int64).tolist()
 
 
+def build_bloom(blob, offsets) -> list[int]:
+    """Bloom for one chunk's string key column (Arrow-style blob +
+    offsets)."""
+    return _bloom_from_hashes(_hash_np(blob, offsets))
+
+
+def hash_int(v: int) -> int:
+    """Scalar hash of one int64 lane value — identical to
+    :func:`hash_key` over the value's 8-byte little-endian encoding
+    (n=8 length fold, one word mix), so the int lane needs no second
+    hash function, just a fixed-width fast path."""
+    return _mix_int(((8 * _C1) & _MASK) ^ (v & _MASK))
+
+
+def build_int_bloom(vals: np.ndarray) -> list[int]:
+    """Bloom words for one chunk's int64 lane values (r5 — VERDICT r4
+    next-steps #6: membership pruning for point lookups on int
+    columns, e.g. ``o_orderkey`` under hash layouts where zone maps
+    span the full key range). Hash parity with :func:`hash_int`;
+    geometry sized on the DISTINCT count (duplicates add no
+    information)."""
+    u = np.unique(np.asarray(vals, dtype=np.int64))
+    if len(u) == 0:
+        return [0] * (_MIN_BITS // 64)
+    with np.errstate(over="ignore"):
+        h1 = _mix_np(np.uint64((8 * _C1) & _MASK) ^ u.view(np.uint64))
+    return _bloom_from_hashes(h1)
+
+
 def _signed(v: int) -> int:
     v &= _MASK
     return v - (1 << 64) if v >= 1 << 63 else v
@@ -156,15 +185,24 @@ def bloom_sizes() -> list[int]:
     return out
 
 
-def probe_positions(key: str, m_bits: int) -> list[tuple[int, int]]:
-    """``(word_index_1based, signed_int64_mask)`` pairs a chunk's
-    bloom of geometry ``m_bits`` must ALL contain for ``key`` to
-    possibly be present — int literals for Spark's
-    ``element_at(key_bloom, idx) & mask != 0``."""
-    h1 = hash_key(key)
+def _positions_from_hash(h1: int, m_bits: int) -> list[tuple[int, int]]:
     h2 = _mix_int(h1 ^ _C1) | 1
     out = []
     for i in range(_K):
         pos = (h1 + i * h2) & _MASK & (m_bits - 1)
         out.append(((pos >> 6) + 1, _signed(1 << (pos & 63))))
     return out
+
+
+def probe_positions(key: str, m_bits: int) -> list[tuple[int, int]]:
+    """``(word_index_1based, signed_int64_mask)`` pairs a chunk's
+    bloom of geometry ``m_bits`` must ALL contain for ``key`` to
+    possibly be present — int literals for Spark's
+    ``element_at(key_bloom, idx) & mask != 0``."""
+    return _positions_from_hash(hash_key(key), m_bits)
+
+
+def probe_positions_int(v: int, m_bits: int) -> list[tuple[int, int]]:
+    """Int-lane twin of :func:`probe_positions` for the per-column
+    ``column_stats.bloom`` sidecar."""
+    return _positions_from_hash(hash_int(int(v)), m_bits)

@@ -124,6 +124,17 @@ MANIFEST_SCHEMA = pa.schema([
         ("fmax", pa.float64()),
         ("smin", pa.string()),
         ("smax", pa.string()),
+        # bloom: per-column membership sidecar (r5) — bloom words over
+        # the DISTINCT non-null lane values of scalar int-backed kinds
+        # (int/long/date/timestamp/decimal, in their codec-lane unit),
+        # same geometry/derivation as key_bloom (operators/bloom.py).
+        # Point lookups on int columns (e.g. o_orderkey under a hash
+        # layout, where every partition spans the full key range and
+        # min/max bounds barely prune) bit-test these words in pure
+        # Catalyst. Null = "may match" (pre-r5 manifests, non-int
+        # kinds, bloom=False encodes) — correctness never depends on
+        # the bloom.
+        ("bloom", pa.list_(pa.int64())),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -152,7 +163,8 @@ MANIFEST_SPARK_SCHEMA = (
     "column_stats array<struct<name:string,kind:string,codec:string,"
     "orig_bytes:long,enc_bytes:long,"
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
-    "fmin:double,fmax:double,smin:string,smax:string>>, "
+    "fmin:double,fmax:double,smin:string,smax:string,"
+    "bloom:array<bigint>>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -388,9 +400,12 @@ def _trunc_upper(s: str):
     return None
 
 
-def _entry_stats(kind: str, data, validity) -> dict:
+def _entry_stats(kind: str, data, validity,
+                 bloom: bool = True) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
-    ``{vmin, vmax, vsum, null_count}``.
+    ``{vmin, vmax, vsum, null_count}``, plus (r5, ``bloom=True``) a
+    per-column membership bloom over the distinct lane values of
+    scalar int-backed kinds.
 
     * ``vmin``/``vmax``: element bounds (int64) for int-backed kinds,
       None otherwise or when every value is null. Unit follows the
@@ -462,7 +477,7 @@ def _entry_stats(kind: str, data, validity) -> dict:
                 "n_vals": len(fvals), "null_count": null_count,
                 "fmin": float(finite.min()) if len(finite) else None,
                 "fmax": float(finite.max()) if len(finite) else None,
-                "smin": None, "smax": None}
+                "smin": None, "smax": None, "bloom": None}
     elif kind == "string":
         # string zone map (r5): truncate(16) bounds, Iceberg
         # semantics — smin a prefix of the true min (lower bound),
@@ -485,7 +500,7 @@ def _entry_stats(kind: str, data, validity) -> dict:
             return {"vmin": None, "vmax": None, "vsum": None,
                     "n_vals": 0, "null_count": null_count,
                     "fmin": None, "fmax": None,
-                    "smin": None, "smax": None}
+                    "smin": None, "smax": None, "bloom": None}
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
@@ -493,7 +508,8 @@ def _entry_stats(kind: str, data, validity) -> dict:
                 "n_vals": len(arr), "null_count": null_count,
                 "fmin": None, "fmax": None,
                 "smin": _trunc_lower(mm["min"].as_py()),
-                "smax": _trunc_upper(mm["max"].as_py())}
+                "smax": _trunc_upper(mm["max"].as_py()),
+                "bloom": None}
     else:
         if validity is not None:
             for v in validity:
@@ -501,20 +517,33 @@ def _entry_stats(kind: str, data, validity) -> dict:
                     null_count += int((~v).sum())
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
-                "fmin": None, "fmax": None, "smin": None, "smax": None}
+                "fmin": None, "fmax": None, "smin": None,
+                "smax": None, "bloom": None}
     if len(vals) == 0:
         return {"vmin": None, "vmax": None, "vsum": 0,
                 "n_vals": 0, "null_count": null_count,
-                "fmin": None, "fmax": None, "smin": None, "smax": None}
+                "fmin": None, "fmax": None, "smin": None,
+                "smax": None, "bloom": None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
         vsum = int(vals.sum(dtype=np.int64))
     else:
         vsum = None
+    if bloom and kind != "int_list":
+        # scalar int lane: membership sidecar over the distinct
+        # values (operators/bloom.py) — int_list lanes (token arrays)
+        # are excluded: element membership isn't a chunk-prune
+        # predicate and the vocabulary would saturate the filter
+        from .bloom import build_int_bloom
+
+        blm = build_int_bloom(vals)
+    else:
+        blm = None
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
-            "fmin": None, "fmax": None, "smin": None, "smax": None}
+            "fmin": None, "fmax": None, "smin": None, "smax": None,
+            "bloom": blm}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],
@@ -565,7 +594,8 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 entries.append(encode_column(
                     name, kind, data, codecs, str_codecs,
                     gdict=global_dict, validity=validity))
-                stats.append(_entry_stats(kind, data, validity))
+                stats.append(_entry_stats(kind, data, validity,
+                                          bloom=bloom))
             key_bounds = _key_bounds(tbl, specs, key)
             key_bloom = None
             if bloom and key_bounds[0]:

@@ -143,3 +143,129 @@ def test_bloom_probe_cap_bulk_lookup(spark):
     assert _bloom_prune(enc, "doc_id", keys).count() == enc.count()
     out = lookup_docs(enc, keys, specs=SPECS, with_n_tok=False)
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(keys)
+
+
+# ------------------------------------------------ int-column blooms (r5)
+
+def test_int_hash_parity_with_string_hash():
+    """hash_int(v) must equal hash_key over v's 8-byte little-endian
+    encoding — one hash family across lanes, and the vectorized
+    builder agrees with the scalar prober on every probed bit."""
+    from br_archive_spark.operators.bloom import (build_int_bloom,
+                                                  hash_int, hash_key,
+                                                  probe_positions_int)
+    vals = [0, 1, -1, 2**31, -2**31, 2**63 - 1, -2**63, 123456789]
+    for v in vals:
+        assert hash_int(v) == hash_key(
+            v.to_bytes(8, "little", signed=True))
+    words = build_int_bloom(np.array(vals, np.int64))
+    uw = np.array(words, np.int64).view(np.uint64)
+    m = len(words) * 64
+    for v in vals:
+        assert all(int(uw[w - 1]) & (mask & ((1 << 64) - 1))
+                   for w, mask in probe_positions_int(v, m)), v
+
+
+def test_int_bloom_no_false_negatives_and_fpr():
+    from br_archive_spark.operators.bloom import (bloom_sizes,
+                                                  build_int_bloom,
+                                                  probe_positions_int)
+    vals = np.arange(0, 40000, 10, dtype=np.int64)        # 4000 keys
+    words = build_int_bloom(vals)
+    assert len(words) * 64 in bloom_sizes()
+    uw = np.array(words, np.int64).view(np.uint64)
+    m = len(words) * 64
+
+    def member(v):
+        return all(int(uw[w - 1]) & (mask & ((1 << 64) - 1))
+                   for w, mask in probe_positions_int(v, m))
+
+    assert all(member(int(v)) for v in vals), "false negative"
+    absent = range(5, 200005, 10)                          # 20k probes
+    fpr = sum(member(v) for v in absent) / 20000
+    assert fpr < 0.02, fpr
+
+
+INT_SPECS = [("doc_id", "string"), ("okey", "int"), ("val", "int")]
+
+
+def _int_docs(spark, n=6000):
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") * 7 + 3).alias("okey"),
+        (F.col("id") % 97).cast("int").alias("val"))
+
+
+def test_lookup_values_prunes_hash_layout_and_matches(spark):
+    """The verdict-#6 scenario: hash layout, zone maps span the full
+    okey range per partition — lookup_values must prune via the
+    per-column bloom (chunks_decoded << chunks_total), return exactly
+    the probed rows, and absent probes inside the range return 0 rows
+    after dropping ~every chunk."""
+    from br_archive_spark.operators import encode_table, lookup_values
+    from br_archive_spark.operators.decode import (_int_bloom_keep,
+                                                   _stats_disjoint)
+
+    docs = _int_docs(spark)
+    enc = encode_table(docs, specs=INT_SPECS, mode="hash",
+                       num_parts=8, target_values=512).cache()
+    total = enc.count()
+    present = [3, 7 * 1234 + 3, 7 * 5999 + 3]
+    zone_kept = enc.where(
+        ~_stats_disjoint("okey", min(present), max(present))).count()
+    assert zone_kept == total            # zone map blind under hash
+    bloom_kept = enc.where(
+        _int_bloom_keep("okey", present)).count()
+    assert bloom_kept <= len(present) + 1, (bloom_kept, total)
+
+    got = lookup_values(enc, "okey", present, specs=INT_SPECS,
+                        with_n_tok=False)
+    exp = docs.where(F.col("okey").isin(present))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+    absent = [4, 7 * 1000 + 4, 7 * 5999 + 2]   # in-range, not ≡3 mod 7
+    assert enc.where(_int_bloom_keep("okey", absent)).count() <= 1
+    assert lookup_values(enc, "okey", absent, specs=INT_SPECS,
+                         with_n_tok=False).count() == 0
+
+
+def test_lookup_values_degrade_cap_and_guards(spark):
+    """Pre-r5 manifests (no bloom lane) degrade to zone-map-only; >64
+    probes skip the bloom (plan-size cap) but stay exact; non-int
+    columns are rejected."""
+    import pytest
+
+    from br_archive_spark.operators import encode_table, lookup_values
+
+    docs = _int_docs(spark, 3000)
+    enc = encode_table(docs, specs=INT_SPECS, mode="hash",
+                       num_parts=4, target_values=512).cache()
+    # strip the bloom lane -> pre-r5 manifest shape
+    legacy = enc.withColumn(
+        "column_stats",
+        F.expr("transform(column_stats, s -> named_struct("
+               "'name', s.name, 'kind', s.kind, 'codec', s.codec,"
+               "'orig_bytes', s.orig_bytes, 'enc_bytes', s.enc_bytes,"
+               "'vmin', s.vmin, 'vmax', s.vmax, 'vsum', s.vsum,"
+               "'n_vals', s.n_vals, 'null_count', s.null_count,"
+               "'fmin', s.fmin, 'fmax', s.fmax))"))
+    probes = [3, 7 * 2999 + 3]
+    out = lookup_values(legacy, "okey", probes, specs=INT_SPECS,
+                        with_n_tok=False)
+    assert out.count() == 2
+
+    bulk = [7 * i + 3 for i in range(0, 3000, 30)]         # 100 probes
+    got = lookup_values(enc, "okey", bulk, specs=INT_SPECS,
+                        with_n_tok=False)
+    assert got.count() == len(bulk)
+
+    with pytest.raises(ValueError, match="scalar int"):
+        lookup_values(enc, "doc_id", [1], specs=INT_SPECS)
+    # bloom=False encode: lane present but null; lookups stay exact
+    off = encode_table(docs, specs=INT_SPECS, num_parts=2,
+                       target_values=512, bloom=False)
+    assert off.where(F.exists(
+        "column_stats", lambda s: s["bloom"].isNotNull())).count() == 0
+    assert lookup_values(off, "okey", probes, specs=INT_SPECS,
+                         with_n_tok=False).count() == 2
