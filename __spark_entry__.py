@@ -1074,12 +1074,22 @@ def q_simhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash with the engine-portable md5 family — the VALUE-CHECKED
     form of the SimHash pipeline: 32-bit set-semantics signature,
     block-pair buckets, exact ``bit_count(xor)`` hamming, all integer
-    arithmetic reproducible in DuckDB."""
+    arithmetic reproducible in DuckDB.
+
+    ``max_bucket=256`` (r5): the 32-bit twin's block-pair keys are only
+    8 bits wide, so past ~10^4 docs the hottest key degenerates into a
+    no-signal blob (a bucket holding >6% of ALL docs) and the bucket
+    self-join goes quadratic — the sf1 board measured 895 s / 74x for
+    the uncapped form, with 96% of candidate pairs inside >256-doc
+    buckets. The cap is mirrored in the oracle (HAVING count <= 256),
+    never binds at the driver's sf0.01 (max bucket there: 55), and the
+    cap-BINDING path is value-checked cross-engine by
+    ``tests/test_functions.py::test_simhash_md5_bucket_cap_oracle``."""
     from br_archive_spark.functions.dedup import simhash_pairs_md5
 
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "text")
-    pairs = simhash_pairs_md5(docs, max_hamming=6)
+    pairs = simhash_pairs_md5(docs, max_hamming=6, max_bucket=256)
     return pairs.select(F.col("id").alias("doc_a"),
                         F.col("id2").alias("doc_b"),
                         F.col("hamming").cast("long").alias("hamming"))
@@ -2431,11 +2441,21 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT unnest(generate_series(0, 7)) AS j) jj
                 WHERE ii.i < jj.j
             ),
-            keys AS (
+            keys0 AS (
                 SELECT s.doc_id, p.i * 8 + p.j AS t,
                        ((s.sig >> (p.i * 4)) & 15)
                            | (((s.sig >> (p.j * 4)) & 15) << 4) AS bk
                 FROM sig s, pidx p
+            ),
+            -- bucket cap (r5): mirrors Spark's max_bucket=256 —
+            -- oversized no-signal buckets never join
+            sized AS (
+                SELECT t, bk FROM keys0
+                GROUP BY t, bk HAVING count(*) <= 256
+            ),
+            keys AS (
+                SELECT k.* FROM keys0 k
+                JOIN sized z ON k.t = z.t AND k.bk = z.bk
             ),
             cand AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

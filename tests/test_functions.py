@@ -554,3 +554,49 @@ def test_cli_score_filters_by_perplexity(spark, tmp_path, capsys):
     out = {r["doc_id"]: r["xent_bp"] for r in
            spark.read.parquet(f"{d}/scored").collect()}
     assert out == {"a": xent(rows[0][1]), "b": xent(rows[1][1])}
+
+
+def test_simhash_md5_bucket_cap_oracle(spark, tmp_path):
+    """The md5 twin's max_bucket cap, value-checked cross-engine where
+    the cap BINDS (r5 — the sf1 board measured the uncapped form at
+    74x: the 32-bit twin's 8-bit block-pair keys degenerate into
+    no-signal blobs past ~10^4 docs; the driver's sf0.01 never reaches
+    the cap, so this is the test that exercises the capped path)."""
+    import os
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from br_archive_spark.functions.dedup import simhash_pairs_md5
+
+    # 300 identical docs -> identical sigs -> every block-pair bucket
+    # holds 300 (> 256): all dropped by the cap. 8 varied docs land in
+    # small buckets and survive.
+    rows = [(i, "spark line column order batch " * 4)
+            for i in range(300)]
+    rows += [(1000 + i, f"query agg vector scan fast {i} token " * 3)
+             for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = entrymod.queries()["simhash_pairs_md5"](spark, sf_dir)
+    spark_rows = sorted(tuple(r) for r in got.collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    ddb_rows = sorted(tuple(r) for r in con.execute(
+        entrymod.oracle_sql()["simhash_pairs_md5"]).fetchall())
+
+    assert spark_rows == ddb_rows
+    # the cap bound: the 300-dup clique contributes no pairs...
+    assert all(a >= 1000 and b >= 1000 for a, b, _ in spark_rows)
+    # ...and binding is real — uncapped finds the clique
+    uncapped = simhash_pairs_md5(
+        docs, max_hamming=6, max_bucket=0).count()
+    assert uncapped >= 300 * 299 // 2
+    assert len(spark_rows) < uncapped
