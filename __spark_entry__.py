@@ -635,6 +635,36 @@ def q_bloom_int_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus")
 
 
+def q_bloom_string_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-column bloom point lookup (r5): per-chunk membership
+    blooms over the distinct values of every string column — the
+    string twin of ``bloom_int_lookup``, same hash family as the key
+    bloom. Customer encodes HASH-layout on c_custkey, so every chunk's
+    truncate(16) smin/smax spans ~the whole c_name domain and the zone
+    map cannot prune; the bloom answers "definitely not here" per
+    chunk for a NON-key string column. Probes: 3 smallest + 3 largest
+    names (metadata collect) plus two absent sentinels the blooms must
+    reject without any decode."""
+    from br_archive_spark.operators import (encode_table, infer_specs,
+                                            lookup_values)
+
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    lo = [r[0] for r in cust.select("c_name")
+          .orderBy("c_name").limit(3).collect()]
+    hi = [r[0] for r in cust.select("c_name")
+          .orderBy(F.desc("c_name")).limit(3).collect()]
+    specs = infer_specs(cust)
+    enc = encode_table(cust, specs=specs, mode="hash", num_parts=8,
+                       key="c_custkey", target_values=1 << 11)
+    out = lookup_values(enc, "c_name",
+                        lo + hi + ["Customer#ABSENT", ""],
+                        specs=specs, with_n_tok=False)
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        "c_name", "c_mktsegment")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1571,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "string_range_scan": q_string_range_scan,
         "bloom_int_lookup": q_bloom_int_lookup,
+        "bloom_string_lookup": q_bloom_string_lookup,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2011,6 +2042,21 @@ def oracle_sql() -> dict[str, str]:
                    o_orderstatus
             FROM orders
             WHERE o_orderkey IN (SELECT o_orderkey FROM probe)
+        """,
+        # bloom_string_lookup: the engine prunes via per-chunk string
+        # blooms then decodes survivors; values must equal the plain
+        # IN-list (absent sentinels match nothing on either side)
+        "bloom_string_lookup": """
+            WITH probe AS (
+                (SELECT c_name FROM customer ORDER BY c_name LIMIT 3)
+                UNION ALL
+                (SELECT c_name FROM customer
+                 ORDER BY c_name DESC LIMIT 3)
+            )
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   c_name, c_mktsegment
+            FROM customer
+            WHERE c_name IN (SELECT c_name FROM probe)
         """,
         "zorder_scan": """
             SELECT o_orderkey, o_custkey,

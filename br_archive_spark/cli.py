@@ -390,6 +390,23 @@ def cmd_lookup(args) -> int:
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     ids = list(args.ids)
+    if getattr(args, "column", None):
+        # value-membership lookup on any scalar int-backed or string
+        # column (r5): zone map + column/key bloom pruning, then exact
+        # residual — `lookup --column o_orderkey 42 4242`
+        from .operators.decode import lookup_values, manifest_specs
+
+        specs = manifest_specs(man)
+        kind = dict(specs).get(args.column)
+        vals = ids if kind == "string" else [int(v) for v in ids]
+        rows = lookup_values(man, args.column, vals, specs=specs,
+                             with_n_tok=False,
+                             global_dict=_load_gdict(args.global_dict)
+                             ).collect()
+        print(json.dumps({"found": len(rows), "column": args.column,
+                          "rows": [r.asDict() for r in rows]},
+                         default=str))
+        return 0
     if getattr(args, "range", None):
         lo, hi = args.range
         rows = lookup_range(man, lo, hi,
@@ -753,6 +770,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--range", nargs=2, metavar=("LO", "HI"),
                    help="fetch all docs with LO <= key <= HI "
                         "(zone-map-pruned range scan)")
+    p.add_argument("--column", default=None,
+                   help="value-membership lookup on this int or "
+                        "string column (zone map + bloom pruning); "
+                        "ids are the probe values")
     p.add_argument("--global-dict", default=None)
     p.set_defaults(fn=cmd_lookup)
 

@@ -469,6 +469,41 @@ def _int_bloom_keep(column: str, values: list[int]):
     return s.isNull() | blm.isNull() | _reduce(or_, probes)
 
 
+def _str_bloom_keep(column: str, values: list[str]):
+    """String twin of :func:`_int_bloom_keep`: this chunk MAY contain
+    some probe string, per the column's ``column_stats.bloom``
+    membership sidecar (r5 — built over the chunk's distinct values
+    with the key-bloom hash family). Probe hashing happens driver-side
+    per literal (``probe_positions``); the plan is pure Catalyst bit
+    tests. Missing entry / null bloom / unknown geometry keeps the
+    chunk — correctness never depends on the bloom."""
+    from functools import reduce as _reduce
+    from operator import or_
+
+    from pyspark.sql import functions as F
+
+    from .bloom import bloom_sizes, probe_positions
+
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    blm = s["bloom"]
+    probes = []
+    for v in values:
+        sized = None
+        for m_bits in bloom_sizes():
+            cond = F.size(blm) == m_bits // 64
+            tests = [
+                F.element_at(blm, F.lit(widx))
+                .bitwiseAND(F.lit(mask)) != 0
+                for widx, mask in probe_positions(str(v), m_bits)]
+            hit = _reduce(lambda a, b: a & b, tests)
+            sized = F.when(cond, hit) if sized is None \
+                else sized.when(cond, hit)
+        probes.append(sized.otherwise(F.lit(True)))
+    return s.isNull() | blm.isNull() | _reduce(or_, probes)
+
+
 def lookup_values(encoded: DataFrame, column: str, values: list[int],
                   specs: list[tuple[str, str]] | None = None,
                   with_n_tok: bool = True,
@@ -491,7 +526,12 @@ def lookup_values(encoded: DataFrame, column: str, values: list[int],
        per probe would bloat the plan past what pruning saves;
     3. exact residual ``isin`` filter after decoding survivors.
 
-    The int-column analog of the reference's skip-without-decode
+    r5: ``column`` may also be a STRING column — probes are then
+    strings, zone pruning uses the truncate(16) ``smin``/``smax``
+    lanes, and membership uses the same per-column bloom (built over
+    the chunk's distinct strings with the key-bloom hash family).
+
+    The column analog of the reference's skip-without-decode
     (``src/io/lib_bra_io_file_ctx.c:596-602``)."""
     from pyspark.sql import functions as F
 
@@ -503,12 +543,28 @@ def lookup_values(encoded: DataFrame, column: str, values: list[int],
     if kind is None:
         raise ValueError(f"lookup_values: {column!r} not in encode "
                          "specs")
-    if not _int_kind(kind) or kind == "int_list":
-        raise ValueError(f"lookup_values: {column!r} is {kind!r} — "
-                         "point lookups need a scalar int-backed "
-                         "column (use lookup_docs for the string key)")
     if not values:
         raise ValueError("lookup_values: empty probe list")
+    if kind == "string":
+        svals = sorted({str(v) for v in values})
+        pruned = encoded
+        if _has_string_stats(encoded):
+            pruned = pruned.where(
+                ~_sstats_disjoint(column, svals[0], svals[-1]))
+        # when this column is the chunk's key zone-map column, its
+        # membership filter lives in key_bloom (no column bloom is
+        # stored — encode skips the duplicate); _bloom_prune keeps
+        # every chunk whose key_col differs, so both probes compose
+        pruned = _bloom_prune(pruned, column, svals)
+        if _has_column_blooms(encoded) and len(svals) <= 64:
+            pruned = pruned.where(_str_bloom_keep(column, svals))
+        dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+                           global_dict=global_dict)
+        return dec.where(F.col(column).isin(svals))
+    if not _int_kind(kind) or kind == "int_list":
+        raise ValueError(f"lookup_values: {column!r} is {kind!r} — "
+                         "point lookups need a scalar int-backed or "
+                         "string column (use lookup_docs for the key)")
     ivals = sorted({int(v) for v in values})
     pruned = encoded
     if _has_numeric_stats(encoded):

@@ -504,12 +504,29 @@ def _entry_stats(kind: str, data, validity,
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
+        if bloom:
+            # string membership sidecar (r5): bloom over the DISTINCT
+            # values — the string twin of build_int_bloom, same hash
+            # family as the key bloom (hash_key over UTF-8 bytes), so
+            # point probes on non-key string columns prune under hash
+            # layouts where smin/smax span the whole domain
+            from .bloom import build_bloom
+
+            u = pc.unique(arr)
+            uoff = np.frombuffer(u.buffers()[1], np.int64)
+            uoff = uoff[u.offset:u.offset + len(u) + 1]
+            ubuf = u.buffers()[2]
+            ublob = np.frombuffer(ubuf, np.uint8)[uoff[0]:uoff[-1]] \
+                if ubuf is not None else b""
+            blm = build_bloom(ublob, uoff - uoff[0])
+        else:
+            blm = None
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(arr), "null_count": null_count,
                 "fmin": None, "fmax": None,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
-                "bloom": None}
+                "bloom": blm}
     else:
         if validity is not None:
             for v in validity:
@@ -568,6 +585,11 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                     str_codecs: tuple[str, ...] | None = None,
                     global_dict=None, key: str | None = None,
                     bloom: bool = True):
+    # the requested key COLUMN; `key` is reused inside encode_fn as
+    # the (part_id, input_file) buffer key and shadowed it for four
+    # rounds — _key_bounds always fell back to the first string
+    # column, silently ignoring a non-default key= (fixed r5)
+    key_col = key
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         task_part = 0
@@ -589,14 +611,18 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
             chunk_counters[key] = idx + 1
             entries = []
             stats = []
+            key_bounds = _key_bounds(tbl, specs, key_col)
             for name, kind in specs:
                 data, validity = _extract(tbl, name, kind)
                 entries.append(encode_column(
                     name, kind, data, codecs, str_codecs,
                     gdict=global_dict, validity=validity))
-                stats.append(_entry_stats(kind, data, validity,
-                                          bloom=bloom))
-            key_bounds = _key_bounds(tbl, specs, key)
+                # the key zone-map column already gets key_bloom —
+                # don't store the same membership filter twice
+                # (lookup_values consults key_bloom for that column)
+                stats.append(_entry_stats(
+                    kind, data, validity,
+                    bloom=bloom and name != key_bounds[0]))
             key_bloom = None
             if bloom and key_bounds[0]:
                 from .bloom import build_bloom

@@ -632,16 +632,19 @@ def _rewrite_masked(row: dict, mask, known: dict[str, str], key: str,
         cols[name] = arr.filter(mask)
     tbl = pa.table(cols)
     new_entries, new_stats = [], []
+    kb = _key_bounds(tbl, specs, key)
     for name, kind in specs:
         data, validity = _extract(tbl, name, kind)
         e = encode_column(name, kind, data, gdict=global_dict,
                           validity=validity)
         new_entries.append(e)
+        # mirror encode: the key zone-map column's membership filter
+        # is key_bloom (refreshed below), never a column bloom
         new_stats.append(
             {**{k: e[k] for k in ("name", "kind", "codec",
                                   "orig_bytes", "enc_bytes")},
-             **_entry_stats(kind, data, validity)})
-    kb = _key_bounds(tbl, specs, key)
+             **_entry_stats(kind, data, validity,
+                            bloom=name != kb[0])})
     row["columns"] = new_entries
     if row.get("column_stats") is not None:
         row["column_stats"] = new_stats

@@ -260,8 +260,13 @@ def test_lookup_values_degrade_cap_and_guards(spark):
                         with_n_tok=False)
     assert got.count() == len(bulk)
 
+    # r5: string columns route to the string-bloom path, not an error
+    assert lookup_values(enc, "doc_id", ["17"], specs=INT_SPECS,
+                         with_n_tok=False).count() == 1
     with pytest.raises(ValueError, match="scalar int"):
-        lookup_values(enc, "doc_id", [1], specs=INT_SPECS)
+        lookup_values(enc, "okey", [1],
+                      specs=[("doc_id", "string"),
+                             ("okey", "int_list"), ("val", "int")])
     # bloom=False encode: lane present but null; lookups stay exact
     off = encode_table(docs, specs=INT_SPECS, num_parts=2,
                        target_values=512, bloom=False)
@@ -269,3 +274,47 @@ def test_lookup_values_degrade_cap_and_guards(spark):
         "column_stats", lambda s: s["bloom"].isNotNull())).count() == 0
     assert lookup_values(off, "okey", probes, specs=INT_SPECS,
                          with_n_tok=False).count() == 2
+
+
+def test_lookup_values_string_column_bloom(spark):
+    """r5 string twin of the verdict-#6 scenario: HASH layout on an
+    int key, probe a NON-key unique string column. The truncate(16)
+    smin/smax bounds span ~the whole name domain per chunk (layout is
+    hash-random), so the string bloom must do the pruning; absent
+    probes drop every chunk; values equal the plain isin."""
+    from br_archive_spark.operators import encode_table, lookup_values
+    from br_archive_spark.operators.decode import (_sstats_disjoint,
+                                                   _str_bloom_keep)
+
+    docs = spark.range(6000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.format_string("Name#%08d", (F.col("id") * 7) % 100000)
+        .alias("name"),
+        (F.col("id") % 97).cast("int").alias("val"))
+    specs = [("doc_id", "string"), ("name", "string"), ("val", "int")]
+    enc = encode_table(docs, specs=specs, mode="hash",
+                       num_parts=8, target_values=512).cache()
+    total = enc.count()
+    present = ["Name#00000007", "Name#00008638", "Name#00041993"]
+    zone_kept = enc.where(
+        ~_sstats_disjoint("name", min(present), max(present))).count()
+    assert zone_kept == total            # string zone map blind here
+    bloom_kept = enc.where(
+        _str_bloom_keep("name", present)).count()
+    assert bloom_kept <= len(present) + 1, (bloom_kept, total)
+
+    got = lookup_values(enc, "name", present, specs=specs,
+                        with_n_tok=False)
+    exp = docs.where(F.col("name").isin(present))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, exp.collect()))
+
+    absent = ["Name#00000001", "zzz", ""]
+    assert enc.where(_str_bloom_keep("name", absent)).count() <= 1
+    assert lookup_values(enc, "name", absent, specs=specs,
+                         with_n_tok=False).count() == 0
+    # bloom=False: string lane null, lookups still exact via residual
+    off = encode_table(docs, specs=specs, num_parts=2,
+                       target_values=512, bloom=False)
+    assert lookup_values(off, "name", present, specs=specs,
+                         with_n_tok=False).count() == 3

@@ -407,3 +407,27 @@ def test_cli_lookup_range(spark, tmp_path, capsys):
     assert cmd_lookup(args) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["found"] == 10
+
+
+def test_cli_lookup_column_values(spark, tmp_path, capsys):
+    """lookup --column COL V...: value-membership lookup via the CLI —
+    int-backed and string columns, bloom+zone pruned (r5)."""
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_lookup
+    from br_archive_spark.operators import encode_table
+
+    src = token_table(spark, 300)
+    man_dir = str(tmp_path / "man")
+    encode_table(src, mode="hash", num_parts=4,
+                 target_values=2048).write.parquet(man_dir)
+    base = dict(input=man_dir, ids=[], key="doc_id", value_col=None,
+                range=None, global_dict=None, master="local[2]",
+                shuffle_partitions=4)
+    src_val = src.first()["source"]
+    args = Namespace(**base, column="source")
+    args.ids = [src_val]
+    assert cmd_lookup(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] == src.where(F.col("source") == src_val).count()
