@@ -673,6 +673,12 @@ def scan_where(encoded: DataFrame,
     ``fmin``/``fmax`` lanes (r4); NaN bounds are rejected (Spark range
     predicates with finite bounds never match NaN — NaN rows are
     excluded from float zone maps AND from the residual, consistently).
+
+    EQUALITY bands (``lo == hi``) on int-backed and string columns
+    additionally probe the per-chunk membership blooms (r5 —
+    ``column_stats.bloom``, plus ``key_bloom`` when the column is the
+    chunk's key zone-map column), so point predicates prune under
+    hash layouts where every chunk's min/max spans the whole domain.
     """
     import math
 
@@ -718,6 +724,7 @@ def scan_where(encoded: DataFrame,
     has_int = _has_numeric_stats(encoded)
     has_f = _has_float_stats(encoded)
     has_s = _has_string_stats(encoded)
+    has_b = _has_column_blooms(encoded)
     drop = None
     for column, lo, hi in bands:
         if kinds[column] == "float":
@@ -728,12 +735,24 @@ def scan_where(encoded: DataFrame,
             if not has_s:
                 continue            # pre-r5 manifest: no string pruning
             d = _sstats_disjoint(column, str(lo), str(hi))
+            if has_b and lo == hi:
+                # point predicate: membership beats min/max on hash
+                # layouts; null bloom keeps (negation is null-safe)
+                d = d | ~_str_bloom_keep(column, [str(lo)])
         else:
             if not has_int:
                 continue
             d = _stats_disjoint(column, lo, hi)
+            if has_b and lo == hi:
+                d = d | ~_int_bloom_keep(column, [int(lo)])
         drop = d if drop is None else (drop | d)
     pruned = encoded.where(~drop) if drop is not None else encoded
+    for column, lo, hi in bands:
+        # a string point band on the chunk's KEY column probes
+        # key_bloom (no column bloom is stored for it); _bloom_prune
+        # keeps every chunk whose key_col differs, so this composes
+        if kinds[column] == "string" and lo == hi:
+            pruned = _bloom_prune(pruned, column, [str(lo)])
     dec = decode_table(pruned, specs=dec_specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     cond = None

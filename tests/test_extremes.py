@@ -28,7 +28,12 @@ I64MIN, I64MAX = -(2 ** 63), 2 ** 63 - 1
 
 # ------------------------------------------------- stats-lane fuzz
 
-@settings(max_examples=150, deadline=None)
+# deep-sweep knob: FUZZ_EXAMPLES=2000 python -m pytest tests/test_fuzz_*.py tests/test_extremes.py
+import os as _os
+_N = int(_os.environ.get("FUZZ_EXAMPLES", "0"))
+
+
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(), st.integers(I64MIN, I64MAX)),
                 max_size=40))
 def test_fuzz_int_stats_lanes_full_range(xs):
@@ -53,7 +58,7 @@ def test_fuzz_int_stats_lanes_full_range(xs):
         assert s["vsum"] == sum(vals)       # exact, unbounded Python int
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=max(100, _N), deadline=None)
 @given(st.lists(st.integers(I64MIN, I64MAX), max_size=60))
 def test_fuzz_timestamp_lane_full_range(xs):
     """The timestamp lane is int64 epoch micros: the chunk layer must
@@ -65,7 +70,7 @@ def test_fuzz_timestamp_lane_full_range(xs):
     np.testing.assert_array_equal(np.asarray(out, np.int64), vals)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=max(100, _N), deadline=None)
 @given(st.lists(st.integers(-(10 ** 18) + 1, 10 ** 18 - 1), max_size=60))
 def test_fuzz_decimal_lane_full_range(xs):
     """decimal(18,s) unscaled lane over its full legal domain."""
@@ -76,7 +81,7 @@ def test_fuzz_decimal_lane_full_range(xs):
     np.testing.assert_array_equal(np.asarray(out, np.int64), vals)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=max(100, _N), deadline=None)
 @given(st.lists(
     st.one_of(st.none(),
               st.lists(st.one_of(st.none(),

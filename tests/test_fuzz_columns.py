@@ -42,20 +42,25 @@ def _roundtrip_equal(col: pa.Array, kind: str) -> None:
             assert g == w
 
 
-@settings(max_examples=150, deadline=None)
+# deep-sweep knob: FUZZ_EXAMPLES=2000 python -m pytest tests/test_fuzz_*.py tests/test_extremes.py
+import os as _os
+_N = int(_os.environ.get("FUZZ_EXAMPLES", "0"))
+
+
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(), st.text(max_size=30)), max_size=40))
 def test_fuzz_string_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.string()), "string")
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(), st.binary(max_size=30)),
                 max_size=40))
 def test_fuzz_binary_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.binary()), "binary")
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(),
                           st.integers(-(2 ** 63), 2 ** 63 - 1)),
                 max_size=40))
@@ -66,7 +71,7 @@ def test_fuzz_int_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.int64()), "int")
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(
     st.one_of(st.none(),
               st.lists(st.one_of(st.none(),
@@ -77,7 +82,7 @@ def test_fuzz_int_list_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.list_(pa.int32())), "int_list")
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(
     st.one_of(st.none(),
               st.lists(st.one_of(
@@ -90,7 +95,7 @@ def test_fuzz_float_list_column(xs):
                      "float_list")
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(),
                           st.floats(allow_nan=True,
                                     allow_infinity=True)),
@@ -99,7 +104,7 @@ def test_fuzz_float_column(xs):
     _roundtrip_equal(pa.array(xs, type=pa.float64()), "float")
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=max(60, _N), deadline=None)
 @given(st.lists(st.one_of(st.none(), st.binary(max_size=40)),
                 max_size=30))
 def test_fuzz_binary_fsst_forced(xs):
@@ -115,7 +120,7 @@ def test_fuzz_binary_fsst_forced(xs):
     assert out.to_pylist() == col.to_pylist()
 
 
-@settings(max_examples=150, deadline=None)
+@settings(max_examples=max(150, _N), deadline=None)
 @given(st.lists(st.one_of(
     st.none(),
     st.floats(allow_nan=True, allow_infinity=True, width=64)),

@@ -297,3 +297,36 @@ def test_repetition_and_pii_are_map_only(spark, queries):
     for name in ("repetition_filter", "pii_scrub"):
         plan = _plan(queries[name](spark, SF_DIR))
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_lookup_values_bloom_probe_is_pure_catalyst(spark, tmp_path):
+    """r5 column-bloom point lookups: the zone-map + bloom prune must
+    be a WHERE over the manifest (filter BEFORE the decode
+    MapInArrow), built from literal bit tests — no Python node, no
+    extra Exchange. Holds for the int lane and the string lane."""
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, lookup_values
+
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.format_string("N#%04d", F.col("id")).alias("name"),
+        (F.col("id") * 3).alias("okey"))
+    specs = [("doc_id", "string"), ("name", "string"),
+             ("okey", "int")]
+    encode_table(docs, specs=specs, mode="hash", num_parts=4,
+                 target_values=128).write.parquet(str(tmp_path / "m"))
+    enc = spark.read.parquet(str(tmp_path / "m"))
+    import re
+
+    for col, vals in (("okey", [21, 300]), ("name", ["N#0007"])):
+        plan = _plan(lookup_values(enc, col, vals, specs=specs,
+                                   with_n_tok=False))
+        assert "BatchEvalPython" not in plan, col
+        assert "ArrowEvalPython" not in plan, col
+        assert "Exchange" not in plan, col           # map-only lookup
+        # exactly one Python-boundary node: the decode MapInArrow
+        nodes = set(re.findall(r"MapInArrow \((\d+)\)", plan))
+        assert len(nodes) == 1, (col, nodes)
+        # the prune is a Filter below it, probing the bloom words
+        assert "element_at" in plan or "bloom" in plan, col

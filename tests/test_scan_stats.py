@@ -875,3 +875,58 @@ def test_string_scan_range_files_and_degrade(spark, tmp_path):
     deg = scan_range(old, "src", "beta", "beta", specs=specs,
                      with_n_tok=False)
     assert deg.count() == 1000
+
+
+def test_scan_where_equality_bands_use_blooms(spark):
+    """r5: point predicates (lo == hi) on int and string columns probe
+    the membership blooms, so scan_where prunes on HASH layouts where
+    every chunk's min/max spans the whole domain. Results must equal
+    the raw filter; absent point probes prune ~every chunk."""
+    import pyspark.sql.functions as F
+
+    from br_archive_spark.operators import encode_table, scan_where
+    from br_archive_spark.operators.decode import (_int_bloom_keep,
+                                                   _str_bloom_keep,
+                                                   _sstats_disjoint,
+                                                   _stats_disjoint)
+
+    docs = spark.range(4000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.format_string("N#%05d", (F.col("id") * 11) % 50000)
+        .alias("name"),
+        (F.col("id") * 7 + 3).alias("okey"))
+    specs = [("doc_id", "string"), ("name", "string"),
+             ("okey", "int")]
+    enc = encode_table(docs, specs=specs, mode="hash", num_parts=8,
+                       target_values=512).cache()
+    total = enc.count()
+
+    # blooms prune strictly harder than the zone maps on this layout
+    zi = enc.where(~_stats_disjoint("okey", 24, 24)).count()
+    bi = enc.where(_int_bloom_keep("okey", [24])).count()
+    assert bi <= 2 and bi < zi <= total
+    zs = enc.where(
+        ~_sstats_disjoint("name", "N#00033", "N#00033")).count()
+    bs = enc.where(_str_bloom_keep("name", ["N#00033"])).count()
+    assert bs <= 2 and bs < zs <= total
+
+    got = scan_where(enc, [("okey", 24, 24)], specs=specs,
+                     with_n_tok=False)
+    assert [r["doc_id"] for r in got.collect()] == ["3"]
+    got = scan_where(enc, [("name", "N#00033", "N#00033")],
+                     specs=specs, with_n_tok=False)
+    assert [r["doc_id"] for r in got.collect()] == ["3"]
+    # absent probes: 0 rows (and the bloom drops ~every chunk)
+    assert scan_where(enc, [("okey", 25, 25)], specs=specs,
+                      with_n_tok=False).count() == 0
+    assert scan_where(enc, [("name", "N#00034", "N#00034")],
+                      specs=specs, with_n_tok=False).count() == 0
+    # conjunction: equality + range band still exact
+    got = scan_where(enc, [("name", "N#00033", "N#00033"),
+                           ("okey", 0, 100)], specs=specs,
+                     with_n_tok=False)
+    assert [r["doc_id"] for r in got.collect()] == ["3"]
+    # the KEY column's point band probes key_bloom (no column bloom)
+    got = scan_where(enc, [("doc_id", "17", "17")], specs=specs,
+                     with_n_tok=False)
+    assert [r["name"] for r in got.collect()] == ["N#00187"]
