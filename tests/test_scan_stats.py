@@ -930,3 +930,72 @@ def test_scan_where_equality_bands_use_blooms(spark):
     got = scan_where(enc, [("doc_id", "17", "17")], specs=specs,
                      with_n_tok=False)
     assert [r["name"] for r in got.collect()] == ["N#00187"]
+
+
+def test_pruned_scans_equal_raw_filters_randomized(spark):
+    """Seeded randomized equivalence sweep over the whole pruning
+    stack (zone maps: int + truncate(16) string; blooms: int, string,
+    key): for random tables, layouts, chunk sizes, and bands,
+    scan_where and lookup_values must return EXACTLY the raw filter's
+    rows. Pruning defects are silent wrong answers — the worst
+    failure class — so this net complements the targeted tests with
+    breadth: nulls, extremes, shared prefixes, >16-char strings,
+    empty strings, empty results, whole-table bands."""
+    import random
+
+    from br_archive_spark.operators import (encode_table, lookup_values,
+                                            scan_where)
+
+    import os
+
+    rng = random.Random(42)
+    strs = [None, "", "aa", "aab", "k05", "k17",
+            "x" * 20 + "a", "x" * 20 + "b", "éléphant"]
+    n_trials = int(os.environ.get("SCAN_SWEEP_TRIALS", "10"))
+    for trial in range(n_trials):
+        n = rng.randint(40, 300)
+        mode = rng.choice(["scan", "hash"])
+        rows = [(str(i),
+                 rng.choice(strs),
+                 rng.choice([None, rng.randint(-100, 100),
+                             -(2 ** 63), 2 ** 63 - 1]))
+                for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "doc_id string, s string, v long").cache()
+        specs = [("doc_id", "string"), ("s", "string"), ("v", "int")]
+        enc = encode_table(df, specs=specs, mode=mode, num_parts=4,
+                           target_values=rng.choice([32, 64, 128])
+                           ).cache()
+
+        def eq(got_df, exp_df, what):
+            got = sorted(tuple(r) for r in got_df.collect())
+            exp = sorted(tuple(r) for r in exp_df.collect())
+            assert got == exp, (trial, mode, what, got[:3], exp[:3])
+
+        lo = rng.randint(-110, 105)
+        hi = rng.randint(lo, 120)
+        eq(scan_where(enc, [("v", lo, hi)], specs=specs,
+                      with_n_tok=False),
+           df.where(F.col("v").between(lo, hi)), ("v", lo, hi))
+        a, b = sorted(rng.sample([s for s in strs if s is not None], 2))
+        eq(scan_where(enc, [("s", a, b)], specs=specs,
+                      with_n_tok=False),
+           df.where(F.col("s").between(a, b)), ("s", a, b))
+        pv = rng.choice([7, -(2 ** 63), 2 ** 63 - 1, 999])
+        eq(scan_where(enc, [("v", pv, pv)], specs=specs,
+                      with_n_tok=False),
+           df.where(F.col("v") == pv), ("v=", pv))
+        ps = rng.choice([s for s in strs if s is not None] + ["nope"])
+        eq(scan_where(enc, [("s", ps, ps)], specs=specs,
+                      with_n_tok=False),
+           df.where(F.col("s") == ps), ("s=", ps))
+        vals = rng.sample(range(-105, 120), rng.randint(1, 4))
+        eq(lookup_values(enc, "v", vals, specs=specs,
+                         with_n_tok=False),
+           df.where(F.col("v").isin(vals)), ("v in", vals))
+        svals = rng.sample([s for s in strs if s is not None], 2)
+        eq(lookup_values(enc, "s", svals, specs=specs,
+                         with_n_tok=False),
+           df.where(F.col("s").isin(svals)), ("s in", svals))
+        df.unpersist()
+        enc.unpersist()
