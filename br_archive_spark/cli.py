@@ -398,7 +398,12 @@ def cmd_lookup(args) -> int:
 
         specs = manifest_specs(man)
         kind = dict(specs).get(args.column)
-        vals = ids if kind == "string" else [int(v) for v in ids]
+        if kind == "string":
+            vals = ids
+        elif kind == "binary":
+            vals = [bytes.fromhex(v) for v in ids]   # hex on the CLI
+        else:
+            vals = [int(v) for v in ids]
         rows = lookup_values(man, args.column, vals, specs=specs,
                              with_n_tok=False,
                              global_dict=_load_gdict(args.global_dict)

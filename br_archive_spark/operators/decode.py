@@ -469,14 +469,15 @@ def _int_bloom_keep(column: str, values: list[int]):
     return s.isNull() | blm.isNull() | _reduce(or_, probes)
 
 
-def _str_bloom_keep(column: str, values: list[str]):
-    """String twin of :func:`_int_bloom_keep`: this chunk MAY contain
-    some probe string, per the column's ``column_stats.bloom``
+def _str_bloom_keep(column: str, values: list):
+    """String/binary twin of :func:`_int_bloom_keep`: this chunk MAY
+    contain some probe value, per the column's ``column_stats.bloom``
     membership sidecar (r5 — built over the chunk's distinct values
-    with the key-bloom hash family). Probe hashing happens driver-side
-    per literal (``probe_positions``); the plan is pure Catalyst bit
-    tests. Missing entry / null bloom / unknown geometry keeps the
-    chunk — correctness never depends on the bloom."""
+    with the key-bloom hash family; ``bytes`` probes hash the raw
+    bytes, ``str`` probes their UTF-8). Probe hashing happens
+    driver-side per literal (``probe_positions``); the plan is pure
+    Catalyst bit tests. Missing entry / null bloom / unknown geometry
+    keeps the chunk — correctness never depends on the bloom."""
     from functools import reduce as _reduce
     from operator import or_
 
@@ -493,10 +494,11 @@ def _str_bloom_keep(column: str, values: list[str]):
         sized = None
         for m_bits in bloom_sizes():
             cond = F.size(blm) == m_bits // 64
+            probe = v if isinstance(v, (bytes, bytearray)) else str(v)
             tests = [
                 F.element_at(blm, F.lit(widx))
                 .bitwiseAND(F.lit(mask)) != 0
-                for widx, mask in probe_positions(str(v), m_bits)]
+                for widx, mask in probe_positions(probe, m_bits)]
             hit = _reduce(lambda a, b: a & b, tests)
             sized = F.when(cond, hit) if sized is None \
                 else sized.when(cond, hit)
@@ -529,7 +531,9 @@ def lookup_values(encoded: DataFrame, column: str, values: list[int],
     r5: ``column`` may also be a STRING column — probes are then
     strings, zone pruning uses the truncate(16) ``smin``/``smax``
     lanes, and membership uses the same per-column bloom (built over
-    the chunk's distinct strings with the key-bloom hash family).
+    the chunk's distinct strings with the key-bloom hash family) —
+    or a BINARY column: probes are ``bytes``, pruning is bloom-only
+    (content-digest point lookups; binary has no zone map).
 
     The column analog of the reference's skip-without-decode
     (``src/io/lib_bra_io_file_ctx.c:596-602``)."""
@@ -545,6 +549,16 @@ def lookup_values(encoded: DataFrame, column: str, values: list[int],
                          "specs")
     if not values:
         raise ValueError("lookup_values: empty probe list")
+    if kind == "binary":
+        # content-digest point lookup: bloom-only pruning (binary has
+        # no zone map), exact isin residual on the decoded bytes
+        bvals = sorted({bytes(v) for v in values})
+        pruned = encoded
+        if _has_column_blooms(encoded) and len(bvals) <= 64:
+            pruned = pruned.where(_str_bloom_keep(column, bvals))
+        dec = decode_table(pruned, specs=specs, with_n_tok=with_n_tok,
+                           global_dict=global_dict)
+        return dec.where(F.col(column).isin(bvals))
     if kind == "string":
         svals = sorted({str(v) for v in values})
         pruned = encoded
@@ -563,8 +577,9 @@ def lookup_values(encoded: DataFrame, column: str, values: list[int],
         return dec.where(F.col(column).isin(svals))
     if not _int_kind(kind) or kind == "int_list":
         raise ValueError(f"lookup_values: {column!r} is {kind!r} — "
-                         "point lookups need a scalar int-backed or "
-                         "string column (use lookup_docs for the key)")
+                         "point lookups need a scalar int-backed, "
+                         "string, or binary column (use lookup_docs "
+                         "for the key)")
     ivals = sorted({int(v) for v in values})
     pruned = encoded
     if _has_numeric_stats(encoded):

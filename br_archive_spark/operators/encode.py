@@ -527,6 +527,43 @@ def _entry_stats(kind: str, data, validity,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
                 "bloom": blm}
+    elif kind == "binary":
+        # binary membership sidecar (r5): bloom over the distinct
+        # byte values — content-digest point lookups (media hashes,
+        # dedup keys stored as raw bytes) prune like the string lane;
+        # no zone map (byte order bounds carry no prune value)
+        blob, offs = data
+        n = len(offs) - 1
+        row_valid = validity[0] if validity is not None else None
+        if row_valid is not None:
+            null_count += int((~row_valid).sum())
+        blm = None
+        if bloom:
+            arr = pa.Array.from_buffers(
+                pa.large_binary(), n,
+                [None, pa.py_buffer(np.ascontiguousarray(offs)),
+                 pa.py_buffer(blob)])
+            if row_valid is not None:
+                arr = arr.filter(pa.array(row_valid))
+            if len(arr):
+                import pyarrow.compute as pc
+
+                u = pc.unique(arr)
+                uoff = np.frombuffer(u.buffers()[1], np.int64)
+                uoff = uoff[u.offset:u.offset + len(u) + 1]
+                ubuf = u.buffers()[2]
+                ublob = np.frombuffer(
+                    ubuf, np.uint8)[uoff[0]:uoff[-1]] \
+                    if ubuf is not None else b""
+                from .bloom import build_bloom
+
+                blm = build_bloom(ublob, uoff - uoff[0])
+        # n_vals stays None: binary carries no numeric agg lanes, and
+        # consumers (agg_encoded, verify --stats) key off that
+        return {"vmin": None, "vmax": None, "vsum": None,
+                "n_vals": None, "null_count": null_count,
+                "fmin": None, "fmax": None, "smin": None,
+                "smax": None, "bloom": blm}
     else:
         if validity is not None:
             for v in validity:

@@ -318,3 +318,40 @@ def test_lookup_values_string_column_bloom(spark):
                        target_values=512, bloom=False)
     assert lookup_values(off, "name", present, specs=specs,
                          with_n_tok=False).count() == 3
+
+
+def test_lookup_values_binary_column_bloom(spark):
+    """r5 binary lane: content-digest point lookups (media hashes,
+    dedup keys stored as raw bytes) — bloom-only pruning (binary has
+    no zone map), exact isin residual, absent digests drop every
+    chunk."""
+    import hashlib
+
+    from br_archive_spark.operators import encode_table, lookup_values
+    from br_archive_spark.operators.decode import _str_bloom_keep
+
+    docs = spark.range(3000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.to_binary(F.sha2(F.col("id").cast("string"), 256),
+                    F.lit("hex")).alias("digest"))
+    specs = [("doc_id", "string"), ("digest", "binary")]
+    enc = encode_table(docs, specs=specs, mode="hash", num_parts=6,
+                       target_values=256).cache()
+    present = [hashlib.sha256(str(i).encode()).digest()
+               for i in (17, 2345)]
+    assert enc.where(_str_bloom_keep("digest", present)).count() <= 3
+    got = lookup_values(enc, "digest", present, specs=specs,
+                        with_n_tok=False)
+    assert sorted(r["doc_id"] for r in got.collect()) == ["17", "2345"]
+    absent = [hashlib.sha256(b"nope").digest()]
+    assert enc.where(_str_bloom_keep("digest", absent)).count() <= 1
+    assert lookup_values(enc, "digest", absent, specs=specs,
+                         with_n_tok=False).count() == 0
+    # nulls in the column never break the bloom build or the residual
+    withnull = docs.withColumn(
+        "digest", F.when(F.col("doc_id") == "5", None)
+        .otherwise(F.col("digest")))
+    enc2 = encode_table(withnull, specs=specs, num_parts=2,
+                        target_values=256)
+    assert lookup_values(enc2, "digest", present, specs=specs,
+                         with_n_tok=False).count() == 2
