@@ -665,6 +665,36 @@ def q_bloom_string_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name", "c_mktsegment")
 
 
+def q_bloom_binary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column bloom point lookup (r5): content-digest probes —
+    the binary lane of the membership matrix. Documents carry an
+    md5-of-text digest column (raw bytes); a HASH layout leaves no
+    zone map to prune by (binary has none at all), so the per-chunk
+    bloom over distinct byte values answers "digest definitely not in
+    this chunk". Probes: three known docs' digests + an absent
+    16-zero-byte sentinel the blooms must reject without any decode.
+    Output re-hexes the digest so the cross-engine value hash compares
+    strings, not raw blobs."""
+    from br_archive_spark.operators import encode_table, lookup_values
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.to_binary(F.md5("text"), F.lit("hex")).alias("digest"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+    probes = [r[0] for r in docs.where(
+        F.col("doc_id").isin("7", "42", "99"))
+        .select("digest").collect()]
+    specs = [("doc_id", "string"), ("digest", "binary"),
+             ("n_chars", "int")]
+    enc = encode_table(docs, specs=specs, mode="hash", num_parts=8,
+                       key="doc_id", target_values=1 << 10)
+    out = lookup_values(enc, "digest", probes + [b"\x00" * 16],
+                        specs=specs, with_n_tok=False)
+    return out.select(
+        "doc_id", F.lower(F.hex("digest")).alias("digest_hex"),
+        F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1602,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_range_scan": q_string_range_scan,
         "bloom_int_lookup": q_bloom_int_lookup,
         "bloom_string_lookup": q_bloom_string_lookup,
+        "bloom_binary_lookup": q_bloom_binary_lookup,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2042,6 +2073,16 @@ def oracle_sql() -> dict[str, str]:
                    o_orderstatus
             FROM orders
             WHERE o_orderkey IN (SELECT o_orderkey FROM probe)
+        """,
+        # bloom_binary_lookup: binary-lane membership pruning; the
+        # oracle is the same digest IN-list (md5 hex both engines;
+        # absent zero-digest sentinel matches nothing on either side)
+        "bloom_binary_lookup": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(text) AS digest_hex,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM documents
+            WHERE CAST(doc_id AS VARCHAR) IN ('7', '42', '99')
         """,
         # bloom_string_lookup: the engine prunes via per-chunk string
         # blooms then decodes survivors; values must equal the plain
