@@ -695,6 +695,37 @@ def q_bloom_binary_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"))
 
 
+def q_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-predicate scan (r5): the per-chunk ``null_count`` stats
+    lane (recorded since r3 for aggregate pushdown) now also prunes
+    ``IS NULL`` / ``IS NOT NULL`` scans — parquet/Iceberg's
+    null_count row-group pruning, and the reference's
+    skip-without-decode (src/io/lib_bra_io_file_ctx.c:596-602) for
+    completeness audits. A derived note column is NULL exactly for
+    low custkeys; range-clustering on custkey makes whole chunks
+    fully-null or fully-populated, so the IS NOT NULL scan skips the
+    all-null chunks from the manifest alone and the residual keeps
+    the result exact."""
+    from br_archive_spark.operators import encode_table, scan_where
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.when(F.col("o_custkey") >= 700, F.col("o_orderstatus"))
+        .alias("status_note"))
+    clustered = (orders.repartitionByRange(8, "ckey")
+                 .sortWithinPartitions("ckey"))
+    specs = [("okey", "int"), ("ckey", "int"),
+             ("status_note", "string")]
+    enc = encode_table(clustered, specs=specs, mode="scan", key="okey",
+                       target_values=1 << 11)
+    out = scan_where(enc, [], specs=specs, with_n_tok=False,
+                     not_null_cols=["status_note"])
+    return out.select(
+        F.col("okey").cast("long").alias("okey"),
+        F.col("ckey").cast("long").alias("ckey"), "status_note")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1633,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_int_lookup": q_bloom_int_lookup,
         "bloom_string_lookup": q_bloom_string_lookup,
         "bloom_binary_lookup": q_bloom_binary_lookup,
+        "null_scan": q_null_scan,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2083,6 +2115,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_chars AS BIGINT) AS n_chars
             FROM documents
             WHERE CAST(doc_id AS VARCHAR) IN ('7', '42', '99')
+        """,
+        # null_scan: IS NOT NULL pruned via the null_count stats lane;
+        # values must equal the plain CASE-derived filter (the same
+        # expression both engines, so null placement is identical)
+        "null_scan": """
+            SELECT CAST(o_orderkey AS BIGINT) AS okey,
+                   CAST(o_custkey AS BIGINT) AS ckey,
+                   CASE WHEN o_custkey >= 700 THEN o_orderstatus END
+                       AS status_note
+            FROM orders
+            WHERE (CASE WHEN o_custkey >= 700 THEN o_orderstatus END)
+                  IS NOT NULL
         """,
         # bloom_string_lookup: the engine prunes via per-chunk string
         # blooms then decodes survivors; values must equal the plain

@@ -437,35 +437,67 @@ def cmd_lookup(args) -> int:
 
 
 def cmd_scan(args) -> int:
-    """Numeric range scan — decode only the chunks whose zone map
-    (``column_stats.vmin/vmax``) can contain [lo, hi]; bounds are in
-    the column's codec-lane unit (cents for decimal(.,2), days for
-    date, epoch micros for timestamp). Specs come from the manifest
-    itself (``manifest_specs``); prints prune stats + matching rows."""
-    from .operators.decode import (_fstats_disjoint, _sstats_disjoint,
+    """Zone-map-pruned scan — decode only the chunks whose stats can
+    contain the predicate. ``--lo/--hi`` bounds are in the column's
+    codec-lane unit (cents for decimal(.,2), days for date, epoch
+    micros for timestamp); ``--null``/``--not-null`` prune via the
+    per-chunk ``null_count`` lane instead (r5). Specs come from the
+    manifest itself (``manifest_specs``); prints prune stats +
+    matching rows."""
+    from functools import reduce
+    from operator import or_
+
+    from .operators.decode import (_fstats_disjoint, _notnull_disjoint,
+                                   _null_disjoint, _sstats_disjoint,
                                    _stats_disjoint, manifest_specs,
-                                   scan_range)
+                                   scan_where)
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     specs = manifest_specs(man)
     kind = dict(specs).get(args.column)
-    if kind == "float":
-        lo, hi = float(args.lo), float(args.hi)
-        disjoint = _fstats_disjoint(args.column, lo, hi)
-    elif kind == "string":
-        lo, hi = str(args.lo), str(args.hi)
-        disjoint = _sstats_disjoint(args.column, lo, hi)
-    else:
-        lo, hi = int(float(args.lo)), int(float(args.hi))
-        disjoint = _stats_disjoint(args.column, lo, hi)
+    want_null = getattr(args, "null", False)
+    want_not_null = getattr(args, "not_null", False)
+    if (args.lo is None) != (args.hi is None):
+        print("scan: --lo and --hi go together", file=sys.stderr)
+        return 2
+    if args.lo is None and not (want_null or want_not_null):
+        print("scan: need --lo/--hi or --null/--not-null",
+              file=sys.stderr)
+        return 2
+    if want_null and want_not_null:
+        print("scan: --null and --not-null are contradictory",
+              file=sys.stderr)
+        return 2
+    bands, disjoints = [], []
+    lo = hi = None
+    if args.lo is not None:
+        if kind == "float":
+            lo, hi = float(args.lo), float(args.hi)
+            disjoints.append(_fstats_disjoint(args.column, lo, hi))
+        elif kind == "string":
+            lo, hi = str(args.lo), str(args.hi)
+            disjoints.append(_sstats_disjoint(args.column, lo, hi))
+        else:
+            lo, hi = int(float(args.lo)), int(float(args.hi))
+            disjoints.append(_stats_disjoint(args.column, lo, hi))
+        bands.append((args.column, lo, hi))
+    if want_null:
+        disjoints.append(_null_disjoint(args.column))
+    if want_not_null and kind is not None \
+            and not kind.endswith("_list"):
+        disjoints.append(_notnull_disjoint(args.column))
     total = man.count()
-    surviving = man.where(~disjoint).count()
-    rows = scan_range(man, args.column, lo, hi, specs=specs,
-                      with_n_tok=False,
-                      global_dict=_load_gdict(args.global_dict))
+    surviving = man.where(~reduce(or_, disjoints)).count() \
+        if disjoints else total
+    rows = scan_where(man, bands, specs=specs, with_n_tok=False,
+                      global_dict=_load_gdict(args.global_dict),
+                      null_cols=[args.column] if want_null else None,
+                      not_null_cols=[args.column] if want_not_null
+                      else None)
     n = rows.count()
     out = {"column": args.column, "lo": lo, "hi": hi,
+           "null": bool(want_null), "not_null": bool(want_not_null),
            "chunks_total": total, "chunks_decoded": surviving,
            "rows": n}
     if args.show:
@@ -787,11 +819,18 @@ def main(argv: list[str] | None = None) -> int:
                             "(numeric, float, or string columns)")
     p.add_argument("input")
     p.add_argument("--column", required=True)
-    p.add_argument("--lo", required=True,
+    p.add_argument("--lo", default=None,
                    help="lower bound, codec-lane units (cents/days/us; "
                         "raw doubles for float columns; raw strings "
                         "for string columns)")
-    p.add_argument("--hi", required=True)
+    p.add_argument("--hi", default=None)
+    p.add_argument("--null", action="store_true",
+                   help="IS NULL predicate on --column (prunes "
+                        "fully-populated chunks via null_count; "
+                        "combines with --lo/--hi as AND)")
+    p.add_argument("--not-null", dest="not_null", action="store_true",
+                   help="IS NOT NULL predicate on --column (prunes "
+                        "all-null chunks)")
     p.add_argument("--show", type=int, default=0, metavar="N",
                    help="include N sample rows in the output")
     p.add_argument("--global-dict", default=None)

@@ -423,6 +423,52 @@ def _sstats_disjoint(column: str, lo: str, hi: str):
            | (s["smax"].isNotNull() & (s["smax"] < F.lit(lo)))))
 
 
+def _has_null_stats(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the ``null_count`` lane —
+    written since the r3 stats schema; older manifests degrade to no
+    null-predicate pruning."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "null_count" in elem.fieldNames()
+
+
+def _null_disjoint(column: str):
+    """Predicate: the chunk's stats PROVE no row of ``column`` is NULL
+    (``null_count == 0``), so an ``IS NULL`` scan can skip it without
+    decoding — the null twin of :func:`_stats_disjoint`, the same
+    skip-without-decode parquet/Iceberg answer ``IS NULL`` audits with
+    (null_count row-group stats). Safe for LIST kinds too: their
+    ``null_count`` adds row nulls AND element nulls, and a zero total
+    still implies zero row nulls. A missing stats entry or a null
+    ``null_count`` never proves anything — the chunk is kept and the
+    residual filter decides."""
+    from pyspark.sql import functions as F
+
+    return F.exists(
+        "column_stats",
+        lambda s: (s["name"] == F.lit(column))
+        & s["null_count"].isNotNull()
+        & (s["null_count"] == F.lit(0)))
+
+
+def _notnull_disjoint(column: str):
+    """Predicate: the chunk's stats PROVE every row of ``column`` is
+    NULL (``null_count == n_rows`` — the outer manifest column is in
+    scope inside the lambda), so an ``IS NOT NULL`` scan can skip it.
+    Only valid for SCALAR kinds: a list column's ``null_count``
+    conflates row and element nulls, so equality with ``n_rows`` does
+    not prove all-null rows — callers must not emit this term for
+    list kinds (keeping the chunk is always correct)."""
+    from pyspark.sql import functions as F
+
+    return F.exists(
+        "column_stats",
+        lambda s: (s["name"] == F.lit(column))
+        & s["null_count"].isNotNull()
+        & (s["null_count"] == F.col("n_rows")))
+
+
 def _has_column_blooms(encoded: DataFrame) -> bool:
     """Whether ``column_stats`` carries the r5 per-column ``bloom``
     membership sidecar — older manifests degrade to zone-map-only
@@ -673,7 +719,9 @@ def scan_where(encoded: DataFrame,
                specs: list[tuple[str, str]] | None = None,
                with_n_tok: bool = True,
                global_dict=None,
-               project: list[str] | None = None) -> DataFrame:
+               project: list[str] | None = None,
+               null_cols: list[str] | None = None,
+               not_null_cols: list[str] | None = None) -> DataFrame:
     """Conjunctive range scan: ``AND`` of ``lo <= col <= hi`` bands.
 
     Each band prunes independently — a chunk is skipped when ANY
@@ -694,6 +742,15 @@ def scan_where(encoded: DataFrame,
     ``column_stats.bloom``, plus ``key_bloom`` when the column is the
     chunk's key zone-map column), so point predicates prune under
     hash layouts where every chunk's min/max spans the whole domain.
+
+    NULL predicates (r5): ``null_cols`` ANDs an ``IS NULL`` term per
+    column, ``not_null_cols`` an ``IS NOT NULL`` term — pruned via the
+    per-chunk ``null_count`` lane (``IS NULL`` skips fully-populated
+    chunks; ``IS NOT NULL`` skips all-null chunks), so completeness
+    audits over mostly-populated tables stay manifest-cheap. List
+    kinds prune on the ``IS NULL`` side only (their ``null_count``
+    conflates row and element nulls); the residual re-applies every
+    term either way.
     """
     import math
 
@@ -701,10 +758,20 @@ def scan_where(encoded: DataFrame,
 
     from .encode import TOKEN_SPECS, _float_kind, _int_kind
 
-    if not bands:
-        raise ValueError("scan_where: at least one band required")
+    null_cols = list(null_cols or [])
+    not_null_cols = list(not_null_cols or [])
+    if not bands and not null_cols and not not_null_cols:
+        raise ValueError("scan_where: at least one predicate required")
+    both = set(null_cols) & set(not_null_cols)
+    if both:
+        raise ValueError(
+            f"scan_where: columns {sorted(both)} listed as both "
+            "IS NULL and IS NOT NULL — the conjunction is empty")
     specs = specs or TOKEN_SPECS
     kinds = dict(specs)
+    for c in null_cols + not_null_cols:
+        if c not in kinds:
+            raise ValueError(f"scan_where: {c!r} not in encode specs")
     for column, lo, hi in bands:
         kind = kinds.get(column)
         if kind is None:
@@ -734,13 +801,24 @@ def scan_where(encoded: DataFrame,
             raise ValueError(
                 f"scan_where: projected columns {sorted(missing)} not "
                 "in encode specs")
-        need = set(project) | {c for c, _, _ in bands}
+        need = (set(project) | {c for c, _, _ in bands}
+                | set(null_cols) | set(not_null_cols))
         dec_specs = [s for s in specs if s[0] in need]
     has_int = _has_numeric_stats(encoded)
     has_f = _has_float_stats(encoded)
     has_s = _has_string_stats(encoded)
     has_b = _has_column_blooms(encoded)
+    has_n = _has_null_stats(encoded)
     drop = None
+    if has_n:
+        for c in null_cols:
+            d = _null_disjoint(c)
+            drop = d if drop is None else (drop | d)
+        for c in not_null_cols:
+            if kinds[c].endswith("_list"):
+                continue        # list null_count can't prove all-null
+            d = _notnull_disjoint(c)
+            drop = d if drop is None else (drop | d)
     for column, lo, hi in bands:
         if kinds[column] == "float":
             if not has_f:
@@ -779,6 +857,12 @@ def scan_where(encoded: DataFrame,
         else:
             c = _int_view(column, kinds[column]).between(int(lo),
                                                          int(hi))
+        cond = c if cond is None else (cond & c)
+    for col in null_cols:
+        c = F.col(col).isNull()
+        cond = c if cond is None else (cond & c)
+    for col in not_null_cols:
+        c = F.col(col).isNotNull()
         cond = c if cond is None else (cond & c)
     out = dec.where(cond)
     if project is not None:

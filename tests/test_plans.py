@@ -330,3 +330,36 @@ def test_lookup_values_bloom_probe_is_pure_catalyst(spark, tmp_path):
         assert len(nodes) == 1, (col, nodes)
         # the prune is a Filter below it, probing the bloom words
         assert "element_at" in plan or "bloom" in plan, col
+
+
+def test_scan_where_null_band_is_pure_catalyst(spark, tmp_path):
+    """r5 null-predicate scans: the null_count prune must stay a plain
+    WHERE over the manifest below the decode MapInArrow — an exists()
+    over column_stats comparing null_count (to 0, or to the outer
+    n_rows column) — with no Python eval node and no Exchange, the
+    same shape as every other stats prune."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, scan_where
+
+    src = spark.range(600).select(
+        F.col("id").alias("okey"),
+        F.when(F.col("id") >= 300, F.format_string("n%d", F.col("id")))
+        .alias("note"))
+    specs = [("okey", "int"), ("note", "string")]
+    encode_table(src.repartitionByRange(3, "okey"), specs=specs,
+                 mode="scan", key="okey",
+                 target_values=200).write.parquet(str(tmp_path / "m"))
+    enc = spark.read.parquet(str(tmp_path / "m"))
+    for kw in ({"null_cols": ["note"]}, {"not_null_cols": ["note"]}):
+        plan = _plan(scan_where(enc, [], specs=specs,
+                                with_n_tok=False, **kw))
+        label = next(iter(kw))
+        assert "BatchEvalPython" not in plan, label
+        assert "ArrowEvalPython" not in plan, label
+        assert "Exchange" not in plan, label        # map-only scan
+        nodes = set(re.findall(r"MapInArrow \((\d+)\)", plan))
+        assert len(nodes) == 1, (label, nodes)
+        assert "null_count" in plan, label          # the stats prune

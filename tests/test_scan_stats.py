@@ -267,8 +267,128 @@ def test_scan_where_conjunction(spark, encoded):
         (F.col("price") * 100).cast("long").between(150_00, 500_00)
         & F.col("d").between("1993-01-01", "1997-12-31")).collect())
     assert got == exp and len(got) > 0
-    with pytest.raises(ValueError, match="at least one band"):
+    with pytest.raises(ValueError, match="at least one predicate"):
         scan_where(enc, [], specs=specs)
+
+
+def nullable_orders(spark, n: int = 4000):
+    """Orders-shaped table with a string column that is NULL exactly
+    below a price threshold, range-clustered on price — so whole
+    chunks are fully-populated (null_count == 0) or fully-null
+    (null_count == n_rows) and both null-band prune arms can prove
+    skips."""
+    df = spark.range(n).select(
+        F.col("id").alias("okey"),
+        (F.col("id") * 37 % 90000 + 100).alias("cents"),
+        F.when(F.col("id") * 37 % 90000 + 100 >= 45000,
+               F.concat(F.lit("note-"), (F.col("id") % 7)))
+        .alias("note"))
+    return (df.repartitionByRange(4, "cents")
+            .sortWithinPartitions("cents"))
+
+
+def test_scan_where_null_bands(spark):
+    """IS NULL / IS NOT NULL bands (r5): pruned via the per-chunk
+    ``null_count`` lane — IS NULL skips fully-populated chunks,
+    IS NOT NULL skips all-null chunks — and the residual re-applies
+    the predicate, so results equal the plain DataFrame filter."""
+    from br_archive_spark.operators import scan_where
+    from br_archive_spark.operators.decode import (_notnull_disjoint,
+                                                   _null_disjoint)
+
+    src = nullable_orders(spark)
+    specs = [("okey", "int"), ("cents", "int"), ("note", "string")]
+    enc = encode_table(src, specs=specs, mode="scan",
+                       target_values=500).cache()
+    total = enc.count()
+    try:
+        kept_null = enc.where(~_null_disjoint("note")).count()
+        kept_nn = enc.where(~_notnull_disjoint("note")).count()
+        assert kept_null < total and kept_nn < total, \
+            (kept_null, kept_nn, total)
+        got = sorted(r["okey"] for r in
+                     scan_where(enc, [], specs=specs, with_n_tok=False,
+                                null_cols=["note"]).collect())
+        exp = sorted(r["okey"] for r in
+                     src.where(F.col("note").isNull()).collect())
+        assert got == exp and len(got) > 0
+        got = sorted(r["okey"] for r in
+                     scan_where(enc, [], specs=specs, with_n_tok=False,
+                                not_null_cols=["note"]).collect())
+        exp = sorted(r["okey"] for r in
+                     src.where(F.col("note").isNotNull()).collect())
+        assert got == exp and len(got) > 0
+        # conjunction with a range band + projection
+        got = sorted(r["okey"] for r in
+                     scan_where(enc, [("cents", 50000, 70000)],
+                                specs=specs, with_n_tok=False,
+                                project=["okey"],
+                                not_null_cols=["note"]).collect())
+        exp = sorted(r["okey"] for r in src.where(
+            F.col("cents").between(50000, 70000)
+            & F.col("note").isNotNull()).collect())
+        assert got == exp and len(got) > 0
+        with pytest.raises(ValueError, match="both"):
+            scan_where(enc, [], specs=specs, null_cols=["note"],
+                       not_null_cols=["note"])
+        with pytest.raises(ValueError, match="not in encode specs"):
+            scan_where(enc, [], specs=specs, null_cols=["ghost"])
+    finally:
+        enc.unpersist()
+
+
+def test_cli_scan_null_flags(spark, tmp_path, capsys):
+    """CLI `scan --null` / `--not-null`: null_count-pruned scans from
+    the command line; contradictory or missing predicates exit 2."""
+    import json
+    from argparse import Namespace
+
+    from br_archive_spark.cli import cmd_scan
+
+    src = nullable_orders(spark, 2000)
+    specs = [("okey", "int"), ("cents", "int"), ("note", "string")]
+    man_dir = str(tmp_path / "man")
+    encode_table(src, specs=specs, mode="scan", key="okey",
+                 target_values=300).write.parquet(man_dir)
+    base = dict(input=man_dir, show=0, global_dict=None,
+                master="local[2]", shuffle_partitions=4,
+                lo=None, hi=None)
+    args = Namespace(**base, column="note", null=True, not_null=False)
+    assert cmd_scan(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == src.where(F.col("note").isNull()).count()
+    assert out["chunks_decoded"] < out["chunks_total"]
+    args = Namespace(**base, column="note", null=False, not_null=True)
+    assert cmd_scan(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == src.where(F.col("note").isNotNull()).count()
+    assert out["chunks_decoded"] < out["chunks_total"]
+    assert cmd_scan(Namespace(**base, column="note", null=True,
+                              not_null=True)) == 2
+    assert cmd_scan(Namespace(**base, column="note", null=False,
+                              not_null=False)) == 2
+
+
+def test_scan_where_null_bands_list_kind_conservative(spark):
+    """List kinds: element nulls inflate ``null_count``, so the
+    IS NOT NULL arm must never prune on it (a chunk whose every row
+    has one null ELEMENT would look all-null) and the IS NULL arm only
+    skips chunks with zero total nulls — either way the residual keeps
+    results exact (the ADVICE-r2 silent-miss rule)."""
+    from br_archive_spark.operators import scan_where
+
+    rows = [(i, [i, None] if i % 2 else [i, i + 1]) for i in range(200)]
+    src = spark.createDataFrame(rows, "okey long, toks array<long>")
+    specs = [("okey", "int"), ("toks", "int_list")]
+    enc = encode_table(src, specs=specs, mode="scan", key="okey",
+                       num_parts=2, target_values=100)
+    # no row is NULL: IS NULL finds nothing, IS NOT NULL everything
+    assert scan_where(enc, [], specs=specs, with_n_tok=False,
+                      null_cols=["toks"]).count() == 0
+    got = sorted(r["okey"] for r in
+                 scan_where(enc, [], specs=specs, with_n_tok=False,
+                            not_null_cols=["toks"]).collect())
+    assert got == list(range(200))
 
 
 def test_scan_range_projection(spark, encoded):
