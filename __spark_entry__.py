@@ -726,6 +726,34 @@ def q_null_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ckey").cast("long").alias("ckey"), "status_note")
 
 
+def q_in_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list scan (r5): ``scan_where isin=`` ANDs a multi-value
+    equality band — the ``WHERE seg IN (...) AND key BETWEEN ...``
+    shape every partitioned warehouse query has. Customers are
+    range-clustered on c_mktsegment, so chunks are segment runs: the
+    truncate(16) smin/smax envelope prunes segments outside
+    [AUTOMOBILE, FURNITURE] and the membership blooms prune BUILDING
+    inside the envelope; the ckey band then prunes within segment.
+    Exact residual; equals the plain conjunctive filter."""
+    from br_archive_spark.operators import encode_table, scan_where
+
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("ckey"),
+        "c_name", "c_mktsegment")
+    clustered = (cust.repartitionByRange(8, "c_mktsegment")
+                 .sortWithinPartitions("c_mktsegment", "ckey"))
+    specs = [("ckey", "int"), ("c_name", "string"),
+             ("c_mktsegment", "string")]
+    enc = encode_table(clustered, specs=specs, mode="scan",
+                       key="c_mktsegment", target_values=1 << 10)
+    out = scan_where(enc, [("ckey", 100, 1200)], specs=specs,
+                     with_n_tok=False,
+                     isin={"c_mktsegment": ["AUTOMOBILE", "FURNITURE"]})
+    return out.select(
+        F.col("ckey").cast("long").alias("ckey"),
+        "c_name", "c_mktsegment")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1665,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_string_lookup": q_bloom_string_lookup,
         "bloom_binary_lookup": q_bloom_binary_lookup,
         "null_scan": q_null_scan,
+        "in_list_scan": q_in_list_scan,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2127,6 +2156,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE (CASE WHEN o_custkey >= 700 THEN o_orderstatus END)
                   IS NOT NULL
+        """,
+        # in_list_scan: IN-list band + range band, pruned via string
+        # envelope + membership blooms; equals the plain conjunction
+        "in_list_scan": """
+            SELECT CAST(c_custkey AS BIGINT) AS ckey,
+                   c_name, c_mktsegment
+            FROM customer
+            WHERE c_mktsegment IN ('AUTOMOBILE', 'FURNITURE')
+              AND CAST(c_custkey AS BIGINT) BETWEEN 100 AND 1200
         """,
         # bloom_string_lookup: the engine prunes via per-chunk string
         # blooms then decodes survivors; values must equal the plain

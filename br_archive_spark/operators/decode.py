@@ -721,7 +721,8 @@ def scan_where(encoded: DataFrame,
                global_dict=None,
                project: list[str] | None = None,
                null_cols: list[str] | None = None,
-               not_null_cols: list[str] | None = None) -> DataFrame:
+               not_null_cols: list[str] | None = None,
+               isin: dict[str, list] | None = None) -> DataFrame:
     """Conjunctive range scan: ``AND`` of ``lo <= col <= hi`` bands.
 
     Each band prunes independently — a chunk is skipped when ANY
@@ -751,6 +752,15 @@ def scan_where(encoded: DataFrame,
     kinds prune on the ``IS NULL`` side only (their ``null_count``
     conflates row and element nulls); the residual re-applies every
     term either way.
+
+    IN-list bands (r5): ``isin={col: [v1, v2, ...]}`` ANDs a
+    ``col IN (...)`` term per entry — the multi-value twin of an
+    equality band, pruned like :func:`lookup_values` (zone-map
+    envelope ``[min(values), max(values)]`` + per-chunk membership
+    bloom over every probe; binary lanes are bloom-only). Values are
+    codec-lane units for int-backed kinds, strings/bytes otherwise;
+    lists longer than 64 skip the bloom arm (plan-size cap) and fall
+    back to envelope + the exact residual.
     """
     import math
 
@@ -760,7 +770,8 @@ def scan_where(encoded: DataFrame,
 
     null_cols = list(null_cols or [])
     not_null_cols = list(not_null_cols or [])
-    if not bands and not null_cols and not not_null_cols:
+    isin = dict(isin or {})
+    if not bands and not null_cols and not not_null_cols and not isin:
         raise ValueError("scan_where: at least one predicate required")
     both = set(null_cols) & set(not_null_cols)
     if both:
@@ -772,6 +783,23 @@ def scan_where(encoded: DataFrame,
     for c in null_cols + not_null_cols:
         if c not in kinds:
             raise ValueError(f"scan_where: {c!r} not in encode specs")
+    ivals: dict[str, list] = {}
+    for c, vals in isin.items():
+        kind = kinds.get(c)
+        if kind is None:
+            raise ValueError(f"scan_where: {c!r} not in encode specs")
+        if not vals:
+            raise ValueError(f"scan_where: empty IN-list for {c!r}")
+        if kind == "string":
+            ivals[c] = sorted({str(v) for v in vals})
+        elif kind == "binary":
+            ivals[c] = sorted({bytes(v) for v in vals})
+        elif _int_kind(kind) and kind != "int_list":
+            ivals[c] = sorted({int(v) for v in vals})
+        else:
+            raise ValueError(
+                f"scan_where: IN-list on {c!r} (kind {kind!r}) — "
+                "needs a scalar int-backed, string, or binary column")
     for column, lo, hi in bands:
         kind = kinds.get(column)
         if kind is None:
@@ -802,7 +830,7 @@ def scan_where(encoded: DataFrame,
                 f"scan_where: projected columns {sorted(missing)} not "
                 "in encode specs")
         need = (set(project) | {c for c, _, _ in bands}
-                | set(null_cols) | set(not_null_cols))
+                | set(null_cols) | set(not_null_cols) | set(ivals))
         dec_specs = [s for s in specs if s[0] in need]
     has_int = _has_numeric_stats(encoded)
     has_f = _has_float_stats(encoded)
@@ -839,6 +867,28 @@ def scan_where(encoded: DataFrame,
             if has_b and lo == hi:
                 d = d | ~_int_bloom_keep(column, [int(lo)])
         drop = d if drop is None else (drop | d)
+    for column, vals in ivals.items():
+        # IN-list: zone-map envelope [min, max] (lookup_values' probe
+        # band) OR bloom proof that EVERY probe value is absent
+        kind = kinds[column]
+        d = None
+        if kind == "string":
+            if has_s:
+                d = _sstats_disjoint(column, vals[0], vals[-1])
+            if has_b and len(vals) <= 64:
+                b = ~_str_bloom_keep(column, vals)
+                d = b if d is None else (d | b)
+        elif kind == "binary":
+            if has_b and len(vals) <= 64:
+                d = ~_str_bloom_keep(column, vals)
+        else:
+            if has_int:
+                d = _stats_disjoint(column, vals[0], vals[-1])
+            if has_b and len(vals) <= 64:
+                b = ~_int_bloom_keep(column, vals)
+                d = b if d is None else (d | b)
+        if d is not None:
+            drop = d if drop is None else (drop | d)
     pruned = encoded.where(~drop) if drop is not None else encoded
     for column, lo, hi in bands:
         # a string point band on the chunk's KEY column probes
@@ -846,6 +896,9 @@ def scan_where(encoded: DataFrame,
         # keeps every chunk whose key_col differs, so this composes
         if kinds[column] == "string" and lo == hi:
             pruned = _bloom_prune(pruned, column, [str(lo)])
+    for column, vals in ivals.items():
+        if kinds[column] == "string":
+            pruned = _bloom_prune(pruned, column, vals)
     dec = decode_table(pruned, specs=dec_specs, with_n_tok=with_n_tok,
                        global_dict=global_dict)
     cond = None
@@ -863,6 +916,11 @@ def scan_where(encoded: DataFrame,
         cond = c if cond is None else (cond & c)
     for col in not_null_cols:
         c = F.col(col).isNotNull()
+        cond = c if cond is None else (cond & c)
+    for col, vals in ivals.items():
+        kind = kinds[col]
+        c = (F.col(col).isin(vals) if kind in ("string", "binary")
+             else _int_view(col, kind).isin(vals))
         cond = c if cond is None else (cond & c)
     out = dec.where(cond)
     if project is not None:

@@ -363,3 +363,32 @@ def test_scan_where_null_band_is_pure_catalyst(spark, tmp_path):
         nodes = set(re.findall(r"MapInArrow \((\d+)\)", plan))
         assert len(nodes) == 1, (label, nodes)
         assert "null_count" in plan, label          # the stats prune
+
+
+def test_scan_where_isin_band_is_pure_catalyst(spark, tmp_path):
+    """r5 IN-list bands: envelope + membership prune stays a manifest
+    WHERE below the decode MapInArrow — literal bloom bit tests per
+    probe value, no Python eval node, no Exchange."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from br_archive_spark.operators import encode_table, scan_where
+
+    src = spark.range(600).select(
+        F.col("id").alias("okey"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("seg"))
+    specs = [("okey", "int"), ("seg", "string")]
+    encode_table(src, specs=specs, mode="hash", key="seg",
+                 num_parts=4,
+                 target_values=200).write.parquet(str(tmp_path / "m"))
+    enc = spark.read.parquet(str(tmp_path / "m"))
+    plan = _plan(scan_where(enc, [], specs=specs, with_n_tok=False,
+                            isin={"seg": ["s1", "s4"],
+                                  "okey": [3, 300]}))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    nodes = set(re.findall(r"MapInArrow \((\d+)\)", plan))
+    assert len(nodes) == 1, nodes
+    assert "element_at" in plan          # bloom word bit tests

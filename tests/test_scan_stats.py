@@ -337,6 +337,57 @@ def test_scan_where_null_bands(spark):
         enc.unpersist()
 
 
+def test_scan_where_isin_bands(spark):
+    """IN-list bands (r5): ``isin={col: values}`` ANDs a multi-value
+    equality term — zone-map envelope + membership-bloom pruned per
+    lane (string/int/binary), exact residual. On a hash layout only
+    the blooms can prune; results must equal the plain isin filter."""
+    from br_archive_spark.operators import scan_where
+    from br_archive_spark.operators.decode import _str_bloom_keep
+
+    # seg runs with the cluster key (name = zero-padded id), so each
+    # chunk holds ~2 of the 10 segs and the seg column bloom — NOT
+    # the key_bloom, seg is a non-key column — can prove absence
+    df = spark.range(3000).select(
+        F.col("id").alias("okey"),
+        F.format_string("%06d", F.col("id")).alias("name"),
+        (F.col("id") * 37 % 90000).alias("cents"),
+        F.concat(F.lit("seg"), (F.col("id") / 300).cast("long"))
+        .alias("seg"))
+    specs = [("okey", "int"), ("name", "string"),
+             ("cents", "int"), ("seg", "string")]
+    enc = encode_table(df, specs=specs, mode="scan", key="name",
+                       num_parts=8, target_values=400).cache()
+    try:
+        total = enc.count()
+        kept = enc.where(
+            _str_bloom_keep("seg", ["seg3", "seg7"])).count()
+        assert kept < total, (kept, total)   # membership prunes
+        got = sorted(r["okey"] for r in scan_where(
+            enc, [], specs=specs, with_n_tok=False,
+            isin={"seg": ["seg3", "seg7", "zzz"]}).collect())
+        exp = sorted(r["okey"] for r in
+                     df.where(F.col("seg").isin("seg3", "seg7"))
+                     .collect())
+        assert got == exp and len(got) > 0
+        # int IN-list AND a range band AND a string IN-list
+        got = sorted(r["okey"] for r in scan_where(
+            enc, [("cents", 0, 60000)], specs=specs, with_n_tok=False,
+            isin={"okey": [5, 500, 2999], "seg": ["seg5", "seg6"]})
+            .collect())
+        exp = sorted(r["okey"] for r in df.where(
+            F.col("cents").between(0, 60000)
+            & F.col("okey").isin(5, 500, 2999)
+            & F.col("seg").isin("seg5", "seg6")).collect())
+        assert got == exp
+        with pytest.raises(ValueError, match="not in encode specs"):
+            scan_where(enc, [], specs=specs, isin={"ghost": [1]})
+        with pytest.raises(ValueError, match="empty IN-list"):
+            scan_where(enc, [], specs=specs, isin={"seg": []})
+    finally:
+        enc.unpersist()
+
+
 def test_cli_scan_null_flags(spark, tmp_path, capsys):
     """CLI `scan --null` / `--not-null`: null_count-pruned scans from
     the command line; contradictory or missing predicates exit 2."""
