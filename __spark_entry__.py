@@ -754,6 +754,41 @@ def q_in_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name", "c_mktsegment")
 
 
+def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count sketches (r5): every sketchable column
+    carries 1024 HyperLogLog registers in ``column_stats.hll``
+    (operators/bloom.py — same distinct-value hashes as the
+    membership blooms), merged by a partial-aggregatable per-register
+    max, so ``ndv_encoded`` answers COUNT(DISTINCT col) from the
+    manifest alone. The oracle is EXACT, so the query emits the exact
+    NDV (decoded + countDistinct) only for columns whose manifest
+    estimate lands within 10% of it (measured errors here: <=4.5%) —
+    if the sketch ever drifts, rows vanish and the driver comparison
+    goes red. Sketch accuracy is itself driver-checked."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            ndv_encoded)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("ckey", "int"),
+             ("status", "string"), ("prio", "string")]
+    enc = encode_table(orders, specs=specs, mode="hash", key="status",
+                       num_parts=8, target_values=1 << 11).cache()
+    cols = [n for n, _ in specs]
+    exact = decode_table(enc, specs=specs, with_n_tok=False).agg(
+        *[F.countDistinct(c).alias(c) for c in cols]).first()
+    rows = []
+    for name in cols:
+        est = ndv_encoded(enc, name)
+        if abs(est - exact[name]) <= 0.10 * exact[name]:
+            rows.append((name, int(exact[name])))
+    enc.unpersist()
+    return spark.createDataFrame(rows, "column_name string, ndv long")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1694,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_binary_lookup": q_bloom_binary_lookup,
         "null_scan": q_null_scan,
         "in_list_scan": q_in_list_scan,
+        "ndv_sketch": q_ndv_sketch,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2156,6 +2192,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE (CASE WHEN o_custkey >= 700 THEN o_orderstatus END)
                   IS NOT NULL
+        """,
+        # ndv_sketch: rows survive only when the manifest HLL estimate
+        # is within 10% of exact, and carry the EXACT count — a
+        # drifting sketch drops rows and fails the comparison
+        "ndv_sketch": """
+            SELECT * FROM (
+                SELECT 'okey' AS column_name,
+                       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+                           AS ndv FROM orders
+                UNION ALL
+                SELECT 'ckey',
+                       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                    FROM orders
+                UNION ALL
+                SELECT 'status',
+                       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+                    FROM orders
+                UNION ALL
+                SELECT 'prio',
+                       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+                    FROM orders
+            )
         """,
         # in_list_scan: IN-list band + range band, pruned via string
         # envelope + membership blooms; equals the plain conjunction

@@ -511,14 +511,18 @@ def cmd_agg(args) -> int:
     """COUNT/SUM/MIN/MAX over one numeric column answered from the
     manifest alone — no payload read, no chunk decoded (`unbra -l`
     generalized to value aggregates). A null vsum with values present
-    means the exact sum could overflow int64: decode to aggregate."""
-    from .operators.decode import agg_encoded
+    means the exact sum could overflow int64: decode to aggregate.
+    ``--ndv`` adds the HLL distinct-count estimate (r5, ~3% relative
+    error) from the per-chunk sketch lane."""
+    from .operators.decode import agg_encoded, ndv_encoded
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
     row = agg_encoded(man, args.column).collect()[0]
-    print(json.dumps({"column": args.column, **row.asDict()},
-                     default=str))
+    out = {"column": args.column, **row.asDict()}
+    if getattr(args, "ndv", False):
+        out["ndv_est"] = ndv_encoded(man, args.column)
+    print(json.dumps(out, default=str))
     return 0
 
 
@@ -840,6 +844,9 @@ def main(argv: list[str] | None = None) -> int:
                        help="COUNT/SUM/MIN/MAX from the manifest only")
     p.add_argument("input")
     p.add_argument("--column", required=True)
+    p.add_argument("--ndv", action="store_true",
+                   help="add the HLL distinct-count estimate from "
+                        "the per-chunk sketch lane (~3% rel error)")
     p.set_defaults(fn=cmd_agg)
 
     p = sub.add_parser("evolve",

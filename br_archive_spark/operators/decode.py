@@ -1072,6 +1072,60 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         .otherwise(F.max("c_smax")).alias("smax"))
 
 
+def _has_hll(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r5 ``hll`` sketch lane —
+    older manifests degrade to "no estimate", never a guess."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "hll" in elem.fieldNames()
+
+
+def ndv_encoded(encoded: DataFrame, column: str) -> int:
+    """Approximate ``COUNT(DISTINCT column)`` answered ENTIRELY from
+    the manifest — the cardinality question every layout, join
+    strategy, and dictionary decision starts with, at ~3% relative
+    error, without reading a payload byte.
+
+    Per-chunk HyperLogLog registers (``column_stats.hll``, built at
+    encode over the same distinct-value hashes as the membership
+    blooms) merge by per-register max — associative and idempotent,
+    so the merge is one partial-aggregatable pass: posexplode to
+    (register, value) rows (chunks x 1024), map-side-combined max per
+    register, 1024 rows to the driver for the harmonic estimate. At
+    any chunk count the shuffle is bounded by partitions x 1024 rows.
+
+    Raises when the manifest predates the sketch lane or any chunk of
+    this column lacks one (non-sketchable kind — float/int_list — or
+    a ``bloom=False`` encode): an estimate that silently ignored
+    chunks would be a wrong answer, the same no-silent-miss rule as
+    every pruning lane."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .bloom import HLL_M, hll_estimate
+
+    if not _has_hll(encoded):
+        raise ValueError(
+            "ndv_encoded: manifest predates hll sketches (pre-r5) — "
+            "decode_table + countDistinct instead, or re-encode")
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    per = encoded.select(s["hll"].alias("hll"))
+    if per.where(F.col("hll").isNull()).limit(1).count():
+        raise ValueError(
+            f"ndv_encoded: column {column!r} has chunks without a "
+            "sketch (non-sketchable kind or bloom=False encode) — "
+            "decode_table + countDistinct instead")
+    merged = (per.select(F.posexplode("hll").alias("pos", "r"))
+              .groupBy("pos").agg(F.max("r").alias("r")).collect())
+    regs = np.zeros(HLL_M, np.int64)
+    for row in merged:
+        regs[row["pos"]] = row["r"]
+    return int(round(hll_estimate(regs)))
+
+
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],
                 value_col: str, key: str = "doc_id",
                 value_kind: str = "string") -> DataFrame:

@@ -135,6 +135,19 @@ MANIFEST_SCHEMA = pa.schema([
         # kinds, bloom=False encodes) — correctness never depends on
         # the bloom.
         ("bloom", pa.list_(pa.int64())),
+        # hll: distinct-count sketch sidecar (r5) — 1024 HyperLogLog
+        # registers over the SAME per-distinct-value hashes the bloom
+        # consumes (operators/bloom.py, Flajolet AofA'07). Mergeable
+        # by per-register max, so ndv_encoded answers "how many
+        # distinct values" from the manifest alone at any chunk count
+        # — the cardinality question every layout/join-strategy
+        # decision starts with. Same lanes as bloom (scalar
+        # int-backed, string, binary; int_list token lanes excluded —
+        # keeping the hot token-encode path cost-free; vocab NDV
+        # comes from build_global_dict). Null = "no sketch" (pre-r5
+        # manifests, bloom=False) — consumers must refuse to
+        # estimate, never guess.
+        ("hll", pa.list_(pa.int32())),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -164,7 +177,7 @@ MANIFEST_SPARK_SCHEMA = (
     "orig_bytes:long,enc_bytes:long,"
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
     "fmin:double,fmax:double,smin:string,smax:string,"
-    "bloom:array<bigint>>>, "
+    "bloom:array<bigint>,hll:array<int>>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -401,7 +414,7 @@ def _trunc_upper(s: str):
 
 
 def _entry_stats(kind: str, data, validity,
-                 bloom: bool = True) -> dict:
+                 bloom: bool = True, sketch: bool | None = None) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
     ``{vmin, vmax, vsum, null_count}``, plus (r5, ``bloom=True``) a
     per-column membership bloom over the distinct lane values of
@@ -429,6 +442,11 @@ def _entry_stats(kind: str, data, validity,
     ``data`` are zero-filled, so masking by validity is REQUIRED before
     any stat (a zero-filled null must not become the chunk min).
     """
+    # ``bloom`` gates the membership sidecar (the key zone-map column
+    # passes False — its filter is key_bloom); ``sketch`` gates the
+    # hll NDV registers independently, defaulting to ``bloom`` so the
+    # key column still gets a sketch (there is no key-level twin)
+    sketch = bloom if sketch is None else sketch
     null_count = 0
     if kind == "int_list":
         values, _lengths = data
@@ -477,7 +495,8 @@ def _entry_stats(kind: str, data, validity,
                 "n_vals": len(fvals), "null_count": null_count,
                 "fmin": float(finite.min()) if len(finite) else None,
                 "fmax": float(finite.max()) if len(finite) else None,
-                "smin": None, "smax": None, "bloom": None}
+                "smin": None, "smax": None, "bloom": None,
+                "hll": None}
     elif kind == "string":
         # string zone map (r5): truncate(16) bounds, Iceberg
         # semantics — smin a prefix of the true min (lower bound),
@@ -497,20 +516,27 @@ def _entry_stats(kind: str, data, validity,
         if row_valid is not None:
             arr = arr.filter(pa.array(row_valid))
         if len(arr) == 0:
+            from .bloom import HLL_M
+
             return {"vmin": None, "vmax": None, "vsum": None,
                     "n_vals": 0, "null_count": null_count,
                     "fmin": None, "fmax": None,
-                    "smin": None, "smax": None, "bloom": None}
+                    "smin": None, "smax": None, "bloom": None,
+                    "hll": [0] * HLL_M if sketch else None}
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
-        if bloom:
-            # string membership sidecar (r5): bloom over the DISTINCT
-            # values — the string twin of build_int_bloom, same hash
-            # family as the key bloom (hash_key over UTF-8 bytes), so
-            # point probes on non-key string columns prune under hash
-            # layouts where smin/smax span the whole domain
-            from .bloom import build_bloom
+        blm = hll = None
+        if bloom or sketch:
+            # string membership + sketch sidecars (r5): bloom words
+            # AND HLL registers over ONE hashing pass of the DISTINCT
+            # values — same hash family as the key bloom (hash_key
+            # over UTF-8 bytes), so point probes on non-key string
+            # columns prune under hash layouts where smin/smax span
+            # the whole domain, and ndv_encoded estimates distincts
+            # from the manifest alone
+            from .bloom import (bloom_from_hashes, hll_from_hashes,
+                                string_hashes)
 
             u = pc.unique(arr)
             uoff = np.frombuffer(u.buffers()[1], np.int64)
@@ -518,15 +544,17 @@ def _entry_stats(kind: str, data, validity,
             ubuf = u.buffers()[2]
             ublob = np.frombuffer(ubuf, np.uint8)[uoff[0]:uoff[-1]] \
                 if ubuf is not None else b""
-            blm = build_bloom(ublob, uoff - uoff[0])
-        else:
-            blm = None
+            h1 = string_hashes(ublob, uoff - uoff[0])
+            if bloom:
+                blm = bloom_from_hashes(h1)
+            if sketch:
+                hll = hll_from_hashes(h1)
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(arr), "null_count": null_count,
                 "fmin": None, "fmax": None,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
-                "bloom": blm}
+                "bloom": blm, "hll": hll}
     elif kind == "binary":
         # binary membership sidecar (r5): bloom over the distinct
         # byte values — content-digest point lookups (media hashes,
@@ -537,8 +565,11 @@ def _entry_stats(kind: str, data, validity,
         row_valid = validity[0] if validity is not None else None
         if row_valid is not None:
             null_count += int((~row_valid).sum())
-        blm = None
-        if bloom:
+        blm = hll = None
+        if bloom or sketch:
+            from .bloom import (HLL_M, bloom_from_hashes,
+                                hll_from_hashes, string_hashes)
+
             arr = pa.Array.from_buffers(
                 pa.large_binary(), n,
                 [None, pa.py_buffer(np.ascontiguousarray(offs)),
@@ -555,15 +586,19 @@ def _entry_stats(kind: str, data, validity,
                 ublob = np.frombuffer(
                     ubuf, np.uint8)[uoff[0]:uoff[-1]] \
                     if ubuf is not None else b""
-                from .bloom import build_bloom
-
-                blm = build_bloom(ublob, uoff - uoff[0])
+                h1 = string_hashes(ublob, uoff - uoff[0])
+                if bloom:
+                    blm = bloom_from_hashes(h1)
+                if sketch:
+                    hll = hll_from_hashes(h1)
+            elif sketch:
+                hll = [0] * HLL_M
         # n_vals stays None: binary carries no numeric agg lanes, and
         # consumers (agg_encoded, verify --stats) key off that
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
-                "smax": None, "bloom": blm}
+                "smax": None, "bloom": blm, "hll": hll}
     else:
         if validity is not None:
             for v in validity:
@@ -572,32 +607,43 @@ def _entry_stats(kind: str, data, validity,
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
-                "smax": None, "bloom": None}
+                "smax": None, "bloom": None, "hll": None}
     if len(vals) == 0:
+        from .bloom import HLL_M
+
         return {"vmin": None, "vmax": None, "vsum": 0,
                 "n_vals": 0, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
-                "smax": None, "bloom": None}
+                "smax": None, "bloom": None,
+                "hll": [0] * HLL_M
+                if sketch and kind != "int_list" else None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
         vsum = int(vals.sum(dtype=np.int64))
     else:
         vsum = None
-    if bloom and kind != "int_list":
-        # scalar int lane: membership sidecar over the distinct
-        # values (operators/bloom.py) — int_list lanes (token arrays)
-        # are excluded: element membership isn't a chunk-prune
-        # predicate and the vocabulary would saturate the filter
-        from .bloom import build_int_bloom
+    blm = hll = None
+    if (bloom or sketch) and kind != "int_list":
+        # scalar int lane: membership + sketch sidecars over ONE
+        # hashing pass of the distinct values (operators/bloom.py) —
+        # int_list lanes (token arrays) are excluded: element
+        # membership isn't a chunk-prune predicate, the vocabulary
+        # would saturate the filter, and the per-chunk unique over
+        # millions of token elements would tax the hot encode path
+        # (vocab NDV comes from build_global_dict instead)
+        from .bloom import (bloom_from_hashes, hll_from_hashes,
+                            int_hashes)
 
-        blm = build_int_bloom(vals)
-    else:
-        blm = None
+        h1 = int_hashes(vals)
+        if bloom:
+            blm = bloom_from_hashes(h1)
+        if sketch:
+            hll = hll_from_hashes(h1)
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
             "fmin": None, "fmax": None, "smin": None, "smax": None,
-            "bloom": blm}
+            "bloom": blm, "hll": hll}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],
@@ -659,7 +705,8 @@ def _make_encode_fn(specs: list[tuple[str, str]], target_values: int,
                 # (lookup_values consults key_bloom for that column)
                 stats.append(_entry_stats(
                     kind, data, validity,
-                    bloom=bloom and name != key_bounds[0]))
+                    bloom=bloom and name != key_bounds[0],
+                    sketch=bloom))
             key_bloom = None
             if bloom and key_bounds[0]:
                 from .bloom import build_bloom

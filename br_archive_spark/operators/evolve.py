@@ -644,7 +644,7 @@ def _rewrite_masked(row: dict, mask, known: dict[str, str], key: str,
             {**{k: e[k] for k in ("name", "kind", "codec",
                                   "orig_bytes", "enc_bytes")},
              **_entry_stats(kind, data, validity,
-                            bloom=name != kb[0])})
+                            bloom=name != kb[0], sketch=True)})
     row["columns"] = new_entries
     if row.get("column_stats") is not None:
         row["column_stats"] = new_stats
