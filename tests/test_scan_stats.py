@@ -1168,5 +1168,24 @@ def test_pruned_scans_equal_raw_filters_randomized(spark):
         eq(lookup_values(enc, "s", svals, specs=specs,
                          with_n_tok=False),
            df.where(F.col("s").isin(svals)), ("s in", svals))
+        # r5 null bands + IN-list bands through scan_where — same
+        # exactness bar, same nets (nulls, extremes, empty results)
+        col = rng.choice(["s", "v"])
+        eq(scan_where(enc, [], specs=specs, with_n_tok=False,
+                      null_cols=[col]),
+           df.where(F.col(col).isNull()), ("null", col))
+        eq(scan_where(enc, [], specs=specs, with_n_tok=False,
+                      not_null_cols=[col]),
+           df.where(F.col(col).isNotNull()), ("notnull", col))
+        eq(scan_where(enc, [], specs=specs, with_n_tok=False,
+                      isin={"v": vals, "s": svals}),
+           df.where(F.col("v").isin(vals) & F.col("s").isin(svals)),
+           ("isin", vals, svals))
+        eq(scan_where(enc, [("v", lo, hi)], specs=specs,
+                      with_n_tok=False, not_null_cols=["s"],
+                      isin={"s": svals}),
+           df.where(F.col("v").between(lo, hi)
+                    & F.col("s").isNotNull()
+                    & F.col("s").isin(svals)), ("combo", trial))
         df.unpersist()
         enc.unpersist()
