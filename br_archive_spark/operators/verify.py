@@ -177,6 +177,28 @@ def verify_stats(encoded: DataFrame,
         col["ok"] = ok
         all_ok &= ok
         out[name] = col
+    # r5 sketch-lane audit: the manifest HLL estimate must land
+    # within 10% of the decoded exact distinct count (p=10 registers
+    # → 3.25% std error; 10% ≈ 3σ, and the hashes are deterministic,
+    # so for fixed data this is a fixed — not flaky — check). Columns
+    # without a sketch (float/int_list kinds, bloom=False encodes,
+    # pre-r5 manifests) are skipped, never guessed at.
+    from .decode import _has_hll, ndv_encoded
+
+    if _has_hll(encoded):
+        for name, _kind in specs:
+            try:
+                est = ndv_encoded(encoded, name)
+            except ValueError:
+                continue
+            exact = (dec.where(F.col(name).isNotNull())
+                     .select(name).distinct().count())
+            ndv_ok = abs(est - exact) <= max(1.0, 0.10 * exact)
+            entry = out.setdefault(name, {"ok": True})
+            entry["ndv"] = {"manifest_est": est, "decoded": exact,
+                            "ok": ndv_ok}
+            entry["ok"] = bool(entry["ok"] and ndv_ok)
+            all_ok &= ndv_ok
     return {"ok": bool(all_ok), "columns": out}
 
 

@@ -154,3 +154,34 @@ def test_hll_empty_and_allnull_chunks(spark):
                        target_values=500)
     assert ndv_encoded(enc, "empty") == 0
     assert HLL_M == 1024
+
+
+def test_verify_stats_audits_sketches(spark):
+    """verify --stats cross-checks the sketch lane: a healthy
+    manifest reports ndv ok per sketched column; zeroed-out registers
+    (estimate 0 vs thousands exact) go red."""
+    from br_archive_spark.operators.verify import verify_stats
+
+    df = spark.range(8000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"))
+    specs = [("okey", "int"), ("doc_id", "string")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=4,
+                       target_values=2000)
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert res["columns"]["okey"]["ndv"]["ok"]
+    assert res["columns"]["doc_id"]["ndv"]["ok"]
+    forged = enc.withColumn("column_stats", F.expr(
+        "transform(column_stats, s -> CASE WHEN s.name = 'okey' THEN"
+        " named_struct('name', s.name, 'kind', s.kind,"
+        " 'codec', s.codec, 'orig_bytes', s.orig_bytes,"
+        " 'enc_bytes', s.enc_bytes, 'vmin', s.vmin, 'vmax', s.vmax,"
+        " 'vsum', s.vsum, 'n_vals', s.n_vals,"
+        " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
+        " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
+        " 'hll', array_repeat(0, 1024)) ELSE s END)"))
+    res2 = verify_stats(forged, specs=specs)
+    assert not res2["ok"]
+    assert not res2["columns"]["okey"]["ndv"]["ok"]
+    assert res2["columns"]["doc_id"]["ndv"]["ok"]
