@@ -185,3 +185,45 @@ def test_verify_stats_audits_sketches(spark):
     assert not res2["ok"]
     assert not res2["columns"]["okey"]["ndv"]["ok"]
     assert res2["columns"]["doc_id"]["ndv"]["ok"]
+
+
+def test_mixed_schema_snapshot_upgrade(spark, tmp_path):
+    """Upgrade path: a snapshot table whose seq=0 predates the hll
+    lane (and seq=1 carries it) must still load, decode exactly, and
+    scan — parquet fills the missing nested field with null and every
+    consumer treats null as "no sketch"/"may match". ndv_encoded
+    refuses (some chunks unsketched) rather than underestimating."""
+    from br_archive_spark.operators import (commit_snapshot,
+                                            decode_table,
+                                            load_snapshot, scan_where)
+
+    table = str(tmp_path / "tbl")
+    df0 = spark.range(600).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"))
+    specs = [("okey", "int"), ("doc_id", "string")]
+    enc0 = encode_table(df0, specs=specs, mode="scan", key="doc_id",
+                        target_values=200)
+    legacy = enc0.withColumn("column_stats", F.expr(
+        "transform(column_stats, s -> struct(s.name, s.kind, s.codec,"
+        " s.orig_bytes, s.enc_bytes, s.vmin, s.vmax, s.vsum, s.n_vals,"
+        " s.null_count, s.fmin, s.fmax, s.smin, s.smax, s.bloom))"))
+    commit_snapshot(legacy, table, expected_head=None)
+    df1 = spark.range(600, 900).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"))
+    enc1 = encode_table(df1, specs=specs, mode="scan", key="doc_id",
+                        target_values=200)
+    head = load_snapshot(spark, table)
+    commit_snapshot(head.unionByName(enc1, allowMissingColumns=True)
+                    .drop("input_file"), table)
+    man = load_snapshot(spark, table)
+    dec = decode_table(man, specs=specs, with_n_tok=False)
+    both = df0.unionByName(df1)
+    assert dec.exceptAll(both).count() == 0
+    assert both.exceptAll(dec).count() == 0
+    got = scan_where(man, [("okey", 100, 700)], specs=specs,
+                     with_n_tok=False)
+    assert got.count() == 601
+    with pytest.raises(ValueError, match="hll|sketch"):
+        ndv_encoded(man, "okey")
