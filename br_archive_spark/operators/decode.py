@@ -714,6 +714,101 @@ def scan_range(encoded: DataFrame, column: str, lo: int, hi: int,
                       global_dict=global_dict, project=project)
 
 
+def _normalize_isin(kinds: dict, isin: dict) -> dict:
+    """Validate + canonicalize IN-list probes per lane (sorted,
+    deduped, lane-typed): strings stay strings, binary becomes
+    ``bytes``, int-backed scalars coerce to the codec-lane int."""
+    from .encode import _int_kind
+
+    ivals: dict[str, list] = {}
+    for c, vals in isin.items():
+        kind = kinds.get(c)
+        if kind is None:
+            raise ValueError(f"scan_where: {c!r} not in encode specs")
+        if not vals:
+            raise ValueError(f"scan_where: empty IN-list for {c!r}")
+        if kind == "string":
+            ivals[c] = sorted({str(v) for v in vals})
+        elif kind == "binary":
+            ivals[c] = sorted({bytes(v) for v in vals})
+        elif _int_kind(kind) and kind != "int_list":
+            ivals[c] = sorted({int(v) for v in vals})
+        else:
+            raise ValueError(
+                f"scan_where: IN-list on {c!r} (kind {kind!r}) — "
+                "needs a scalar int-backed, string, or binary column")
+    return ivals
+
+
+def _scan_drop(encoded: DataFrame, kinds: dict,
+               bands, null_cols, not_null_cols, ivals):
+    """The OR of every predicate's chunk-disjointness proof — the
+    shared prune engine behind :func:`scan_where` (chunk-level WHERE)
+    and :func:`scan_where_files` (file-level metadata pass). Missing
+    stats lanes (older manifests) contribute no proof and the chunk
+    is kept; ``None`` when nothing can prove anything."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    has_int = _has_numeric_stats(encoded)
+    has_f = _has_float_stats(encoded)
+    has_s = _has_string_stats(encoded)
+    has_b = _has_column_blooms(encoded)
+    has_n = _has_null_stats(encoded)
+    drop = None
+    if has_n:
+        for c in null_cols:
+            d = _null_disjoint(c)
+            drop = d if drop is None else (drop | d)
+        for c in not_null_cols:
+            if kinds[c].endswith("_list"):
+                continue        # list null_count can't prove all-null
+            d = _notnull_disjoint(c)
+            drop = d if drop is None else (drop | d)
+    for column, lo, hi in bands:
+        if kinds[column] == "float":
+            if not has_f:
+                continue            # pre-r4 manifest: no float pruning
+            d = _fstats_disjoint(column, float(lo), float(hi))
+        elif kinds[column] == "string":
+            if not has_s:
+                continue            # pre-r5 manifest: no string pruning
+            d = _sstats_disjoint(column, str(lo), str(hi))
+            if has_b and lo == hi:
+                # point predicate: membership beats min/max on hash
+                # layouts; null bloom keeps (negation is null-safe)
+                d = d | ~_str_bloom_keep(column, [str(lo)])
+        else:
+            if not has_int:
+                continue
+            d = _stats_disjoint(column, lo, hi)
+            if has_b and lo == hi:
+                d = d | ~_int_bloom_keep(column, [int(lo)])
+        drop = d if drop is None else (drop | d)
+    for column, vals in ivals.items():
+        # IN-list: zone-map envelope [min, max] (lookup_values' probe
+        # band) OR bloom proof that EVERY probe value is absent
+        kind = kinds[column]
+        d = None
+        if kind == "string":
+            if has_s:
+                d = _sstats_disjoint(column, vals[0], vals[-1])
+            if has_b and len(vals) <= 64:
+                b = ~_str_bloom_keep(column, vals)
+                d = b if d is None else (d | b)
+        elif kind == "binary":
+            if has_b and len(vals) <= 64:
+                d = ~_str_bloom_keep(column, vals)
+        else:
+            if has_int:
+                d = _stats_disjoint(column, vals[0], vals[-1])
+            if has_b and len(vals) <= 64:
+                b = ~_int_bloom_keep(column, vals)
+                d = b if d is None else (d | b)
+        if d is not None:
+            drop = d if drop is None else (drop | d)
+    return drop
+
+
 def scan_where(encoded: DataFrame,
                bands: list[tuple[str, int, int]],
                specs: list[tuple[str, str]] | None = None,
@@ -783,23 +878,7 @@ def scan_where(encoded: DataFrame,
     for c in null_cols + not_null_cols:
         if c not in kinds:
             raise ValueError(f"scan_where: {c!r} not in encode specs")
-    ivals: dict[str, list] = {}
-    for c, vals in isin.items():
-        kind = kinds.get(c)
-        if kind is None:
-            raise ValueError(f"scan_where: {c!r} not in encode specs")
-        if not vals:
-            raise ValueError(f"scan_where: empty IN-list for {c!r}")
-        if kind == "string":
-            ivals[c] = sorted({str(v) for v in vals})
-        elif kind == "binary":
-            ivals[c] = sorted({bytes(v) for v in vals})
-        elif _int_kind(kind) and kind != "int_list":
-            ivals[c] = sorted({int(v) for v in vals})
-        else:
-            raise ValueError(
-                f"scan_where: IN-list on {c!r} (kind {kind!r}) — "
-                "needs a scalar int-backed, string, or binary column")
+    ivals = _normalize_isin(kinds, isin)
     for column, lo, hi in bands:
         kind = kinds.get(column)
         if kind is None:
@@ -832,63 +911,8 @@ def scan_where(encoded: DataFrame,
         need = (set(project) | {c for c, _, _ in bands}
                 | set(null_cols) | set(not_null_cols) | set(ivals))
         dec_specs = [s for s in specs if s[0] in need]
-    has_int = _has_numeric_stats(encoded)
-    has_f = _has_float_stats(encoded)
-    has_s = _has_string_stats(encoded)
-    has_b = _has_column_blooms(encoded)
-    has_n = _has_null_stats(encoded)
-    drop = None
-    if has_n:
-        for c in null_cols:
-            d = _null_disjoint(c)
-            drop = d if drop is None else (drop | d)
-        for c in not_null_cols:
-            if kinds[c].endswith("_list"):
-                continue        # list null_count can't prove all-null
-            d = _notnull_disjoint(c)
-            drop = d if drop is None else (drop | d)
-    for column, lo, hi in bands:
-        if kinds[column] == "float":
-            if not has_f:
-                continue            # pre-r4 manifest: no float pruning
-            d = _fstats_disjoint(column, float(lo), float(hi))
-        elif kinds[column] == "string":
-            if not has_s:
-                continue            # pre-r5 manifest: no string pruning
-            d = _sstats_disjoint(column, str(lo), str(hi))
-            if has_b and lo == hi:
-                # point predicate: membership beats min/max on hash
-                # layouts; null bloom keeps (negation is null-safe)
-                d = d | ~_str_bloom_keep(column, [str(lo)])
-        else:
-            if not has_int:
-                continue
-            d = _stats_disjoint(column, lo, hi)
-            if has_b and lo == hi:
-                d = d | ~_int_bloom_keep(column, [int(lo)])
-        drop = d if drop is None else (drop | d)
-    for column, vals in ivals.items():
-        # IN-list: zone-map envelope [min, max] (lookup_values' probe
-        # band) OR bloom proof that EVERY probe value is absent
-        kind = kinds[column]
-        d = None
-        if kind == "string":
-            if has_s:
-                d = _sstats_disjoint(column, vals[0], vals[-1])
-            if has_b and len(vals) <= 64:
-                b = ~_str_bloom_keep(column, vals)
-                d = b if d is None else (d | b)
-        elif kind == "binary":
-            if has_b and len(vals) <= 64:
-                d = ~_str_bloom_keep(column, vals)
-        else:
-            if has_int:
-                d = _stats_disjoint(column, vals[0], vals[-1])
-            if has_b and len(vals) <= 64:
-                b = ~_int_bloom_keep(column, vals)
-                d = b if d is None else (d | b)
-        if d is not None:
-            drop = d if drop is None else (drop | d)
+    drop = _scan_drop(encoded, kinds, bands, null_cols,
+                      not_null_cols, ivals)
     pruned = encoded.where(~drop) if drop is not None else encoded
     for column, lo, hi in bands:
         # a string point band on the chunk's KEY column probes
@@ -988,6 +1012,55 @@ def scan_range_files(spark, manifest_path: str, column: str,
     enc = spark.read.parquet(*keep)
     return scan_range(enc, column, lo, hi, specs=specs,
                       with_n_tok=with_n_tok, global_dict=global_dict)
+
+
+def scan_where_files(spark, manifest_path: str,
+                     bands: list[tuple[str, int, int]],
+                     specs: list[tuple[str, str]] | None = None,
+                     with_n_tok: bool = True,
+                     global_dict=None,
+                     project: list[str] | None = None,
+                     null_cols: list[str] | None = None,
+                     not_null_cols: list[str] | None = None,
+                     isin: dict[str, list] | None = None) -> DataFrame:
+    """File-skipping form of :func:`scan_where` — the two-phase
+    metadata-pass pattern of :func:`scan_range_files` generalized to
+    the full predicate family (range + equality + IN-list + null
+    bands, conjunctive). Phase 1 evaluates the SAME prune disjunction
+    (``_scan_drop``) over only ``column_stats`` + file names (the
+    payload column is never fetched) and collects the shard files
+    holding at least one possibly-matching chunk; phase 2 re-runs
+    :func:`scan_where` over just those files, so chunk-level pruning,
+    key-bloom composition, and the exact residual all re-apply. A
+    manifest predating every probed stats lane falls through to the
+    prune-free scan rather than miss rows."""
+    from pyspark.sql import functions as F
+
+    from .encode import TOKEN_SPECS as _TS
+
+    man = spark.read.parquet(manifest_path)
+    specs = specs or _TS
+    kinds = dict(specs)
+    kw = dict(specs=specs, with_n_tok=with_n_tok,
+              global_dict=global_dict, project=project,
+              null_cols=null_cols, not_null_cols=not_null_cols,
+              isin=isin)
+    drop = _scan_drop(man, kinds, bands or [],
+                      list(null_cols or []), list(not_null_cols or []),
+                      _normalize_isin(kinds, dict(isin or {})))
+    if drop is None:
+        # nothing provable at this manifest's stats vintage
+        return scan_where(man, bands, **kw)
+    phase1 = (man.withColumn("_f", F.input_file_name())
+              .where(~drop).select("_f").distinct())
+    keep = [r[0] for r in phase1.collect()]
+    if not keep:
+        need = ([n for n, _ in specs if n in project]
+                if project is not None else [n for n, _ in specs])
+        dec_schema = _decoded_spark_schema(
+            [s for s in specs if s[0] in need], with_n_tok)
+        return spark.createDataFrame([], dec_schema)
+    return scan_where(spark.read.parquet(*keep), bands, **kw)
 
 
 def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:

@@ -1189,3 +1189,55 @@ def test_pruned_scans_equal_raw_filters_randomized(spark):
                     & F.col("s").isin(svals)), ("combo", trial))
         df.unpersist()
         enc.unpersist()
+
+
+def test_scan_where_files_multi_predicate(spark, tmp_path):
+    """scan_where_files: the two-phase file-skipping pass generalized
+    to the full predicate family — phase 1 must keep a strict subset
+    of shard files on a clustered layout, phase 2 must equal the raw
+    conjunctive filter; a stripped pre-stats manifest falls through
+    to the prune-free scan with identical rows."""
+    from br_archive_spark.operators import (encode_table,
+                                            scan_where_files)
+    from br_archive_spark.operators.decode import (_normalize_isin,
+                                                   _scan_drop)
+
+    df = spark.range(6000).select(
+        F.col("id").alias("okey"),
+        F.format_string("%06d", F.col("id")).alias("name"),
+        F.concat(F.lit("seg"),
+                 (F.col("id") / 600).cast("long")).alias("seg"),
+        F.when(F.col("id") % 4 == 0, F.col("id") % 91).alias("sparse"))
+    specs = [("okey", "int"), ("name", "string"), ("seg", "string"),
+             ("sparse", "int")]
+    man_dir = str(tmp_path / "man")
+    encode_table(df.repartitionByRange(8, "okey")
+                 .sortWithinPartitions("okey"),
+                 specs=specs, mode="scan", key="name",
+                 target_values=500).write.parquet(man_dir)
+    man = spark.read.parquet(man_dir)
+    total = man.select(F.input_file_name()).distinct().count()
+    kinds = dict(specs)
+    drop = _scan_drop(man, kinds, [("okey", 1000, 2000)], [],
+                      ["sparse"],
+                      _normalize_isin(kinds, {"seg": ["seg1", "seg2"]}))
+    kept = (man.withColumn("_f", F.input_file_name()).where(~drop)
+            .select("_f").distinct().count())
+    assert 0 < kept < total, (kept, total)
+    got = sorted(r["okey"] for r in scan_where_files(
+        spark, man_dir, [("okey", 1000, 2000)], specs=specs,
+        with_n_tok=False, isin={"seg": ["seg1", "seg2"]},
+        not_null_cols=["sparse"]).collect())
+    exp = sorted(r["okey"] for r in df.where(
+        F.col("okey").between(1000, 2000)
+        & F.col("seg").isin("seg1", "seg2")
+        & F.col("sparse").isNotNull()).collect())
+    assert got == exp and len(got) > 0
+    # whole-domain predicate keeps all files yet stays exact
+    got = scan_where_files(spark, man_dir, [], specs=specs,
+                           with_n_tok=False, null_cols=["sparse"])
+    assert got.count() == df.where(F.col("sparse").isNull()).count()
+    # empty phase-1 result: typed empty frame, no read of any shard
+    assert scan_where_files(spark, man_dir, [("okey", 10 ** 6,
+                                              2 * 10 ** 6)],
+                            specs=specs, with_n_tok=False).count() == 0
