@@ -789,6 +789,38 @@ def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, ndv long")
 
 
+def q_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase file-skipping scan (r5): ``scan_where_files`` runs
+    the shared prune disjunction (`_scan_drop`) as a metadata pass
+    over ONLY ``column_stats`` + file names, then re-runs the full
+    chunk-level scan over surviving shard files — at 100 TB the
+    payload bytes of non-matching shards are never read at all, which
+    chunk-level pruning alone cannot promise. Range-clustered orders,
+    one shard per bucket; conjunctive band + priority IN-list; exact
+    vs the plain filter."""
+    import tempfile
+
+    from br_archive_spark.operators import (encode_table,
+                                            scan_where_files)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("ckey", "int"), ("prio", "string")]
+    man_dir = tempfile.mkdtemp(prefix="bra_fscan_") + "/man"
+    encode_table(orders.repartitionByRange(8, "okey")
+                 .sortWithinPartitions("okey"),
+                 specs=specs, mode="scan", key="prio",
+                 target_values=1 << 11).write.parquet(man_dir)
+    out = scan_where_files(
+        spark, man_dir, [("okey", 2000, 9000)], specs=specs,
+        with_n_tok=False, isin={"prio": ["1-URGENT", "3-MEDIUM"]})
+    return out.select(
+        F.col("okey").cast("long").alias("okey"),
+        F.col("ckey").cast("long").alias("ckey"), "prio")
+
+
 def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering + two-band scan (r4): Morton-interleaved
     layout (operators/zorder.py — pure codegen bit arithmetic, one
@@ -1730,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_scan": q_null_scan,
         "in_list_scan": q_in_list_scan,
         "ndv_sketch": q_ndv_sketch,
+        "files_scan": q_files_scan,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2214,6 +2247,16 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
                     FROM orders
             )
+        """,
+        # files_scan: two-phase file-skipping scan_where_files; equals
+        # the plain conjunctive filter
+        "files_scan": """
+            SELECT CAST(o_orderkey AS BIGINT) AS okey,
+                   CAST(o_custkey AS BIGINT) AS ckey,
+                   o_orderpriority AS prio
+            FROM orders
+            WHERE CAST(o_orderkey AS BIGINT) BETWEEN 2000 AND 9000
+              AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         """,
         # in_list_scan: IN-list band + range band, pruned via string
         # envelope + membership blooms; equals the plain conjunction
