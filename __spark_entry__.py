@@ -789,6 +789,38 @@ def q_ndv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "column_name string, ndv long")
 
 
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-counts lane (r5): each chunk stores its 16 most frequent
+    lane values with EXACT counts (``column_stats.topk``);
+    ``topk_encoded`` sums them per value — one explode + map-side
+    combined hash agg, shuffle bounded by partitions x 16 — and
+    reports a slack bound that is 0 whenever no chunk filled all 16
+    slots. For categorical columns (status: 3 distinct, priority: 5)
+    that makes the merged answer EXACTLY ``GROUP BY col``, straight
+    from the manifest, no payload read. The query emits each column's
+    distribution only when slack == 0, so a lane defect (truncation
+    where none should exist, lost counts) drops rows and fails the
+    exact oracle comparison."""
+    from br_archive_spark.operators import encode_table, topk_encoded
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("status", "string"),
+             ("prio", "string")]
+    enc = encode_table(orders, specs=specs, mode="hash", key="status",
+                       num_parts=8, target_values=1 << 11).cache()
+    rows = []
+    for col in ("status", "prio"):
+        top, slack = topk_encoded(enc, col, k=8)
+        if slack == 0:
+            rows += [(col, v, int(c)) for v, c in top]
+    enc.unpersist()
+    return spark.createDataFrame(
+        rows, "column_name string, v string, c long")
+
+
 def q_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase file-skipping scan (r5): ``scan_where_files`` runs
     the shared prune disjunction (`_scan_drop`) as a metadata pass
@@ -1763,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "in_list_scan": q_in_list_scan,
         "ndv_sketch": q_ndv_sketch,
         "files_scan": q_files_scan,
+        "value_counts": q_value_counts,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2247,6 +2280,18 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
                     FROM orders
             )
+        """,
+        # value_counts: manifest-only categorical distributions from
+        # the per-chunk topk lane; rows survive only when the slack
+        # bound is 0, so the result must equal the plain GROUP BYs
+        "value_counts": """
+            SELECT 'status' AS column_name, o_orderstatus AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'prio', o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT)
+            FROM orders GROUP BY o_orderpriority
         """,
         # files_scan: two-phase file-skipping scan_where_files; equals
         # the plain conjunctive filter

@@ -513,8 +513,11 @@ def cmd_agg(args) -> int:
     generalized to value aggregates). A null vsum with values present
     means the exact sum could overflow int64: decode to aggregate.
     ``--ndv`` adds the HLL distinct-count estimate (r5, ~3% relative
-    error) from the per-chunk sketch lane."""
-    from .operators.decode import agg_encoded, ndv_encoded
+    error) from the per-chunk sketch lane; ``--topk N`` adds the N
+    most frequent values with summed per-chunk counts (exact when
+    the reported ``topk_slack`` is 0)."""
+    from .operators.decode import (agg_encoded, ndv_encoded,
+                                   topk_encoded)
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
@@ -522,6 +525,11 @@ def cmd_agg(args) -> int:
     out = {"column": args.column, **row.asDict()}
     if getattr(args, "ndv", False):
         out["ndv_est"] = ndv_encoded(man, args.column)
+    k = getattr(args, "topk", 0)
+    if k:
+        top, slack = topk_encoded(man, args.column, k=k)
+        out["topk"] = [{"v": v, "c": c} for v, c in top]
+        out["topk_slack"] = slack
     print(json.dumps(out, default=str))
     return 0
 
@@ -847,6 +855,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ndv", action="store_true",
                    help="add the HLL distinct-count estimate from "
                         "the per-chunk sketch lane (~3% rel error)")
+    p.add_argument("--topk", type=int, default=0, metavar="N",
+                   help="add the N most frequent values from the "
+                        "per-chunk value-counts lane (exact when "
+                        "topk_slack is 0)")
     p.set_defaults(fn=cmd_agg)
 
     p = sub.add_parser("evolve",

@@ -5,7 +5,7 @@ from .decode import (ChecksumError, agg_encoded, decode_files,
                      lookup_values,
                      lookup_rows, manifest_specs, ndv_encoded,
                      scan_range, scan_range_files, scan_where,
-                     scan_where_files)
+                     scan_where_files, topk_encoded)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .evolve import (add_column, delete_rows, delete_where,
@@ -24,7 +24,7 @@ __all__ = [
     "lookup_docs", "lookup_rows", "lookup_range", "lookup_values",
     "compact_manifest",
     "scan_range", "scan_range_files", "scan_where",
-    "scan_where_files", "agg_encoded", "ndv_encoded",
+    "scan_where_files", "agg_encoded", "ndv_encoded", "topk_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
     "delete_where",
     "delete_rows", "upsert_rows",

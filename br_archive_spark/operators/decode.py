@@ -1094,6 +1094,7 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
             "agg_encoded: manifest predates numeric column_stats "
             "(no vmin/vmax lanes) — decode_table + agg instead, or "
             "re-encode")
+    _check_stats_column(encoded, column, "agg_encoded")
     s = F.element_at(
         F.filter("column_stats",
                  lambda c: c["name"] == F.lit(column)), 1)
@@ -1145,6 +1146,19 @@ def agg_encoded(encoded: DataFrame, column: str) -> DataFrame:
         .otherwise(F.max("c_smax")).alias("smax"))
 
 
+def _check_stats_column(encoded: DataFrame, column: str,
+                        fn: str) -> None:
+    """Fail with a nameable error when ``column`` has no stats entry —
+    under ANSI mode the downstream ``element_at(filter(...), 1)``
+    would otherwise surface an opaque INVALID_ARRAY_INDEX from deep
+    in the job."""
+    names = {n for n, _ in manifest_specs(encoded)}
+    if column not in names:
+        raise ValueError(
+            f"{fn}: {column!r} not in the manifest's columns "
+            f"{sorted(names)}")
+
+
 def _has_hll(encoded: DataFrame) -> bool:
     """Whether ``column_stats`` carries the r5 ``hll`` sketch lane —
     older manifests degrade to "no estimate", never a guess."""
@@ -1182,6 +1196,7 @@ def ndv_encoded(encoded: DataFrame, column: str) -> int:
         raise ValueError(
             "ndv_encoded: manifest predates hll sketches (pre-r5) — "
             "decode_table + countDistinct instead, or re-encode")
+    _check_stats_column(encoded, column, "ndv_encoded")
     s = F.element_at(
         F.filter("column_stats",
                  lambda c: c["name"] == F.lit(column)), 1)
@@ -1197,6 +1212,68 @@ def ndv_encoded(encoded: DataFrame, column: str) -> int:
     for row in merged:
         regs[row["pos"]] = row["r"]
     return int(round(hll_estimate(regs)))
+
+
+def _has_topk(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r5 ``topk`` value-counts
+    lane — older manifests degrade to "no summary", never a guess."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "topk" in elem.fieldNames()
+
+
+def topk_encoded(encoded: DataFrame, column: str,
+                 k: int = 10) -> tuple[list[tuple[str, int]], int]:
+    """The ``k`` most frequent values of ``column`` answered from the
+    manifest alone — the distribution question ("what's the
+    language/domain/status mix") next to :func:`agg_encoded`'s
+    bounds and :func:`ndv_encoded`'s cardinality.
+
+    Each chunk stores its 16 most frequent lane values with EXACT
+    counts (``column_stats.topk``). Merging sums counts per value —
+    one explode + partial-aggregatable hash agg, shuffle bounded by
+    partitions x 16 rows. Returns ``(top, slack)`` where ``top`` is
+    ``[(value, count), ...]`` ordered (count desc, value asc) and
+    ``slack`` is the total possible undercount: a chunk filling all
+    16 slots MAY be truncated (more distinct values than slots), so
+    it contributes its smallest recorded count to ``slack`` —
+    conservative for a chunk with exactly 16 distincts, never an
+    understatement. ``slack == 0`` (every chunk under 16 slots)
+    makes the answer EXACT — the common case for categorical columns
+    (status, priority, language). Values are
+    lane-typed strings (int lanes: the codec-lane int as decimal).
+
+    Raises when the manifest predates the lane or any chunk of this
+    column lacks a summary (non-summarizable kind — float, binary,
+    int_list — or ``bloom=False``): a distribution that silently
+    ignored chunks would be a wrong answer."""
+    from pyspark.sql import functions as F
+
+    if not _has_topk(encoded):
+        raise ValueError(
+            "topk_encoded: manifest predates topk value-counts "
+            "(pre-r5) — decode_table + groupBy count instead")
+    _check_stats_column(encoded, column, "topk_encoded")
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    per = encoded.select(s["topk"].alias("topk"))
+    if per.where(F.col("topk").isNull()).limit(1).count():
+        raise ValueError(
+            f"topk_encoded: column {column!r} has chunks without a "
+            "value-counts summary (non-summarizable kind or "
+            "bloom=False encode) — decode_table + groupBy instead")
+    agg = (per.select(F.explode("topk").alias("e"))
+           .groupBy(F.col("e")["v"].alias("v"))
+           .agg(F.sum(F.col("e")["c"]).alias("c"))
+           .orderBy(F.col("c").desc(), F.col("v"))
+           .limit(k).collect())
+    slack = (per.where(F.size("topk") >= 16)
+             .select(F.element_at("topk", -1)["c"].alias("cmin"))
+             .agg(F.coalesce(F.sum("cmin"), F.lit(0)).alias("s"))
+             .first()["s"])
+    return [(r["v"], int(r["c"])) for r in agg], int(slack)
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],

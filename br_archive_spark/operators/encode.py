@@ -148,6 +148,21 @@ MANIFEST_SCHEMA = pa.schema([
         # manifests, bloom=False) — consumers must refuse to
         # estimate, never guess.
         ("hll", pa.list_(pa.int32())),
+        # topk: truncated value-counts summary (r5) — the chunk's 16
+        # most frequent lane values with exact counts (count desc,
+        # value asc tie-break; int lanes store the codec-lane int as
+        # a decimal string). EXACT whenever the chunk holds <= 16
+        # distinct values (then absent values provably count 0);
+        # truncated chunks set an undercount bound via their 16th
+        # count (topk_encoded sums it as merge slack). Completes the
+        # manifest-as-index trio: membership (bloom), cardinality
+        # (hll), distribution (topk) — "what's the language/domain
+        # mix" answered without reading a payload byte. Null = "no
+        # summary" (non-summarizable kinds: float, int_list, binary;
+        # bloom=False encodes; pre-r5 manifests); [] = empty chunk
+        # (exactly zero of everything).
+        ("topk", pa.list_(pa.struct([("v", pa.string()),
+                                     ("c", pa.int64())]))),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -177,7 +192,8 @@ MANIFEST_SPARK_SCHEMA = (
     "orig_bytes:long,enc_bytes:long,"
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
     "fmin:double,fmax:double,smin:string,smax:string,"
-    "bloom:array<bigint>,hll:array<int>>>, "
+    "bloom:array<bigint>,hll:array<int>,"
+    "topk:array<struct<v:string,c:bigint>>>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -413,6 +429,30 @@ def _trunc_upper(s: str):
     return None
 
 
+_TOPK = 16
+
+
+def _topk_int(u: np.ndarray, counts: np.ndarray) -> list[dict]:
+    """Top-16 (count desc, value asc) over an int lane's distinct
+    values+counts — vectorized lexsort, values stored as decimal
+    strings so the manifest lane is type-uniform."""
+    order = np.lexsort((u, -counts))[:_TOPK]
+    return [{"v": str(int(u[i])), "c": int(counts[i])} for i in order]
+
+
+def _topk_str(u, counts) -> list[dict]:
+    """String twin over a pyarrow values array + numpy counts —
+    Arrow-side two-key sort keeps the tie-break deterministic."""
+    import pyarrow.compute as pc
+
+    t = pa.table({"v": u.cast(pa.large_utf8()), "c": pa.array(counts)})
+    idx = pc.sort_indices(t, sort_keys=[("c", "descending"),
+                                        ("v", "ascending")])
+    return [{"v": t["v"][int(i)].as_py(),
+             "c": int(t["c"][int(i)].as_py())}
+            for i in idx[:_TOPK].to_pylist()]
+
+
 def _entry_stats(kind: str, data, validity,
                  bloom: bool = True, sketch: bool | None = None) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
@@ -496,7 +536,7 @@ def _entry_stats(kind: str, data, validity,
                 "fmin": float(finite.min()) if len(finite) else None,
                 "fmax": float(finite.max()) if len(finite) else None,
                 "smin": None, "smax": None, "bloom": None,
-                "hll": None}
+                "hll": None, "topk": None}
     elif kind == "string":
         # string zone map (r5): truncate(16) bounds, Iceberg
         # semantics — smin a prefix of the true min (lower bound),
@@ -522,23 +562,26 @@ def _entry_stats(kind: str, data, validity,
                     "n_vals": 0, "null_count": null_count,
                     "fmin": None, "fmax": None,
                     "smin": None, "smax": None, "bloom": None,
-                    "hll": [0] * HLL_M if sketch else None}
+                    "hll": [0] * HLL_M if sketch else None,
+                    "topk": [] if sketch else None}
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
-        blm = hll = None
+        blm = hll = topk = None
         if bloom or sketch:
-            # string membership + sketch sidecars (r5): bloom words
-            # AND HLL registers over ONE hashing pass of the DISTINCT
-            # values — same hash family as the key bloom (hash_key
-            # over UTF-8 bytes), so point probes on non-key string
-            # columns prune under hash layouts where smin/smax span
-            # the whole domain, and ndv_encoded estimates distincts
-            # from the manifest alone
+            # string membership + sketch sidecars (r5): bloom words,
+            # HLL registers, AND the top-16 value-counts summary over
+            # ONE distinct pass (value_counts) — same hash family as
+            # the key bloom (hash_key over UTF-8 bytes), so point
+            # probes on non-key string columns prune under hash
+            # layouts where smin/smax span the whole domain,
+            # ndv_encoded estimates distincts, and topk_encoded
+            # answers value-distribution questions from the manifest
             from .bloom import (bloom_from_hashes, hll_from_hashes,
                                 string_hashes)
 
-            u = pc.unique(arr)
+            vc = pc.value_counts(arr)
+            u = vc.field("values")
             uoff = np.frombuffer(u.buffers()[1], np.int64)
             uoff = uoff[u.offset:u.offset + len(u) + 1]
             ubuf = u.buffers()[2]
@@ -549,12 +592,13 @@ def _entry_stats(kind: str, data, validity,
                 blm = bloom_from_hashes(h1)
             if sketch:
                 hll = hll_from_hashes(h1)
+                topk = _topk_str(u, vc.field("counts").to_numpy())
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(arr), "null_count": null_count,
                 "fmin": None, "fmax": None,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
-                "bloom": blm, "hll": hll}
+                "bloom": blm, "hll": hll, "topk": topk}
     elif kind == "binary":
         # binary membership sidecar (r5): bloom over the distinct
         # byte values — content-digest point lookups (media hashes,
@@ -594,11 +638,14 @@ def _entry_stats(kind: str, data, validity,
             elif sketch:
                 hll = [0] * HLL_M
         # n_vals stays None: binary carries no numeric agg lanes, and
-        # consumers (agg_encoded, verify --stats) key off that
+        # consumers (agg_encoded, verify --stats) key off that; no
+        # topk either (bytes don't fit the string lane, and digest
+        # columns are near-unique — a truncated histogram says nothing)
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
-                "smax": None, "bloom": blm, "hll": hll}
+                "smax": None, "bloom": blm, "hll": hll,
+                "topk": None}
     else:
         if validity is not None:
             for v in validity:
@@ -607,43 +654,48 @@ def _entry_stats(kind: str, data, validity,
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
-                "smax": None, "bloom": None, "hll": None}
+                "smax": None, "bloom": None, "hll": None,
+                "topk": None}
     if len(vals) == 0:
         from .bloom import HLL_M
 
+        scalar_sketch = sketch and kind != "int_list"
         return {"vmin": None, "vmax": None, "vsum": 0,
                 "n_vals": 0, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": None,
-                "hll": [0] * HLL_M
-                if sketch and kind != "int_list" else None}
+                "hll": [0] * HLL_M if scalar_sketch else None,
+                "topk": [] if scalar_sketch else None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
         vsum = int(vals.sum(dtype=np.int64))
     else:
         vsum = None
-    blm = hll = None
+    blm = hll = topk = None
     if (bloom or sketch) and kind != "int_list":
         # scalar int lane: membership + sketch sidecars over ONE
-        # hashing pass of the distinct values (operators/bloom.py) —
-        # int_list lanes (token arrays) are excluded: element
-        # membership isn't a chunk-prune predicate, the vocabulary
-        # would saturate the filter, and the per-chunk unique over
-        # millions of token elements would tax the hot encode path
-        # (vocab NDV comes from build_global_dict instead)
+        # distinct pass (operators/bloom.py) — int_list lanes (token
+        # arrays) are excluded: element membership isn't a
+        # chunk-prune predicate, the vocabulary would saturate the
+        # filter, and the per-chunk unique over millions of token
+        # elements would tax the hot encode path (vocab NDV comes
+        # from build_global_dict instead)
         from .bloom import (bloom_from_hashes, hll_from_hashes,
                             int_hashes)
 
-        h1 = int_hashes(vals)
+        u, counts = np.unique(np.asarray(vals, np.int64),
+                              return_counts=True)
+        h1 = int_hashes(u)
         if bloom:
             blm = bloom_from_hashes(h1)
         if sketch:
             hll = hll_from_hashes(h1)
+            topk = _topk_int(u, counts)
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
             "fmin": None, "fmax": None, "smin": None, "smax": None,
-            "bloom": blm, "hll": hll}
+            "bloom": blm, "hll": hll, "topk": topk}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],
