@@ -131,3 +131,34 @@ def test_topk_cli_agg_flag(spark, tmp_path, capsys):
     assert out["topk_slack"] == 0
     assert out["topk"] == [{"v": "p0", "c": 1667},
                            {"v": "p1", "c": 1667}]
+
+
+def test_stats_lanes_survive_evolve(spark):
+    """drop_columns keeps the surviving columns' sketch lanes intact
+    (same ndv/topk answers) and add_column builds lanes for the new
+    column — the schema-evolution path must not silently shed the
+    manifest-as-index."""
+    from br_archive_spark.operators import (add_column, drop_columns,
+                                            ndv_encoded)
+
+    df = spark.range(6000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id") % 5).alias("cat"))
+    specs = [("okey", "int"), ("doc_id", "string"),
+             ("cat", "string")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=4,
+                       target_values=2000)
+    before = (topk_encoded(enc, "cat", k=5),
+              ndv_encoded(enc, "okey"))
+    vals = df.select(F.col("doc_id"),
+                     (F.col("okey") % 9).alias("nine"))
+    added = add_column(enc, vals, "nine", "int", key="doc_id")
+    top, slack = topk_encoded(added, "nine", k=9)
+    assert slack == 0
+    assert top == _exact_top(df.select((F.col("okey") % 9)
+                                       .alias("nine")), "nine", 9)
+    dropped = drop_columns(added, ["cat"])
+    assert ndv_encoded(dropped, "okey") == before[1]
+    assert topk_encoded(dropped, "nine", k=9) == (top, slack)
+    assert topk_encoded(enc, "cat", k=5) == before[0]
