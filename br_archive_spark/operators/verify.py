@@ -199,6 +199,37 @@ def verify_stats(encoded: DataFrame,
                             "ok": ndv_ok}
             entry["ok"] = bool(entry["ok"] and ndv_ok)
             all_ok &= ndv_ok
+    # r5 value-counts audit: at slack 0 the summed per-chunk counts
+    # must EQUAL the decoded GROUP BY's top values; at slack > 0
+    # every reported count must be a lower bound within slack of the
+    # true count (truncation only ever drops occurrences).
+    from .decode import _has_topk, _int_view, topk_encoded
+
+    if _has_topk(encoded):
+        for name, kind in specs:
+            try:
+                top, slack = topk_encoded(encoded, name, k=5)
+            except ValueError:
+                continue
+            lane = (F.col(name) if kind in ("string", "binary")
+                    else _int_view(name, kind))
+            truth = {str(r["v"]): r["cnt"] for r in
+                     dec.where(F.col(name).isNotNull())
+                     .select(lane.cast("string").alias("v"))
+                     .groupBy("v").agg(F.count("*").alias("cnt"))
+                     .collect()}
+            if slack == 0:
+                exp = sorted(truth.items(),
+                             key=lambda t: (-t[1], t[0]))[:5]
+                tk_ok = top == [(v, c) for v, c in exp]
+            else:
+                tk_ok = all(c <= truth.get(v, 0) <= c + slack
+                            for v, c in top)
+            entry = out.setdefault(name, {"ok": True})
+            entry["topk"] = {"manifest": top, "slack": slack,
+                             "ok": tk_ok}
+            entry["ok"] = bool(entry["ok"] and tk_ok)
+            all_ok &= tk_ok
     return {"ok": bool(all_ok), "columns": out}
 
 

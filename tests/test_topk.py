@@ -162,3 +162,38 @@ def test_stats_lanes_survive_evolve(spark):
     assert ndv_encoded(dropped, "okey") == before[1]
     assert topk_encoded(dropped, "nine", k=9) == (top, slack)
     assert topk_encoded(enc, "cat", k=5) == before[0]
+
+
+def test_verify_stats_audits_topk(spark):
+    """verify --stats cross-checks the value-counts lane: slack-0
+    columns must equal the decoded GROUP BY exactly; doubled counts
+    go red."""
+    from br_archive_spark.operators.verify import verify_stats
+
+    df = spark.range(6000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id") % 4).alias("cat"))
+    specs = [("okey", "int"), ("doc_id", "string"),
+             ("cat", "string")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=4,
+                       target_values=2000)
+    res = verify_stats(enc, specs=specs)
+    assert res["ok"], res
+    assert res["columns"]["cat"]["topk"]["ok"]
+    assert res["columns"]["cat"]["topk"]["slack"] == 0
+    forged = enc.withColumn("column_stats", F.expr(
+        "transform(column_stats, s -> CASE WHEN s.name = 'cat' THEN"
+        " named_struct('name', s.name, 'kind', s.kind,"
+        " 'codec', s.codec, 'orig_bytes', s.orig_bytes,"
+        " 'enc_bytes', s.enc_bytes, 'vmin', s.vmin, 'vmax', s.vmax,"
+        " 'vsum', s.vsum, 'n_vals', s.n_vals,"
+        " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
+        " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
+        " 'hll', s.hll, 'topk', transform(s.topk, e ->"
+        " named_struct('v', e.v, 'c', e.c * CAST(2 AS BIGINT))))"
+        " ELSE s END)"))
+    res2 = verify_stats(forged, specs=specs)
+    assert not res2["ok"]
+    assert not res2["columns"]["cat"]["topk"]["ok"]
+    assert res2["columns"]["okey"]["topk"]["ok"]
