@@ -145,3 +145,74 @@ def test_fuzz_float_stats_lanes(xs):
         assert s["fmax"] == max(finite_or_inf)
     else:
         assert s["fmin"] is None and s["fmax"] is None
+
+
+@settings(max_examples=max(150, _N), deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63),
+                            max_value=2 ** 63 - 1), max_size=200))
+@example([-(2 ** 63), -(2 ** 63), 2 ** 63 - 1, 0, 0, 0])
+def test_fuzz_topk_int_matches_reference(xs):
+    """_topk_int == the obvious Counter reference under (count desc,
+    value asc) for arbitrary int64 multisets incl. the extremes —
+    values serialize as decimal strings, counts stay exact."""
+    from collections import Counter
+
+    from br_archive_spark.operators.encode import _topk_int
+
+    u, counts = np.unique(np.asarray(xs, dtype=np.int64),
+                          return_counts=True)
+    got = [(e["v"], e["c"]) for e in _topk_int(u, counts)]
+    ref = sorted(Counter(int(x) for x in xs).items(),
+                 key=lambda t: (-t[1], t[0]))[:16]
+    assert got == [(str(v), c) for v, c in ref]
+
+
+@settings(max_examples=max(150, _N), deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=12), max_size=150))
+@example(["", "", "a", "é", "é", "\U0010ffff"])
+def test_fuzz_topk_str_matches_reference(xs):
+    """String twin: Arrow's two-key sort must agree with Python's
+    (count desc, value asc) — UTF-8 byte order equals codepoint
+    order, so the tie-break is engine-portable."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+
+    from br_archive_spark.operators.encode import _topk_str
+
+    arr = pa.array(xs, type=pa.large_utf8())
+    vc = pc.value_counts(arr)
+    got = [(e["v"], e["c"]) for e in
+           _topk_str(vc.field("values"),
+                     vc.field("counts").to_numpy())]
+    ref = sorted(Counter(xs).items(), key=lambda t: (-t[1], t[0]))[:16]
+    assert got == ref
+
+
+@settings(max_examples=max(100, _N), deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63),
+                            max_value=2 ** 63 - 1), max_size=500))
+@example([-(2 ** 63), 2 ** 63 - 1])
+def test_fuzz_hll_small_range_accuracy(xs):
+    """HLL over arbitrary int64 multisets (linear-counting regime at
+    fuzz scale): the estimate never materially OVERestimates
+    (<= n + max(1, 5%)), never drops below the register occupancy
+    (each occupied register holds >= 1 distinct value; undershoot
+    beyond that is exactly the register-collision loss, probability
+    ~n^2/2m — the documented sketch error, not a defect), and
+    duplicates never move it (idempotent max)."""
+    from br_archive_spark.operators.bloom import (hll_estimate,
+                                                  hll_from_hashes,
+                                                  int_hashes)
+
+    vals = np.asarray(xs, dtype=np.int64)
+    regs = np.asarray(hll_from_hashes(int_hashes(vals)))
+    occ = int(np.count_nonzero(regs))
+    est = hll_estimate(regs)
+    n = len(np.unique(vals))
+    assert est <= n + max(1.0, 0.05 * n), (n, est)
+    assert est >= occ - 1e-9, (occ, est)
+    doubled = np.concatenate([vals, vals])
+    est2 = hll_estimate(hll_from_hashes(int_hashes(doubled)))
+    assert est2 == est
