@@ -821,6 +821,49 @@ def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "column_name string, v string, c long")
 
 
+def q_hist_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-histogram lane (r5): each chunk stores a 16-bucket
+    equi-width histogram with EXACT counts (``column_stats.hist``),
+    so ``hist_encoded`` answers ``COUNT(lo <= col <= hi)`` with
+    RIGOROUS [min,max] bounds from the manifest alone — the
+    selectivity probe that decides full-scan vs pruned-scan vs index
+    at 100 TB without reading a payload byte. The oracle is exact, so
+    the query emits each band's exact count (decoded) only when the
+    manifest bracket contains it — and the full-domain band only when
+    the bracket is EXACT (cmin == cmax == non-null count, every
+    bucket fully contained). A lane defect drops rows and fails the
+    driver comparison. Completes the manifest-as-index quartet:
+    membership (bloom), cardinality (hll), distribution (topk),
+    selectivity (hist)."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            hist_encoded)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("total", "float"), ("prio", "string")]
+    enc = encode_table(orders, specs=specs, mode="hash", key="prio",
+                       num_parts=8, target_values=1 << 11).cache()
+    dec = decode_table(enc, specs=specs, with_n_tok=False).cache()
+    rows = []
+    for label, col, lo, hi in [
+            ("okey_band", "okey", 100, 5000),
+            ("total_band", "total", 50000.0, 150000.0)]:
+        cmin, cmax = hist_encoded(enc, col, lo, hi)
+        exact = dec.where((F.col(col) >= lo)
+                          & (F.col(col) <= hi)).count()
+        if cmin <= exact <= cmax:
+            rows.append((label, int(exact)))
+    cmin, cmax = hist_encoded(enc, "okey", -(1 << 63), (1 << 63) - 1)
+    n = dec.count()
+    if cmin == cmax == n:
+        rows.append(("okey_full", int(n)))
+    enc.unpersist()
+    dec.unpersist()
+    return spark.createDataFrame(rows, "band string, cnt long")
+
+
 def q_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase file-skipping scan (r5): ``scan_where_files`` runs
     the shared prune disjunction (`_scan_drop`) as a metadata pass
@@ -1796,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndv_sketch": q_ndv_sketch,
         "files_scan": q_files_scan,
         "value_counts": q_value_counts,
+        "hist_selectivity": q_hist_selectivity,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2292,6 +2336,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'prio', o_orderpriority,
                    CAST(COUNT(*) AS BIGINT)
             FROM orders GROUP BY o_orderpriority
+        """,
+        # hist_selectivity: manifest-only COUNT-between brackets from
+        # the per-chunk selectivity histograms; rows survive only
+        # when the bracket contains the exact count (and, for the
+        # full-domain band, only when it IS the exact count), so a
+        # lane defect drops rows and fails the exact comparison
+        "hist_selectivity": """
+            SELECT 'okey_band' AS band, CAST(COUNT(*) AS BIGINT)
+                       AS cnt
+            FROM orders
+            WHERE CAST(o_orderkey AS BIGINT) BETWEEN 100 AND 5000
+            UNION ALL
+            SELECT 'total_band', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE CAST(o_totalprice AS DOUBLE)
+                  BETWEEN 50000.0 AND 150000.0
+            UNION ALL
+            SELECT 'okey_full', CAST(COUNT(*) AS BIGINT) FROM orders
         """,
         # files_scan: two-phase file-skipping scan_where_files; equals
         # the plain conjunctive filter

@@ -515,9 +515,11 @@ def cmd_agg(args) -> int:
     ``--ndv`` adds the HLL distinct-count estimate (r5, ~3% relative
     error) from the per-chunk sketch lane; ``--topk N`` adds the N
     most frequent values with summed per-chunk counts (exact when
-    the reported ``topk_slack`` is 0)."""
-    from .operators.decode import (agg_encoded, ndv_encoded,
-                                   topk_encoded)
+    the reported ``topk_slack`` is 0); ``--count-between LO:HI``
+    adds rigorous [min,max] bounds on ``COUNT(lo <= col <= hi)``
+    from the per-chunk selectivity histograms."""
+    from .operators.decode import (agg_encoded, hist_encoded,
+                                   ndv_encoded, topk_encoded)
 
     spark = _spark(args)
     man = spark.read.parquet(args.input)
@@ -530,6 +532,16 @@ def cmd_agg(args) -> int:
         top, slack = topk_encoded(man, args.column, k=k)
         out["topk"] = [{"v": v, "c": c} for v, c in top]
         out["topk_slack"] = slack
+    band = getattr(args, "count_between", None)
+    if band:
+        lo_s, hi_s = band.rsplit(":", 1)
+        lo = float(lo_s) if "." in lo_s or "e" in lo_s.lower() \
+            else int(lo_s)
+        hi = float(hi_s) if "." in hi_s or "e" in hi_s.lower() \
+            else int(hi_s)
+        cmin, cmax = hist_encoded(man, args.column, lo, hi)
+        out["count_between"] = {"lo": lo, "hi": hi,
+                                "count_min": cmin, "count_max": cmax}
     print(json.dumps(out, default=str))
     return 0
 
@@ -859,6 +871,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="add the N most frequent values from the "
                         "per-chunk value-counts lane (exact when "
                         "topk_slack is 0)")
+    p.add_argument("--count-between", default=None, metavar="LO:HI",
+                   help="add rigorous [min,max] bounds on "
+                        "COUNT(lo <= col <= hi) from the per-chunk "
+                        "selectivity histograms (lane units: days "
+                        "for date, epoch micros for timestamp, "
+                        "unscaled ints for decimal)")
     p.set_defaults(fn=cmd_agg)
 
     p = sub.add_parser("evolve",

@@ -1276,6 +1276,183 @@ def topk_encoded(encoded: DataFrame, column: str,
     return [(r["v"], int(r["c"])) for r in agg], int(slack)
 
 
+def _hist_bounds_int(h: list, vmin: int, vmax: int,
+                     ilo: int, ihi: int) -> tuple[int, int]:
+    """One chunk's contribution to the ``COUNT(lo <= v <= hi)``
+    bracket from its int-lane histogram: buckets fully inside the
+    band count toward both bounds, overlapping edge buckets toward
+    the upper bound only. Bucket edges re-derive exactly from
+    ``vmin``/``vmax`` in Python ints (``div = range//16 + 1``, the
+    builder's own uint64 math) — wrap-safe at the full int64 range
+    where Catalyst's ANSI arithmetic would overflow."""
+    cmin = cmax = 0
+    div = (vmax - vmin) // len(h) + 1
+    for i, c in enumerate(h):
+        if not c:
+            continue
+        blo = vmin + i * div
+        bhi = min(vmax, blo + div - 1)
+        if bhi < ilo or blo > ihi:
+            continue
+        cmax += c
+        if blo >= ilo and bhi <= ihi:
+            cmin += c
+    return cmin, cmax
+
+
+def _hist_bounds_float(h: list, fmin: float, fmax: float,
+                       flo: float, fhi: float) -> tuple[int, int]:
+    """Float twin, built on MONOTONICITY instead of edge arithmetic:
+    the builder's bucket index ``floor((v/2 - fmin/2) / r2 * 16)``
+    is nondecreasing in ``v`` (each IEEE round-to-nearest step is
+    monotone), so evaluating the SAME expression on the clipped band
+    edges brackets every band member's bucket exactly — a value in
+    ``[flo, fhi]`` can only live in buckets ``[idx(flo), idx(fhi)]``
+    (upper bound), and a bucket strictly between them holds only
+    band members (lower bound). Exact for subnormal ranges and for
+    [-DBL_MAX, DBL_MAX] chunks alike; a degenerate ``r2 == 0`` chunk
+    is one bucket spanning [fmin, fmax]."""
+    if fhi < fmin or flo > fmax:
+        return 0, 0
+    nb = len(h)
+    r2 = fmax * 0.5 - fmin * 0.5
+    if r2 == 0.0:
+        n = sum(h)
+        full = flo <= fmin and fhi >= fmax
+        return (n if full else 0), n
+
+    def idx(v: float) -> int:
+        i = int((v * 0.5 - fmin * 0.5) / r2 * nb)
+        return nb - 1 if i > nb - 1 else (0 if i < 0 else i)
+
+    i_lo = 0 if flo <= fmin else idx(flo)
+    i_hi = nb - 1 if fhi >= fmax else idx(fhi)
+    cmax = sum(h[i_lo:i_hi + 1])
+    # lower bound: bucket i is all-members-in-band when every v with
+    # bucket(v) == i satisfies flo <= v <= fhi. Monotonicity gives
+    # bucket(v) > bucket(flo) => v > flo and bucket(v) < bucket(fhi)
+    # => v < fhi; band edges at/beyond the chunk bounds admit the
+    # boundary buckets too.
+    j_lo = -1 if flo <= fmin else i_lo
+    j_hi = nb if fhi >= fmax else i_hi
+    cmin = sum(h[j_lo + 1:j_hi]) if j_hi > j_lo + 1 else 0
+    return cmin, cmax
+
+
+def _has_hist(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r5 ``hist`` selectivity
+    lane — older manifests degrade to "no histogram", never a guess."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "hist" in elem.fieldNames()
+
+
+def hist_encoded(encoded: DataFrame, column: str,
+                 lo, hi) -> tuple[int, int]:
+    """RIGOROUS bounds on ``COUNT(*) WHERE lo <= column <= hi``
+    answered from the manifest alone — the selectivity question that
+    decides whether a predicate is worth a full scan, a pruned scan,
+    or an index probe, at 100 TB without reading a payload byte.
+
+    Each chunk stores a 16-bucket equi-width histogram with EXACT
+    counts (``column_stats.hist``, built at encode). Per chunk,
+    buckets whose value range is fully inside ``[lo, hi]`` count
+    toward BOTH bounds; buckets that merely overlap count toward the
+    upper bound only — so the return ``(cmin, cmax)`` always brackets
+    the true count, it is never an approximation that can be wrong.
+    Bucket edges re-derive from ``vmin``/``vmax`` (int lanes, exact
+    Python-int arithmetic, wrap-safe at the full int64 range) or
+    ``fmin``/``fmax`` (scalar float lane, edges widened by a few ULPs
+    of the chunk range before the containment test so float rounding
+    at bucket boundaries can only loosen the bracket, never break
+    it). ``lo``/``hi`` are lane units — days for date, epoch micros
+    for timestamp, unscaled ints for decimal — the same convention as
+    :func:`scan_range`.
+
+    The per-chunk pass runs as a ``mapInArrow`` over ONLY the stats
+    projection (metadata-sized rows: 16 counts + 4 bounds per chunk,
+    never a payload) followed by one global sum — partial-aggregated,
+    so at any chunk count the shuffle is two longs per partition.
+
+    Raises when the manifest predates the lane or any chunk of this
+    column lacks a histogram (non-histogrammable kind — string,
+    binary, list lanes —, ``bloom=False`` encode, or a float chunk
+    with ±Inf bounds): bounds that silently ignored chunks would be a
+    wrong answer, the same no-silent-miss rule as every other lane."""
+    from pyspark.sql import functions as F
+
+    from .encode import _int_kind
+
+    if not _has_hist(encoded):
+        raise ValueError(
+            "hist_encoded: manifest predates hist lane (pre-r5) — "
+            "decode_table + filter/count instead, or re-encode")
+    _check_stats_column(encoded, column, "hist_encoded")
+    kinds = dict(manifest_specs(encoded))
+    kind = kinds[column]
+    if kind == "float":
+        is_float = True
+    elif _int_kind(kind) and kind != "int_list":
+        is_float = False
+    else:
+        raise ValueError(
+            f"hist_encoded: column {column!r} has kind {kind!r} — "
+            "histograms cover scalar int-backed and float lanes only")
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    per = encoded.select(
+        s["hist"].alias("hist"), s["n_vals"].alias("n_vals"),
+        s["vmin"].alias("vmin"), s["vmax"].alias("vmax"),
+        s["fmin"].alias("fmin"), s["fmax"].alias("fmax"))
+    if per.where(F.col("hist").isNull()
+                 & (F.coalesce(F.col("n_vals"), F.lit(1)) > 0)
+                 ).limit(1).count():
+        raise ValueError(
+            f"hist_encoded: column {column!r} has chunks without a "
+            "histogram (bloom=False encode or non-finite float "
+            "bounds) — decode_table + filter/count instead")
+    flo, fhi = (float(lo), float(hi)) if is_float else (0.0, 0.0)
+    ilo, ihi = (0, 0) if is_float else (int(lo), int(hi))
+
+    def bounds(batches):
+        # per-CHUNK metadata rows (16 counts + bounds each) — the
+        # Python loop is over chunks, not values, and the exact
+        # Python-int / monotone-float bracket math lives in
+        # _hist_bounds_int / _hist_bounds_float (property-fuzzed
+        # directly in tests/test_fuzz_columns.py)
+        for b in batches:
+            t = b.to_pydict()
+            cmin = cmax = 0
+            for h, vmin, vmax, fmin, fmax in zip(
+                    t["hist"], t["vmin"], t["vmax"],
+                    t["fmin"], t["fmax"]):
+                if not h:
+                    continue            # empty chunk: counts 0
+                if is_float:
+                    if fmin is None:
+                        continue        # all-null/all-NaN: no values
+                    lo_, hi_ = _hist_bounds_float(
+                        h, fmin, fmax, flo, fhi)
+                else:
+                    if vmin is None:
+                        continue        # all-null chunk: no values
+                    lo_, hi_ = _hist_bounds_int(
+                        h, vmin, vmax, ilo, ihi)
+                cmin += lo_
+                cmax += hi_
+            yield pa.RecordBatch.from_pydict(
+                {"cmin": pa.array([cmin], pa.int64()),
+                 "cmax": pa.array([cmax], pa.int64())})
+
+    row = (per.mapInArrow(bounds, "cmin long, cmax long")
+           .agg(F.coalesce(F.sum("cmin"), F.lit(0)).alias("cmin"),
+                F.coalesce(F.sum("cmax"), F.lit(0)).alias("cmax"))
+           .first())
+    return int(row["cmin"]), int(row["cmax"])
+
+
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],
                 value_col: str, key: str = "doc_id",
                 value_kind: str = "string") -> DataFrame:

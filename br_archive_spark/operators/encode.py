@@ -163,6 +163,25 @@ MANIFEST_SCHEMA = pa.schema([
         # (exactly zero of everything).
         ("topk", pa.list_(pa.struct([("v", pa.string()),
                                      ("c", pa.int64())]))),
+        # hist: equi-width value histogram (r5) — 16 bucket counts
+        # over the chunk's non-null lane values, completing the
+        # manifest-as-index quartet: membership (bloom), cardinality
+        # (hll), distribution (topk), SELECTIVITY (hist). Int-backed
+        # scalar lanes bucket by offset // div with
+        # div = (vmax-vmin)//16 + 1 computed in the uint64 domain
+        # (wrap-safe for the full int64 range — the INT64_MIN lesson
+        # from cost.py applied on day one); the scalar float lane
+        # buckets (v-fmin)/(fmax-fmin)*16 clipped to [0,15], built
+        # only when both bounds are finite (±Inf bounds make
+        # equi-width edges meaningless — such chunks store null and
+        # consumers refuse, never guess). Bucket counts are EXACT, so
+        # hist_encoded answers range-count questions with RIGOROUS
+        # [min,max] bounds from the manifest alone: fully-contained
+        # buckets count exactly, edge buckets add to the upper bound.
+        # Null = "no histogram" (int_list/float_list/string/binary
+        # kinds, bloom=False encodes, non-finite float bounds, pre-r5
+        # manifests); [] = empty chunk.
+        ("hist", pa.list_(pa.int64())),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -193,7 +212,8 @@ MANIFEST_SPARK_SCHEMA = (
     "vmin:long,vmax:long,vsum:long,n_vals:long,null_count:long,"
     "fmin:double,fmax:double,smin:string,smax:string,"
     "bloom:array<bigint>,hll:array<int>,"
-    "topk:array<struct<v:string,c:bigint>>>>, "
+    "topk:array<struct<v:string,c:bigint>>,"
+    "hist:array<bigint>>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -453,6 +473,66 @@ def _topk_str(u, counts) -> list[dict]:
             for i in idx[:_TOPK].to_pylist()]
 
 
+_HIST_B = 16
+
+
+def _hist_int(vals: np.ndarray) -> list[int]:
+    """Equi-width 16-bucket histogram over a non-empty int lane,
+    wrap-safe for the full int64 domain: offsets and the bucket
+    divisor live in uint64 (``vals - vmin`` wraps to the correct
+    unsigned offset even when the range exceeds int64), and
+    ``div = range//16 + 1`` guarantees ``offset // div <= 15`` with
+    no multiply that could overflow. Bucket ``i`` holds values in
+    ``[vmin + i*div, min(vmax, vmin + (i+1)*div - 1)]`` — the exact
+    contract :func:`~br_archive_spark.operators.decode.hist_encoded`
+    re-derives on the consumer side."""
+    v64 = np.asarray(vals, np.int64)
+    vmin = int(v64.min())
+    rng = int(v64.max()) - vmin          # Python int: never wraps
+    if rng == 0:
+        return [len(v64)] + [0] * (_HIST_B - 1)
+    div = np.uint64(rng // _HIST_B + 1)  # <= 2^60: fits uint64
+    off = v64.view(np.uint64) - np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)
+    idx = (off // div).astype(np.int64)
+    return np.bincount(idx, minlength=_HIST_B).tolist()
+
+
+def _hist_float(finite: np.ndarray) -> list[int] | None:
+    """Float twin over the NaN-free lane values: equi-width over
+    [fmin, fmax], top edge clipped into the last bucket. Returns
+    None when either bound is non-finite (±Inf values make
+    equi-width edges meaningless) — consumers treat a null histogram
+    as "refuse to estimate", never a guess.
+
+    The bucket index is ``floor((v*0.5 - fmin*0.5) / r2 * 16)`` with
+    ``r2 = fmax*0.5 - fmin*0.5`` — HALF-domain arithmetic so the
+    range never overflows to ±Inf even for [-DBL_MAX, DBL_MAX]
+    chunks, and every operation (scale, subtract, divide, floor) is
+    MONOTONE nondecreasing in ``v`` under IEEE round-to-nearest.
+    :func:`~br_archive_spark.operators.decode._hist_bounds_float`
+    re-evaluates the identical expression on the band edges, and
+    monotonicity alone guarantees its bucket bracket is exact — no
+    epsilon analysis, subnormal ranges included. When ``r2`` rounds
+    to 0 (fmax == fmin, or both bounds subnormal one ulp apart) the
+    chunk degenerates to a single bucket spanning [fmin, fmax]."""
+    if len(finite) == 0:
+        return []
+    fmin = float(finite.min())
+    fmax = float(finite.max())
+    if not (np.isfinite(fmin) and np.isfinite(fmax)):
+        return None
+    r2 = fmax * 0.5 - fmin * 0.5
+    if r2 == 0.0:
+        return [len(finite)] + [0] * (_HIST_B - 1)
+    # d in [0, r2] by monotonicity, so the ratio is in [0, 1] and the
+    # cast never sees an out-of-int64 value; truncation == floor
+    # because d >= 0
+    d = finite * 0.5 - fmin * 0.5
+    idx = (d / r2 * _HIST_B).astype(np.int64)
+    np.clip(idx, 0, _HIST_B - 1, out=idx)
+    return np.bincount(idx, minlength=_HIST_B).tolist()
+
+
 def _entry_stats(kind: str, data, validity,
                  bloom: bool = True, sketch: bool | None = None) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
@@ -531,12 +611,18 @@ def _entry_stats(kind: str, data, validity,
                     mask = elem_valid
             fvals = values if mask is None else values[mask]
         finite = fvals[~np.isnan(fvals)] if len(fvals) else fvals
+        # hist over the scalar float lane only: float_list element
+        # histograms (embedding dimensions pooled) answer no range
+        # question a consumer asks, and the lane is the bulk of the
+        # bytes — same cost logic as the int_list sketch exclusion
+        hist = _hist_float(finite) if sketch and kind == "float" \
+            else None
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(fvals), "null_count": null_count,
                 "fmin": float(finite.min()) if len(finite) else None,
                 "fmax": float(finite.max()) if len(finite) else None,
                 "smin": None, "smax": None, "bloom": None,
-                "hll": None, "topk": None}
+                "hll": None, "topk": None, "hist": hist}
     elif kind == "string":
         # string zone map (r5): truncate(16) bounds, Iceberg
         # semantics — smin a prefix of the true min (lower bound),
@@ -563,7 +649,8 @@ def _entry_stats(kind: str, data, validity,
                     "fmin": None, "fmax": None,
                     "smin": None, "smax": None, "bloom": None,
                     "hll": [0] * HLL_M if sketch else None,
-                    "topk": [] if sketch else None}
+                    "topk": [] if sketch else None,
+                    "hist": None}
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
@@ -598,7 +685,8 @@ def _entry_stats(kind: str, data, validity,
                 "fmin": None, "fmax": None,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
-                "bloom": blm, "hll": hll, "topk": topk}
+                "bloom": blm, "hll": hll, "topk": topk,
+                "hist": None}
     elif kind == "binary":
         # binary membership sidecar (r5): bloom over the distinct
         # byte values — content-digest point lookups (media hashes,
@@ -645,7 +733,7 @@ def _entry_stats(kind: str, data, validity,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": blm, "hll": hll,
-                "topk": None}
+                "topk": None, "hist": None}
     else:
         if validity is not None:
             for v in validity:
@@ -655,7 +743,7 @@ def _entry_stats(kind: str, data, validity,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": None, "hll": None,
-                "topk": None}
+                "topk": None, "hist": None}
     if len(vals) == 0:
         from .bloom import HLL_M
 
@@ -665,7 +753,8 @@ def _entry_stats(kind: str, data, validity,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": None,
                 "hll": [0] * HLL_M if scalar_sketch else None,
-                "topk": [] if scalar_sketch else None}
+                "topk": [] if scalar_sketch else None,
+                "hist": [] if scalar_sketch else None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
@@ -692,10 +781,13 @@ def _entry_stats(kind: str, data, validity,
         if sketch:
             hll = hll_from_hashes(h1)
             topk = _topk_int(u, counts)
+    # hist shares the sketch gate and the scalar-int-only rule
+    # (int_list token lanes stay cost-free on the hot encode path)
+    hist = _hist_int(vals) if sketch and kind != "int_list" else None
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
             "fmin": None, "fmax": None, "smin": None, "smax": None,
-            "bloom": blm, "hll": hll, "topk": topk}
+            "bloom": blm, "hll": hll, "topk": topk, "hist": hist}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],

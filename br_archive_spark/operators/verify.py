@@ -230,6 +230,48 @@ def verify_stats(encoded: DataFrame,
                              "ok": tk_ok}
             entry["ok"] = bool(entry["ok"] and tk_ok)
             all_ok &= tk_ok
+    # r5 selectivity-histogram audit: hist_encoded's contract is a
+    # RIGOROUS bracket, so it is directly checkable — the full-domain
+    # band must come back EXACT (every bucket fully contained ⇒
+    # cmin == cmax == decoded non-null count) and an interior
+    # half-domain band must bracket the decoded count. Columns
+    # without the lane (string/binary/list kinds, bloom=False
+    # encodes, ±Inf float chunks, pre-r5 manifests) are skipped —
+    # hist_encoded refuses for them by design.
+    from .decode import _has_hist, hist_encoded
+
+    if _has_hist(encoded):
+        for name, kind in specs:
+            if kind == "float":
+                lane = F.when(~F.isnan(F.col(name)), F.col(name))
+            elif _int_kind(kind) and kind != "int_list":
+                lane = _int_view(name, kind)
+            else:
+                continue
+            row = dec.agg(F.min(lane).alias("lo"),
+                          F.max(lane).alias("hi"),
+                          F.count(lane).alias("nn")).collect()[0]
+            if row["lo"] is None:
+                continue                 # no values: nothing to audit
+            lo, hi, nn = row["lo"], row["hi"], int(row["nn"])
+            mid = (lo + (hi - lo) / 2 if kind == "float"
+                   else lo + (hi - lo) // 2)
+            try:
+                full = hist_encoded(encoded, name, lo, hi)
+                part = hist_encoded(encoded, name, lo, mid)
+            except ValueError:
+                continue                 # lane absent: refused, skip
+            t_part = dec.where((lane >= F.lit(lo))
+                               & (lane <= F.lit(mid))).count()
+            h_ok = (full == (nn, nn)
+                    and part[0] <= t_part <= part[1])
+            entry = out.setdefault(name, {"ok": True})
+            entry["hist"] = {"full_domain": list(full),
+                             "decoded_n": nn,
+                             "band": list(part),
+                             "band_decoded": t_part, "ok": h_ok}
+            entry["ok"] = bool(entry["ok"] and h_ok)
+            all_ok &= h_ok
     return {"ok": bool(all_ok), "columns": out}
 
 

@@ -216,3 +216,67 @@ def test_fuzz_hll_small_range_accuracy(xs):
     doubled = np.concatenate([vals, vals])
     est2 = hll_estimate(hll_from_hashes(int_hashes(doubled)))
     assert est2 == est
+
+
+@settings(max_examples=max(200, _N), deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63),
+                            max_value=2 ** 63 - 1),
+                min_size=1, max_size=300),
+       st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+       st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+@example([-(2 ** 63), 2 ** 63 - 1], -(2 ** 63), 2 ** 63 - 1)
+@example([-(2 ** 63), 0, 0], -(2 ** 63), -(2 ** 63))
+@example([2 ** 63 - 1] * 5, 0, 2 ** 63 - 1)
+def test_fuzz_hist_int_bounds_bracket(xs, a, b):
+    """The REAL consumer (_hist_bounds_int over a _hist_int chunk
+    histogram) brackets the exact band count for arbitrary int64
+    multisets and arbitrary bands — including ranges wider than
+    int64 (the INT64_MIN lesson from cost.py). A full-domain band is
+    exact; counts sum to len(xs)."""
+    from br_archive_spark.operators.decode import _hist_bounds_int
+    from br_archive_spark.operators.encode import _HIST_B, _hist_int
+
+    lo, hi = min(a, b), max(a, b)
+    hist = _hist_int(np.asarray(xs, dtype=np.int64))
+    assert len(hist) == _HIST_B and sum(hist) == len(xs)
+    vmin, vmax = min(xs), max(xs)
+    cmin, cmax = _hist_bounds_int(hist, vmin, vmax, lo, hi)
+    truth = sum(1 for x in xs if lo <= x <= hi)
+    assert cmin <= truth <= cmax, (lo, hi, cmin, truth, cmax)
+    full = _hist_bounds_int(hist, vmin, vmax,
+                            -(2 ** 63), 2 ** 63 - 1)
+    assert full == (len(xs), len(xs))
+
+
+@settings(max_examples=max(200, _N), deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=64),
+                min_size=1, max_size=300),
+       st.floats(allow_nan=False, allow_infinity=False, width=64),
+       st.floats(allow_nan=False, allow_infinity=False, width=64))
+@example([0.0, -0.0, 5e-324, -5e-324], -5e-324, -0.0)
+@example([-1.7976931348623157e308, 0.0, 1.7976931348623157e308],
+         0.0, 1e300)
+@example([0.0, 5e-324], 5e-324, 5e-324)
+def test_fuzz_hist_float_bounds_bracket(xs, a, b):
+    """Float twin through the real consumer (_hist_bounds_float):
+    the monotone bucket-index bracket must contain the exact band
+    count for arbitrary finite doubles and bands — subnormal ranges
+    (where an epsilon analysis underflows) and [-DBL_MAX, DBL_MAX]
+    chunks (where fmax-fmin overflows) included; -0.0 == 0.0 follows
+    IEEE compare, matching the builder. Full-domain band is exact."""
+    from br_archive_spark.operators.decode import _hist_bounds_float
+    from br_archive_spark.operators.encode import (_HIST_B,
+                                                   _hist_float)
+
+    lo, hi = min(a, b), max(a, b)
+    arr = np.asarray(xs, dtype=np.float64)
+    hist = _hist_float(arr)
+    assert hist is not None and len(hist) == _HIST_B
+    assert sum(hist) == len(xs)
+    fmin, fmax = float(arr.min()), float(arr.max())
+    cmin, cmax = _hist_bounds_float(hist, fmin, fmax, lo, hi)
+    truth = sum(1 for x in xs if lo <= x <= hi)
+    assert cmin <= truth <= cmax, (lo, hi, cmin, truth, cmax)
+    full = _hist_bounds_float(hist, fmin, fmax, fmin, fmax)
+    assert full == (len(xs), len(xs))

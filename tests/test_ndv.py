@@ -180,7 +180,8 @@ def test_verify_stats_audits_sketches(spark):
         " 'vsum', s.vsum, 'n_vals', s.n_vals,"
         " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
         " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
-        " 'hll', array_repeat(0, 1024), 'topk', s.topk)"
+        " 'hll', array_repeat(0, 1024), 'topk', s.topk,"
+        " 'hist', s.hist)"
         " ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]

@@ -191,7 +191,8 @@ def test_verify_stats_audits_topk(spark):
         " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
         " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
         " 'hll', s.hll, 'topk', transform(s.topk, e ->"
-        " named_struct('v', e.v, 'c', e.c * CAST(2 AS BIGINT))))"
+        " named_struct('v', e.v, 'c', e.c * CAST(2 AS BIGINT))),"
+        " 'hist', s.hist)"
         " ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
