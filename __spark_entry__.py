@@ -864,6 +864,58 @@ def q_hist_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "band string, cnt long")
 
 
+def q_scan_estimate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner probe (r5): ``scan_estimate`` answers "what would this
+    conjunctive scan cost and how many rows can it return" from the
+    manifest alone — chunk keep-counts from the shared `_scan_drop`
+    proof engine plus a result-count bracket that Fréchet-combines
+    per-column histogram brackets (upper: min over columns; lower:
+    Σcmin − (k−1)·n per chunk; pruned chunks contribute (0, 0)). The
+    oracle is exact, so each predicate set emits its exact decoded
+    count only when the manifest bracket contains it AND the kept
+    chunk set is a subset of the total — a defect in the Fréchet
+    combination or the prune drops rows and fails the comparison."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            scan_estimate)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("ckey", "int"), ("total", "float"),
+             ("prio", "string")]
+    enc = encode_table(orders.repartitionByRange(8, "okey")
+                       .sortWithinPartitions("okey"),
+                       specs=specs, mode="scan", key="prio",
+                       target_values=1 << 11).cache()
+    dec = decode_table(enc, specs=specs, with_n_tok=False).cache()
+    cases = [
+        ("okey_only", [("okey", 2000, 9000)]),
+        ("okey_and_total",
+         [("okey", 2000, 12000), ("total", 80000.0, 250000.0)]),
+        ("okey_ckey_total",
+         [("okey", 1000, 13000), ("ckey", 100, 1000),
+          ("total", 50000.0, 300000.0)]),
+    ]
+    rows = []
+    for label, bands in cases:
+        est = scan_estimate(enc, bands, specs=specs)
+        cond = None
+        for c, lo, hi in bands:
+            term = (F.col(c) >= lo) & (F.col(c) <= hi)
+            cond = term if cond is None else (cond & term)
+        exact = dec.where(cond).count()
+        lo_b, hi_b = est["rows_bracket"]
+        if (lo_b <= exact <= hi_b
+                and est["chunks_kept"] <= est["chunks_total"]
+                and exact <= est["rows_kept_max"]):
+            rows.append((label, int(exact)))
+    enc.unpersist()
+    dec.unpersist()
+    return spark.createDataFrame(rows, "probe string, cnt long")
+
+
 def q_files_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase file-skipping scan (r5): ``scan_where_files`` runs
     the shared prune disjunction (`_scan_drop`) as a metadata pass
@@ -1840,6 +1892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "files_scan": q_files_scan,
         "value_counts": q_value_counts,
         "hist_selectivity": q_hist_selectivity,
+        "scan_estimate_probe": q_scan_estimate_probe,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2354,6 +2407,28 @@ def oracle_sql() -> dict[str, str]:
                   BETWEEN 50000.0 AND 150000.0
             UNION ALL
             SELECT 'okey_full', CAST(COUNT(*) AS BIGINT) FROM orders
+        """,
+        # scan_estimate_probe: manifest-only planner probe; each case
+        # emits its exact conjunctive count only when the Fréchet
+        # bracket contains it, so the probe's rigor is oracle-checked
+        "scan_estimate_probe": """
+            SELECT 'okey_only' AS probe, CAST(COUNT(*) AS BIGINT)
+                       AS cnt
+            FROM orders
+            WHERE CAST(o_orderkey AS BIGINT) BETWEEN 2000 AND 9000
+            UNION ALL
+            SELECT 'okey_and_total', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE CAST(o_orderkey AS BIGINT) BETWEEN 2000 AND 12000
+              AND CAST(o_totalprice AS DOUBLE)
+                  BETWEEN 80000.0 AND 250000.0
+            UNION ALL
+            SELECT 'okey_ckey_total', CAST(COUNT(*) AS BIGINT)
+            FROM orders
+            WHERE CAST(o_orderkey AS BIGINT) BETWEEN 1000 AND 13000
+              AND CAST(o_custkey AS BIGINT) BETWEEN 100 AND 1000
+              AND CAST(o_totalprice AS DOUBLE)
+                  BETWEEN 50000.0 AND 300000.0
         """,
         # files_scan: two-phase file-skipping scan_where_files; equals
         # the plain conjunctive filter

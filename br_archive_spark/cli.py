@@ -469,6 +469,30 @@ def cmd_scan(args) -> int:
         print("scan: --null and --not-null are contradictory",
               file=sys.stderr)
         return 2
+    if getattr(args, "estimate", False):
+        # planner probe: cost + result-count bracket from the
+        # manifest alone, nothing decoded
+        from .operators.decode import scan_estimate
+
+        if args.lo is not None:
+            if kind == "float":
+                b = (args.column, float(args.lo), float(args.hi))
+            elif kind == "string":
+                b = (args.column, str(args.lo), str(args.hi))
+            else:
+                b = (args.column, int(float(args.lo)),
+                     int(float(args.hi)))
+            est_bands = [b]
+        else:
+            est_bands = []
+        est = scan_estimate(
+            man, est_bands, specs=specs,
+            null_cols=[args.column] if want_null else None,
+            not_null_cols=[args.column] if want_not_null else None)
+        est["column"] = args.column
+        est["rows_bracket"] = list(est["rows_bracket"])
+        print(json.dumps(est))
+        return 0
     bands, disjoints = [], []
     lo = hi = None
     if args.lo is not None:
@@ -857,6 +881,10 @@ def main(argv: list[str] | None = None) -> int:
                         "all-null chunks)")
     p.add_argument("--show", type=int, default=0, metavar="N",
                    help="include N sample rows in the output")
+    p.add_argument("--estimate", action="store_true",
+                   help="planner probe: print chunk/row cost and a "
+                        "rigorous result-count bracket from the "
+                        "manifest alone — nothing decoded")
     p.add_argument("--global-dict", default=None)
     p.set_defaults(fn=cmd_scan)
 

@@ -1363,10 +1363,11 @@ def hist_encoded(encoded: DataFrame, column: str,
     the true count, it is never an approximation that can be wrong.
     Bucket edges re-derive from ``vmin``/``vmax`` (int lanes, exact
     Python-int arithmetic, wrap-safe at the full int64 range) or
-    ``fmin``/``fmax`` (scalar float lane, edges widened by a few ULPs
-    of the chunk range before the containment test so float rounding
-    at bucket boundaries can only loosen the bracket, never break
-    it). ``lo``/``hi`` are lane units — days for date, epoch micros
+    ``fmin``/``fmax`` (scalar float lane, bucket membership bracketed
+    by MONOTONICITY of the builder's own index expression evaluated
+    on the band edges — exact for subnormal and full-double ranges
+    alike, see :func:`_hist_bounds_float`). ``lo``/``hi`` are lane
+    units — days for date, epoch micros
     for timestamp, unscaled ints for decimal — the same convention as
     :func:`scan_range`.
 
@@ -1451,6 +1452,178 @@ def hist_encoded(encoded: DataFrame, column: str,
                 F.coalesce(F.sum("cmax"), F.lit(0)).alias("cmax"))
            .first())
     return int(row["cmin"]), int(row["cmax"])
+
+
+def scan_estimate(encoded: DataFrame,
+                  bands: list[tuple] | None = None,
+                  specs: list[tuple[str, str]] | None = None,
+                  null_cols: list[str] | None = None,
+                  not_null_cols: list[str] | None = None,
+                  isin: dict[str, list] | None = None) -> dict:
+    """Planner probe: what would this :func:`scan_where` cost, and
+    how many rows CAN it return — answered entirely from the
+    manifest, no payload byte read. The scan-vs-index decision at
+    100 TB is made on exactly these numbers.
+
+    Returns a dict of rigorous quantities:
+
+    * ``chunks_total`` / ``chunks_kept`` — the same `_scan_drop`
+      proof engine scan_where runs (zone maps, blooms, null counts):
+      kept = an upper bound on the chunks the scan decodes
+      (scan_where additionally probes ``key_bloom`` for string point
+      bands on the key column, which can prune further).
+    * ``rows_total`` / ``rows_kept_max`` — manifest ``n_rows`` sums;
+      ``rows_kept_max`` is the decode-side row ceiling.
+    * ``rows_bracket`` — ``(cmin, cmax)`` bounds on the TRUE result
+      row count, combining three proof families per chunk:
+      prune-proven chunks contribute (0, 0); surviving chunks
+      combine each scalar-band column's histogram bracket
+      (:func:`_hist_bounds_int` / :func:`_hist_bounds_float`) with
+      the Fréchet conjunction inequalities — upper
+      ``min_i cmax_i``, lower ``max(0, Σ cmin_i - (k-1)·n_rows)``.
+      A band column without a usable histogram on some chunk
+      degrades THAT chunk's contribution to ``(0, n_rows)`` — wider,
+      never wrong (``chunks_missing_hist`` counts them).
+    * ``bracket_lower_valid`` — False when predicates outside the
+      histogram family participate (string bands, IN-lists, null
+      terms): extra conjuncts only SHRINK the true count, so the
+      upper bound stays rigorous but the Fréchet lower bound does
+      not — it is reported as 0 in that case.
+
+    One job: a stats-only projection (the drop proof evaluates
+    Catalyst-side as a ``kept`` flag) → one ``mapInArrow`` over
+    metadata-sized rows → a global sum, partial-aggregated. Same
+    argument conventions as :func:`scan_where` (lane units for
+    int-backed kinds, double bounds for float, conjunctive
+    semantics)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .encode import TOKEN_SPECS, _int_kind
+
+    bands = list(bands or [])
+    null_cols = list(null_cols or [])
+    not_null_cols = list(not_null_cols or [])
+    isin = dict(isin or {})
+    if not bands and not null_cols and not not_null_cols and not isin:
+        raise ValueError("scan_estimate: at least one predicate "
+                         "required")
+    specs = specs or TOKEN_SPECS
+    kinds = dict(specs)
+    for c in (null_cols + not_null_cols + list(isin)
+              + [b[0] for b in bands]):
+        if c not in kinds:
+            raise ValueError(
+                f"scan_estimate: {c!r} not in encode specs")
+    for column, lo, hi in bands:
+        if kinds[column] == "float" and (math.isnan(float(lo))
+                                         or math.isnan(float(hi))):
+            raise ValueError(
+                f"scan_estimate: NaN bound on {column!r}")
+    ivals = _normalize_isin(kinds, isin)
+    drop = _scan_drop(encoded, kinds, bands, null_cols,
+                      not_null_cols, ivals)
+    kept = F.lit(True) if drop is None else ~drop
+    # histogrammable band columns: scalar int-backed or float
+    hcols = [(c, lo, hi, kinds[c] == "float") for c, lo, hi in bands
+             if kinds[c] == "float"
+             or (_int_kind(kinds[c]) and kinds[c] != "int_list")]
+    lower_valid = (len(hcols) == len(bands) and not ivals
+                   and not null_cols and not not_null_cols)
+    cols = [F.col("n_rows"), kept.alias("kept")]
+
+    def _stats_of(name):
+        # NB: F.filter treats a 2-arg lambda as (element, index), so
+        # bind the column name via a closure, never a default arg
+        return F.element_at(
+            F.filter("column_stats",
+                     lambda e: e["name"] == F.lit(name)), 1)
+
+    for i, (c, _lo, _hi, _f) in enumerate(hcols):
+        s = _stats_of(c)
+        cols += [s["hist"].alias(f"h{i}"),
+                 s["vmin"].alias(f"vlo{i}"), s["vmax"].alias(f"vhi{i}"),
+                 s["fmin"].alias(f"flo{i}"), s["fmax"].alias(f"fhi{i}"),
+                 s["n_vals"].alias(f"nv{i}")]
+    per = encoded.select(*cols) if _has_hist(encoded) or not hcols \
+        else encoded.select(F.col("n_rows"), kept.alias("kept"))
+    pre_r5 = hcols and not _has_hist(encoded)
+
+    def probe(batches):
+        # per-CHUNK metadata rows; Python-int arithmetic keeps the
+        # Fréchet sums exact at any scale
+        for b in batches:
+            t = b.to_pydict()
+            n_chunks = len(t["n_rows"])
+            ck = rt = rk = lo_sum = hi_sum = miss = 0
+            for j in range(n_chunks):
+                n = int(t["n_rows"][j] or 0)
+                rt += n
+                if not t["kept"][j]:
+                    continue            # prune-proven: (0, 0)
+                ck += 1
+                rk += n
+                if pre_r5 or not hcols:
+                    # no histogram family in play: the only rigorous
+                    # bracket is (0, n); lower 0 is always valid
+                    hi_sum += n
+                    continue
+                c_upper = n
+                c_lo_total = 0
+                for i, (_c, blo, bhi, isf) in enumerate(hcols):
+                    h = t[f"h{i}"][j]
+                    if isf:
+                        fmin, fmax = t[f"flo{i}"][j], t[f"fhi{i}"][j]
+                        if fmin is None:
+                            cmin, cmax = 0, 0   # no finite values
+                        elif not h:
+                            nv = t[f"nv{i}"][j]
+                            if nv:              # ±Inf bounds: no hist
+                                cmin, cmax, miss = 0, n, miss + 1
+                            else:
+                                cmin, cmax = 0, 0
+                        else:
+                            cmin, cmax = _hist_bounds_float(
+                                h, fmin, fmax,
+                                float(blo), float(bhi))
+                    else:
+                        vmin, vmax = t[f"vlo{i}"][j], t[f"vhi{i}"][j]
+                        if vmin is None:
+                            cmin, cmax = 0, 0   # all-null chunk
+                        elif not h:
+                            cmin, cmax, miss = 0, n, miss + 1
+                        else:
+                            cmin, cmax = _hist_bounds_int(
+                                h, int(vmin), int(vmax),
+                                int(blo), int(bhi))
+                    c_upper = min(c_upper, cmax)
+                    c_lo_total += cmin
+                hi_sum += c_upper
+                lo_sum += max(0, c_lo_total - (len(hcols) - 1) * n)
+            yield pa.RecordBatch.from_pydict({
+                "ct": pa.array([n_chunks], pa.int64()),
+                "ck": pa.array([ck], pa.int64()),
+                "rt": pa.array([rt], pa.int64()),
+                "rk": pa.array([rk], pa.int64()),
+                "lo": pa.array([lo_sum], pa.int64()),
+                "hi": pa.array([hi_sum], pa.int64()),
+                "miss": pa.array([miss], pa.int64())})
+
+    row = (per.mapInArrow(
+        probe, "ct long, ck long, rt long, rk long, "
+               "lo long, hi long, miss long")
+        .agg(*[F.coalesce(F.sum(c), F.lit(0)).alias(c)
+               for c in ("ct", "ck", "rt", "rk", "lo", "hi", "miss")])
+        .first())
+    return {"chunks_total": int(row["ct"]),
+            "chunks_kept": int(row["ck"]),
+            "rows_total": int(row["rt"]),
+            "rows_kept_max": int(row["rk"]),
+            "rows_bracket": (int(row["lo"]) if lower_valid else 0,
+                             int(row["hi"])),
+            "bracket_lower_valid": bool(lower_valid),
+            "chunks_missing_hist": int(row["miss"])}
 
 
 def lookup_rows(encoded: DataFrame, doc_ids: list[str],
