@@ -254,3 +254,38 @@ def test_hist_lane_survives_evolve(spark):
     dropped = drop_columns(added, ["cat"])
     assert hist_encoded(dropped, "okey", 1000, 4200) == before
     assert hist_encoded(dropped, "nine", 2, 5) == (cmin, cmax)
+
+
+def test_hist_date_timestamp_lane_units(spark):
+    """Int-backed temporal kinds carry histograms in LANE units —
+    days since epoch for date, epoch micros for timestamp (the
+    scan_range convention): full-domain bands are exact and interior
+    day/micro bands bracket the truth."""
+    df = spark.range(3000).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.date_add(F.lit("2024-01-01"),
+                   (F.col("id") % 365).cast("int")).alias("d"),
+        F.timestamp_micros(
+            F.lit(1700000000000000) + F.col("id") * 1000000
+        ).alias("ts"))
+    specs = [("doc_id", "string"), ("d", "date"),
+             ("ts", "timestamp")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=2,
+                       target_values=1000)
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    d0 = (datetime.date(2024, 2, 1) - epoch).days
+    d1 = (datetime.date(2024, 4, 1) - epoch).days
+    cmin, cmax = hist_encoded(enc, "d", d0, d1)
+    truth = df.where((F.col("d") >= "2024-02-01")
+                     & (F.col("d") <= "2024-04-01")).count()
+    assert cmin <= truth <= cmax
+    assert hist_encoded(enc, "d", -(1 << 63), (1 << 63) - 1) \
+        == (3000, 3000)
+    t0 = 1700000000000000 + 500 * 1000000
+    t1 = 1700000000000000 + 1500 * 1000000
+    cmin, cmax = hist_encoded(enc, "ts", t0, t1)
+    assert cmin <= 1001 <= cmax
+    assert hist_encoded(enc, "ts", -(1 << 63), (1 << 63) - 1) \
+        == (3000, 3000)
