@@ -289,3 +289,25 @@ def test_hist_date_timestamp_lane_units(spark):
     assert cmin <= 1001 <= cmax
     assert hist_encoded(enc, "ts", -(1 << 63), (1 << 63) - 1) \
         == (3000, 3000)
+
+
+def test_hist_decimal_unscaled_units(spark):
+    """Decimal lanes histogram in UNSCALED-int units (cents for
+    decimal(.,2)) — same convention as scan_range; bands in cents
+    bracket the truth and the full domain is exact."""
+    from br_archive_spark.operators.encode import infer_specs
+
+    df = spark.range(4000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"),
+        ((F.col("id") * 37 % 90000 + 100) / 100.0)
+        .cast("decimal(12,2)").alias("price"))
+    specs = infer_specs(df)
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=2,
+                       target_values=1000)
+    cmin, cmax = hist_encoded(enc, "price", 20000, 50000)  # cents
+    truth = df.where((F.col("price") >= 200.00)
+                     & (F.col("price") <= 500.00)).count()
+    assert cmin <= truth <= cmax
+    assert hist_encoded(enc, "price", -(1 << 63), (1 << 63) - 1) \
+        == (4000, 4000)
