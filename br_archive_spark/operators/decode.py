@@ -1339,6 +1339,48 @@ def _hist_bounds_float(h: list, fmin: float, fmax: float,
     return cmin, cmax
 
 
+def _qcut_bounds(cuts: list, n: int, lo, hi) -> tuple[int, int]:
+    """One chunk's ``COUNT(lo <= v <= hi)`` bracket from its 15
+    equi-depth quantile cuts (``column_stats.qcut``/``fqcut``) — pure
+    order statistics, so the resolution is n/16 REGARDLESS of value
+    skew (the equi-width histogram's blind spot). With
+    ``cuts[j] = sorted[(j+1)*n//16]``:
+
+    * at least ``(j+1)*n//16 + 1`` values are <= ``cuts[j]``
+      (everything at or before its sort index), and
+    * at most ``(k+1)*n//16`` values are < anything <= ``cuts[k]``
+      (everything from its sort index on is >= it),
+
+    which brackets the CDF at ``hi`` and the strict CDF at ``lo``;
+    their difference brackets the band count. Comparisons only — no
+    arithmetic on the values, so nothing can wrap or round for int64
+    or double lanes alike."""
+    import bisect
+
+    nc = len(cuts)
+    c = [((j + 1) * n) // 16 for j in range(nc)]
+    # F(hi) = count(v <= hi)
+    j = bisect.bisect_right(cuts, hi) - 1     # last cut <= hi
+    f_hi_min = c[j] + 1 if j >= 0 else 0
+    k = bisect.bisect_right(cuts, hi)         # first cut > hi
+    f_hi_max = c[k] if k < nc else n
+    # G(lo) = count(v < lo)
+    jp = bisect.bisect_left(cuts, lo) - 1     # last cut < lo
+    g_lo_min = c[jp] + 1 if jp >= 0 else 0
+    kp = bisect.bisect_left(cuts, lo)         # first cut >= lo
+    g_lo_max = c[kp] if kp < nc else n
+    return (max(0, f_hi_min - g_lo_max),
+            max(0, f_hi_max - g_lo_min))
+
+
+def _has_qcut(encoded: DataFrame) -> bool:
+    """Whether ``column_stats`` carries the r5 quantile-cut lanes."""
+    if "column_stats" not in encoded.columns:
+        return False
+    elem = encoded.schema["column_stats"].dataType.elementType
+    return "qcut" in elem.fieldNames()
+
+
 def _has_hist(encoded: DataFrame) -> bool:
     """Whether ``column_stats`` carries the r5 ``hist`` selectivity
     lane — older manifests degrade to "no histogram", never a guess."""
@@ -1366,8 +1408,13 @@ def hist_encoded(encoded: DataFrame, column: str,
     ``fmin``/``fmax`` (scalar float lane, bucket membership bracketed
     by MONOTONICITY of the builder's own index expression evaluated
     on the band edges — exact for subnormal and full-double ranges
-    alike, see :func:`_hist_bounds_float`). ``lo``/``hi`` are lane
-    units — days for date, epoch micros
+    alike, see :func:`_hist_bounds_float`). When the manifest also
+    carries the equi-depth quantile cuts (``qcut``/``fqcut``), each
+    chunk's bracket is INTERSECTED with the CDF bracket from
+    :func:`_qcut_bounds` — order statistics keep n/16 resolution
+    where value skew collapses the equi-width buckets, and both
+    brackets are rigorous so their intersection is too.
+    ``lo``/``hi`` are lane units — days for date, epoch micros
     for timestamp, unscaled ints for decimal — the same convention as
     :func:`scan_range`.
 
@@ -1406,7 +1453,11 @@ def hist_encoded(encoded: DataFrame, column: str,
     per = encoded.select(
         s["hist"].alias("hist"), s["n_vals"].alias("n_vals"),
         s["vmin"].alias("vmin"), s["vmax"].alias("vmax"),
-        s["fmin"].alias("fmin"), s["fmax"].alias("fmax"))
+        s["fmin"].alias("fmin"), s["fmax"].alias("fmax"),
+        (s["qcut"] if _has_qcut(encoded)
+         else F.lit(None).cast("array<bigint>")).alias("qcut"),
+        (s["fqcut"] if _has_qcut(encoded)
+         else F.lit(None).cast("array<double>")).alias("fqcut"))
     if per.where(F.col("hist").isNull()
                  & (F.coalesce(F.col("n_vals"), F.lit(1)) > 0)
                  ).limit(1).count():
@@ -1426,9 +1477,9 @@ def hist_encoded(encoded: DataFrame, column: str,
         for b in batches:
             t = b.to_pydict()
             cmin = cmax = 0
-            for h, vmin, vmax, fmin, fmax in zip(
+            for h, vmin, vmax, fmin, fmax, qc, fqc in zip(
                     t["hist"], t["vmin"], t["vmax"],
-                    t["fmin"], t["fmax"]):
+                    t["fmin"], t["fmax"], t["qcut"], t["fqcut"]):
                 if not h:
                     continue            # empty chunk: counts 0
                 if is_float:
@@ -1436,11 +1487,20 @@ def hist_encoded(encoded: DataFrame, column: str,
                         continue        # all-null/all-NaN: no values
                     lo_, hi_ = _hist_bounds_float(
                         h, fmin, fmax, flo, fhi)
+                    cuts, blo, bhi = fqc, flo, fhi
                 else:
                     if vmin is None:
                         continue        # all-null chunk: no values
                     lo_, hi_ = _hist_bounds_int(
                         h, vmin, vmax, ilo, ihi)
+                    cuts, blo, bhi = qc, ilo, ihi
+                if cuts:
+                    # intersect with the equi-depth CDF bracket:
+                    # both are rigorous, so max-of-lowers /
+                    # min-of-uppers is too — and the cuts stay tight
+                    # where value skew collapses the equi-width hist
+                    ql, qh = _qcut_bounds(cuts, sum(h), blo, bhi)
+                    lo_, hi_ = max(lo_, ql), min(hi_, qh)
                 cmin += lo_
                 cmax += hi_
             yield pa.RecordBatch.from_pydict(
@@ -1540,12 +1600,19 @@ def scan_estimate(encoded: DataFrame,
             F.filter("column_stats",
                      lambda e: e["name"] == F.lit(name)), 1)
 
+    has_q = _has_qcut(encoded)
     for i, (c, _lo, _hi, _f) in enumerate(hcols):
         s = _stats_of(c)
         cols += [s["hist"].alias(f"h{i}"),
                  s["vmin"].alias(f"vlo{i}"), s["vmax"].alias(f"vhi{i}"),
                  s["fmin"].alias(f"flo{i}"), s["fmax"].alias(f"fhi{i}"),
-                 s["n_vals"].alias(f"nv{i}")]
+                 s["n_vals"].alias(f"nv{i}"),
+                 (s["qcut"] if has_q
+                  else F.lit(None).cast("array<bigint>"))
+                 .alias(f"qc{i}"),
+                 (s["fqcut"] if has_q
+                  else F.lit(None).cast("array<double>"))
+                 .alias(f"fqc{i}")]
     per = encoded.select(*cols) if _has_hist(encoded) or not hcols \
         else encoded.select(F.col("n_rows"), kept.alias("kept"))
     pre_r5 = hcols and not _has_hist(encoded)
@@ -1573,6 +1640,7 @@ def scan_estimate(encoded: DataFrame,
                 c_lo_total = 0
                 for i, (_c, blo, bhi, isf) in enumerate(hcols):
                     h = t[f"h{i}"][j]
+                    cuts = None
                     if isf:
                         fmin, fmax = t[f"flo{i}"][j], t[f"fhi{i}"][j]
                         if fmin is None:
@@ -1587,6 +1655,8 @@ def scan_estimate(encoded: DataFrame,
                             cmin, cmax = _hist_bounds_float(
                                 h, fmin, fmax,
                                 float(blo), float(bhi))
+                            cuts = t[f"fqc{i}"][j]
+                            blo, bhi = float(blo), float(bhi)
                     else:
                         vmin, vmax = t[f"vlo{i}"][j], t[f"vhi{i}"][j]
                         if vmin is None:
@@ -1597,6 +1667,12 @@ def scan_estimate(encoded: DataFrame,
                             cmin, cmax = _hist_bounds_int(
                                 h, int(vmin), int(vmax),
                                 int(blo), int(bhi))
+                            cuts = t[f"qc{i}"][j]
+                            blo, bhi = int(blo), int(bhi)
+                    if cuts:
+                        # intersect with the equi-depth CDF bracket
+                        ql, qh = _qcut_bounds(cuts, sum(h), blo, bhi)
+                        cmin, cmax = max(cmin, ql), min(cmax, qh)
                     c_upper = min(c_upper, cmax)
                     c_lo_total += cmin
                 hi_sum += c_upper

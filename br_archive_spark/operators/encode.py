@@ -182,6 +182,23 @@ MANIFEST_SCHEMA = pa.schema([
         # kinds, bloom=False encodes, non-finite float bounds, pre-r5
         # manifests); [] = empty chunk.
         ("hist", pa.list_(pa.int64())),
+        # qcut / fqcut: equi-DEPTH quantile cuts (r5) — the 15
+        # interior 1/16-quantile VALUES of the chunk's lane values
+        # (sorted[(j*n)//16], j = 1..15), typed per lane so no cut is
+        # ever rounded (an int64 cut through double would shift
+        # comparisons past 2^53 and break rigor). Where the
+        # equi-width hist is blind to skew (a heavy-tailed chunk
+        # piles everything into one bucket), the cuts give CDF
+        # brackets with n/16 resolution REGARDLESS of the value
+        # distribution: at cut j, at least (j*n)//16 + 1 values are
+        # <= it and at most (k*n)//16 values are <= anything below
+        # cut k — pure order statistics, comparisons only, no
+        # arithmetic on the values, so there is nothing to overflow
+        # or round. Consumers intersect this bracket with the hist
+        # bracket. Same gate as hist (sketch scalar lanes); null =
+        # "no cuts", [] = empty chunk.
+        ("qcut", pa.list_(pa.int64())),
+        ("fqcut", pa.list_(pa.float64())),
     ]))),
     # zone map for the key column: chunk-level min/max lets point and
     # range lookups prune chunks from the manifest scan (the reference's
@@ -213,7 +230,8 @@ MANIFEST_SPARK_SCHEMA = (
     "fmin:double,fmax:double,smin:string,smax:string,"
     "bloom:array<bigint>,hll:array<int>,"
     "topk:array<struct<v:string,c:bigint>>,"
-    "hist:array<bigint>>>, "
+    "hist:array<bigint>,qcut:array<bigint>,"
+    "fqcut:array<double>>>, "
     "key_col string, key_min string, key_max string, "
     "key_bloom array<long>"
 )
@@ -533,6 +551,18 @@ def _hist_float(finite: np.ndarray) -> list[int] | None:
     return np.bincount(idx, minlength=_HIST_B).tolist()
 
 
+def _qcut_vals(vals: np.ndarray) -> list:
+    """The 15 interior 1/16-quantile values of a non-empty lane:
+    ``sorted[(j*n)//16]`` for j = 1..15 — the exact order statistics
+    :func:`~br_archive_spark.operators.decode._qcut_bounds`
+    re-derives its CDF brackets from. Works identically for int64
+    and float64 lanes (comparison-only semantics; -0.0 sorts with
+    0.0, which is fine because consumers also compare IEEE-equal)."""
+    s = np.sort(vals)
+    n = len(s)
+    return s[[(j * n) // 16 for j in range(1, 16)]].tolist()
+
+
 def _entry_stats(kind: str, data, validity,
                  bloom: bool = True, sketch: bool | None = None) -> dict:
     """Per-chunk numeric stats over the NON-NULL values of one column:
@@ -611,18 +641,22 @@ def _entry_stats(kind: str, data, validity,
                     mask = elem_valid
             fvals = values if mask is None else values[mask]
         finite = fvals[~np.isnan(fvals)] if len(fvals) else fvals
-        # hist over the scalar float lane only: float_list element
-        # histograms (embedding dimensions pooled) answer no range
-        # question a consumer asks, and the lane is the bulk of the
-        # bytes — same cost logic as the int_list sketch exclusion
+        # hist/qcut over the scalar float lane only: float_list
+        # element summaries (embedding dimensions pooled) answer no
+        # range question a consumer asks, and the lane is the bulk of
+        # the bytes — same cost logic as the int_list sketch exclusion
         hist = _hist_float(finite) if sketch and kind == "float" \
             else None
+        fq = None
+        if hist is not None:        # co-gated: ±Inf bounds drop both
+            fq = _qcut_vals(finite) if len(finite) else []
         return {"vmin": None, "vmax": None, "vsum": None,
                 "n_vals": len(fvals), "null_count": null_count,
                 "fmin": float(finite.min()) if len(finite) else None,
                 "fmax": float(finite.max()) if len(finite) else None,
                 "smin": None, "smax": None, "bloom": None,
-                "hll": None, "topk": None, "hist": hist}
+                "hll": None, "topk": None, "hist": hist,
+                "qcut": None, "fqcut": fq}
     elif kind == "string":
         # string zone map (r5): truncate(16) bounds, Iceberg
         # semantics — smin a prefix of the true min (lower bound),
@@ -650,7 +684,7 @@ def _entry_stats(kind: str, data, validity,
                     "smin": None, "smax": None, "bloom": None,
                     "hll": [0] * HLL_M if sketch else None,
                     "topk": [] if sketch else None,
-                    "hist": None}
+                    "hist": None, "qcut": None, "fqcut": None}
         import pyarrow.compute as pc
 
         mm = pc.min_max(arr)
@@ -686,7 +720,7 @@ def _entry_stats(kind: str, data, validity,
                 "smin": _trunc_lower(mm["min"].as_py()),
                 "smax": _trunc_upper(mm["max"].as_py()),
                 "bloom": blm, "hll": hll, "topk": topk,
-                "hist": None}
+                "hist": None, "qcut": None, "fqcut": None}
     elif kind == "binary":
         # binary membership sidecar (r5): bloom over the distinct
         # byte values — content-digest point lookups (media hashes,
@@ -733,7 +767,8 @@ def _entry_stats(kind: str, data, validity,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": blm, "hll": hll,
-                "topk": None, "hist": None}
+                "topk": None, "hist": None, "qcut": None,
+                "fqcut": None}
     else:
         if validity is not None:
             for v in validity:
@@ -743,7 +778,8 @@ def _entry_stats(kind: str, data, validity,
                 "n_vals": None, "null_count": null_count,
                 "fmin": None, "fmax": None, "smin": None,
                 "smax": None, "bloom": None, "hll": None,
-                "topk": None, "hist": None}
+                "topk": None, "hist": None, "qcut": None,
+                "fqcut": None}
     if len(vals) == 0:
         from .bloom import HLL_M
 
@@ -754,7 +790,9 @@ def _entry_stats(kind: str, data, validity,
                 "smax": None, "bloom": None,
                 "hll": [0] * HLL_M if scalar_sketch else None,
                 "topk": [] if scalar_sketch else None,
-                "hist": [] if scalar_sketch else None}
+                "hist": [] if scalar_sketch else None,
+                "qcut": [] if scalar_sketch else None,
+                "fqcut": None}
     vmin = int(vals.min())
     vmax = int(vals.max())
     if max(abs(vmin), abs(vmax)) * len(vals) < (1 << 62):
@@ -784,10 +822,12 @@ def _entry_stats(kind: str, data, validity,
     # hist shares the sketch gate and the scalar-int-only rule
     # (int_list token lanes stay cost-free on the hot encode path)
     hist = _hist_int(vals) if sketch and kind != "int_list" else None
+    qcut = _qcut_vals(vals) if hist is not None else None
     return {"vmin": vmin, "vmax": vmax, "vsum": vsum,
             "n_vals": len(vals), "null_count": null_count,
             "fmin": None, "fmax": None, "smin": None, "smax": None,
-            "bloom": blm, "hll": hll, "topk": topk, "hist": hist}
+            "bloom": blm, "hll": hll, "topk": topk, "hist": hist,
+            "qcut": qcut, "fqcut": None}
 
 
 def _key_bounds(tbl: pa.Table, specs: list[tuple[str, str]],

@@ -280,3 +280,54 @@ def test_fuzz_hist_float_bounds_bracket(xs, a, b):
     assert cmin <= truth <= cmax, (lo, hi, cmin, truth, cmax)
     full = _hist_bounds_float(hist, fmin, fmax, fmin, fmax)
     assert full == (len(xs), len(xs))
+
+
+@settings(max_examples=max(200, _N), deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63),
+                            max_value=2 ** 63 - 1),
+                min_size=1, max_size=300),
+       st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+       st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+@example([-(2 ** 63), 2 ** 63 - 1], -(2 ** 63), 2 ** 63 - 1)
+@example([5] * 100, 5, 5)
+@example([0] * 99 + [2 ** 63 - 1], 1, 2 ** 63 - 1)
+def test_fuzz_qcut_int_bounds_bracket(xs, a, b):
+    """The equi-depth consumer (_qcut_bounds over _qcut_vals cuts)
+    brackets the exact band count for arbitrary int64 multisets and
+    bands — order statistics only, ties included, full-domain
+    included. Also: the bracket width never exceeds ~2n/16 + 2 (the
+    resolution guarantee equi-width histograms cannot make under
+    skew)."""
+    from br_archive_spark.operators.decode import _qcut_bounds
+    from br_archive_spark.operators.encode import _qcut_vals
+
+    lo, hi = min(a, b), max(a, b)
+    cuts = _qcut_vals(np.asarray(xs, dtype=np.int64))
+    n = len(xs)
+    cmin, cmax = _qcut_bounds(cuts, n, lo, hi)
+    truth = sum(1 for x in xs if lo <= x <= hi)
+    assert cmin <= truth <= cmax, (lo, hi, cmin, truth, cmax)
+    assert cmax - cmin <= 2 * (n // 16) + 2 + 2 * (n % 16 > 0), \
+        (cmin, cmax, n)
+
+
+@settings(max_examples=max(200, _N), deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=64),
+                min_size=1, max_size=300),
+       st.floats(allow_nan=False, allow_infinity=False, width=64),
+       st.floats(allow_nan=False, allow_infinity=False, width=64))
+@example([0.0, -0.0, 5e-324, -5e-324], -0.0, 0.0)
+@example([-1.7976931348623157e308, 1.7976931348623157e308],
+         0.0, 1e300)
+def test_fuzz_qcut_float_bounds_bracket(xs, a, b):
+    """Float twin: comparisons only, so subnormals, signed zeros, and
+    full-double ranges are all exact by construction."""
+    from br_archive_spark.operators.decode import _qcut_bounds
+    from br_archive_spark.operators.encode import _qcut_vals
+
+    lo, hi = min(a, b), max(a, b)
+    cuts = _qcut_vals(np.asarray(xs, dtype=np.float64))
+    cmin, cmax = _qcut_bounds(cuts, len(xs), lo, hi)
+    truth = sum(1 for x in xs if lo <= x <= hi)
+    assert cmin <= truth <= cmax, (lo, hi, cmin, truth, cmax)

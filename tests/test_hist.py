@@ -167,7 +167,8 @@ def test_verify_stats_audits_hist(spark):
         " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
         " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
         " 'hll', s.hll, 'topk', s.topk,"
-        " 'hist', transform(s.hist, x -> x * CAST(2 AS BIGINT)))"
+        " 'hist', transform(s.hist, x -> x * CAST(2 AS BIGINT)),"
+        " 'qcut', s.qcut, 'fqcut', s.fqcut)"
         " ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
@@ -311,3 +312,55 @@ def test_hist_decimal_unscaled_units(spark):
     assert cmin <= truth <= cmax
     assert hist_encoded(enc, "price", -(1 << 63), (1 << 63) - 1) \
         == (4000, 4000)
+
+
+def test_qcut_tightens_skewed_brackets(spark):
+    """The equi-width hist is blind to skew: one huge outlier per
+    chunk stretches the bucket width so the bulk collapses into
+    bucket 0 and a bulk band gets the useless bracket (0, n). The
+    equi-depth cuts keep n/16 resolution regardless, so the
+    INTERSECTED bracket must stay tight — and still contain the
+    exact count."""
+    df = spark.range(16000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.when(F.col("id") % 4000 == 0, F.lit(1 << 60))
+        .otherwise(F.col("id") % 100).alias("v"))
+    specs = [("okey", "int"), ("doc_id", "string"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=4,
+                       target_values=4000)
+    cmin, cmax = hist_encoded(enc, "v", 20, 59)
+    truth = df.where(F.col("v").between(20, 59)).count()
+    assert cmin <= truth <= cmax
+    # 4 chunks x ~4000 values: equi-depth resolution ~2*(n/16)+2 per
+    # chunk => bracket width must be far below the all-or-nothing
+    # 16000 the skewed hist alone would report
+    assert cmax - cmin <= 4 * (2 * (4000 // 16) + 4), (cmin, cmax)
+    assert cmax < 16000
+
+
+def test_hist_only_manifest_still_answers(spark):
+    """A manifest carrying hist but not qcut (written between the two
+    r5 lane commits): hist_encoded degrades to the hist-only bracket
+    — no crash, bounds still rigorous."""
+    df = spark.range(6000).select(
+        F.col("id").alias("okey"),
+        F.col("id").cast("string").alias("doc_id"),
+        (F.col("id") % 300).alias("v"))
+    specs = [("okey", "int"), ("doc_id", "string"), ("v", "int")]
+    enc = encode_table(df, specs=specs, mode="hash", num_parts=2,
+                       target_values=2000)
+    hist_only = enc.withColumn("column_stats", F.expr(
+        "transform(column_stats, s -> named_struct("
+        "'name', s.name, 'kind', s.kind, 'codec', s.codec,"
+        "'orig_bytes', s.orig_bytes, 'enc_bytes', s.enc_bytes,"
+        "'vmin', s.vmin, 'vmax', s.vmax, 'vsum', s.vsum,"
+        "'n_vals', s.n_vals, 'null_count', s.null_count,"
+        "'fmin', s.fmin, 'fmax', s.fmax, 'smin', s.smin,"
+        "'smax', s.smax, 'bloom', s.bloom, 'hll', s.hll,"
+        "'topk', s.topk, 'hist', s.hist))"))
+    cmin, cmax = hist_encoded(hist_only, "v", 50, 120)
+    truth = df.where(F.col("v").between(50, 120)).count()
+    assert cmin <= truth <= cmax
+    assert hist_encoded(hist_only, "v", -(1 << 63), (1 << 63) - 1) \
+        == (6000, 6000)

@@ -181,7 +181,7 @@ def test_verify_stats_audits_sketches(spark):
         " 'null_count', s.null_count, 'fmin', s.fmin, 'fmax', s.fmax,"
         " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
         " 'hll', array_repeat(0, 1024), 'topk', s.topk,"
-        " 'hist', s.hist)"
+        " 'hist', s.hist, 'qcut', s.qcut, 'fqcut', s.fqcut)"
         " ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]

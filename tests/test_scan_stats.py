@@ -535,7 +535,8 @@ def test_verify_stats_green_and_catches_forgery(spark, encoded):
                "    'fmin', s.fmin, 'fmax', s.fmax,"
                "    'smin', s.smin, 'smax', s.smax,"
                "    'bloom', s.bloom, 'hll', s.hll,"
-               "    'topk', s.topk, 'hist', s.hist) ELSE s END)"))
+               "    'topk', s.topk, 'hist', s.hist,"
+               "    'qcut', s.qcut, 'fqcut', s.fqcut) ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
     assert not res2["columns"]["ckey"]["ok"]

@@ -192,7 +192,7 @@ def test_verify_stats_audits_topk(spark):
         " 'smin', s.smin, 'smax', s.smax, 'bloom', s.bloom,"
         " 'hll', s.hll, 'topk', transform(s.topk, e ->"
         " named_struct('v', e.v, 'c', e.c * CAST(2 AS BIGINT))),"
-        " 'hist', s.hist)"
+        " 'hist', s.hist, 'qcut', s.qcut, 'fqcut', s.fqcut)"
         " ELSE s END)"))
     res2 = verify_stats(forged, specs=specs)
     assert not res2["ok"]
