@@ -864,6 +864,44 @@ def q_hist_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "band string, cnt long")
 
 
+def q_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-only quantile bounds (r5): ``quantile_encoded``
+    brackets the k-th smallest lane value (k = ceil(q*n)) by
+    bisecting the CDF bounds the hist+qcut lanes give — a rigorous
+    value bracket with no sort and no payload read, the
+    layout/cut-point probe at 100 TB. The oracle is exact
+    (ROW_NUMBER rank), so each (column, q) emits its exact k-th
+    smallest only when the manifest bracket contains it — a defect
+    in the CDF bracket or the bisection drops rows and fails the
+    driver comparison."""
+    from br_archive_spark.operators import (decode_table, encode_table,
+                                            quantile_encoded)
+
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.col("o_custkey").cast("long").alias("ckey"),
+        F.col("o_orderpriority").alias("prio"))
+    specs = [("okey", "int"), ("ckey", "int"), ("prio", "string")]
+    enc = encode_table(orders, specs=specs, mode="hash", key="prio",
+                       num_parts=8, target_values=1 << 11).cache()
+    dec = decode_table(enc, specs=specs, with_n_tok=False).cache()
+    n = dec.count()
+    rows = []
+    for col, q in [("okey", 0.5), ("okey", 0.9), ("ckey", 0.25),
+                   ("ckey", 0.75)]:
+        import math
+
+        vlo, vhi = quantile_encoded(enc, col, q)
+        k = min(n, max(1, int(math.ceil(q * n))))
+        exact = dec.select(col).orderBy(col).limit(k) \
+            .orderBy(F.col(col).desc()).first()[0]
+        if vlo <= exact <= vhi:
+            rows.append((f"{col}_p{int(q * 100)}", int(exact)))
+    enc.unpersist()
+    dec.unpersist()
+    return spark.createDataFrame(rows, "probe string, v long")
+
+
 def q_scan_estimate_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planner probe (r5): ``scan_estimate`` answers "what would this
     conjunctive scan cost and how many rows can it return" from the
@@ -1893,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_counts": q_value_counts,
         "hist_selectivity": q_hist_selectivity,
         "scan_estimate_probe": q_scan_estimate_probe,
+        "quantile_bounds": q_quantile_bounds,
         # --- rotated out of the r4 window (green r1-r3) ---
         "compression_stats": q_compression_stats,
         "quality_filter_by_lang": q_quality_filter_by_lang,
@@ -2407,6 +2446,40 @@ def oracle_sql() -> dict[str, str]:
                   BETWEEN 50000.0 AND 150000.0
             UNION ALL
             SELECT 'okey_full', CAST(COUNT(*) AS BIGINT) FROM orders
+        """,
+        # quantile_bounds: manifest-only quantile brackets; each
+        # (column, q) emits its exact k-th smallest (ROW_NUMBER rank,
+        # k = ceil(q*n) in DOUBLE arithmetic on both sides — a
+        # DECIMAL literal would ceil differently) only when the
+        # bracket contains it
+        "quantile_bounds": """
+            WITH ok AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS v,
+                       ROW_NUMBER() OVER (ORDER BY
+                           CAST(o_orderkey AS BIGINT)) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM orders),
+            ck AS (
+                SELECT CAST(o_custkey AS BIGINT) AS v,
+                       ROW_NUMBER() OVER (ORDER BY
+                           CAST(o_custkey AS BIGINT)) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM orders)
+            SELECT 'okey_p50' AS probe, v FROM ok
+            WHERE rn = GREATEST(1, CAST(CEIL(
+                CAST(0.5 AS DOUBLE) * n) AS BIGINT))
+            UNION ALL
+            SELECT 'okey_p90', v FROM ok
+            WHERE rn = GREATEST(1, CAST(CEIL(
+                CAST(0.9 AS DOUBLE) * n) AS BIGINT))
+            UNION ALL
+            SELECT 'ckey_p25', v FROM ck
+            WHERE rn = GREATEST(1, CAST(CEIL(
+                CAST(0.25 AS DOUBLE) * n) AS BIGINT))
+            UNION ALL
+            SELECT 'ckey_p75', v FROM ck
+            WHERE rn = GREATEST(1, CAST(CEIL(
+                CAST(0.75 AS DOUBLE) * n) AS BIGINT))
         """,
         # scan_estimate_probe: manifest-only planner probe; each case
         # emits its exact conjunctive count only when the Fréchet

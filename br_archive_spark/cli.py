@@ -541,7 +541,9 @@ def cmd_agg(args) -> int:
     most frequent values with summed per-chunk counts (exact when
     the reported ``topk_slack`` is 0); ``--count-between LO:HI``
     adds rigorous [min,max] bounds on ``COUNT(lo <= col <= hi)``
-    from the per-chunk selectivity histograms."""
+    from the per-chunk selectivity histograms; ``--quantile Q`` adds
+    rigorous value bounds on the Q-quantile (no sort, no payload
+    read)."""
     from .operators.decode import (agg_encoded, hist_encoded,
                                    ndv_encoded, topk_encoded)
 
@@ -556,6 +558,13 @@ def cmd_agg(args) -> int:
         top, slack = topk_encoded(man, args.column, k=k)
         out["topk"] = [{"v": v, "c": c} for v, c in top]
         out["topk_slack"] = slack
+    qq = getattr(args, "quantile", None)
+    if qq is not None:
+        from .operators.decode import quantile_encoded
+
+        vlo, vhi = quantile_encoded(man, args.column, float(qq))
+        out["quantile"] = {"q": float(qq),
+                           "value_min": vlo, "value_max": vhi}
     band = getattr(args, "count_between", None)
     if band:
         lo_s, hi_s = band.rsplit(":", 1)
@@ -905,6 +914,12 @@ def main(argv: list[str] | None = None) -> int:
                         "selectivity histograms (lane units: days "
                         "for date, epoch micros for timestamp, "
                         "unscaled ints for decimal)")
+    p.add_argument("--quantile", type=float, default=None,
+                   metavar="Q",
+                   help="add rigorous value bounds on the "
+                        "Q-quantile (k = ceil(Q*n)-th smallest) "
+                        "from the hist+qcut lanes — no sort, no "
+                        "payload read; lane units as above")
     p.set_defaults(fn=cmd_agg)
 
     p = sub.add_parser("evolve",

@@ -4,8 +4,9 @@ from .decode import (ChecksumError, agg_encoded, decode_files,
                      decode_table, lookup_docs, lookup_range,
                      lookup_values,
                      hist_encoded, lookup_rows, manifest_specs, ndv_encoded,
-                     scan_estimate, scan_range, scan_range_files,
-                     scan_where, scan_where_files, topk_encoded)
+                     quantile_encoded, scan_estimate, scan_range,
+                     scan_range_files, scan_where, scan_where_files,
+                     topk_encoded)
 from .encode import (MANIFEST_SPARK_SCHEMA, TOKEN_SPECS, encode_files,
                      encode_table, infer_specs)
 from .evolve import (add_column, delete_rows, delete_where,
@@ -25,7 +26,7 @@ __all__ = [
     "compact_manifest",
     "scan_range", "scan_range_files", "scan_where",
     "scan_where_files", "agg_encoded", "ndv_encoded", "topk_encoded",
-    "hist_encoded", "scan_estimate",
+    "hist_encoded", "scan_estimate", "quantile_encoded",
     "manifest_specs", "add_column", "drop_columns", "rename_column",
     "delete_where",
     "delete_rows", "upsert_rows",

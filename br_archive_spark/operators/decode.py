@@ -1514,6 +1514,185 @@ def hist_encoded(encoded: DataFrame, column: str,
     return int(row["cmin"]), int(row["cmax"])
 
 
+def quantile_encoded(encoded: DataFrame, column: str, q: float,
+                     rounds: int = 12) -> tuple:
+    """RIGOROUS value bounds on the q-quantile (the k-th smallest
+    non-null lane value, ``k = ceil(q*n)``) answered from the
+    manifest alone — the layout/cut-point question (where to split a
+    range cluster, what band holds the median doc length) at 100 TB
+    without a sort and without reading a payload byte.
+
+    Works by bracketing the CDF: for any probe value x the hist+qcut
+    machinery bounds ``F(x) = COUNT(v <= x)`` from both sides
+    (:func:`_hist_bounds_int`/``_float`` intersected with
+    :func:`_qcut_bounds` per chunk, summed), and
+
+    * ``F_max(x) <  k``  proves the quantile is  > x,
+    * ``F_min(x) >= k``  proves the quantile is <= x,
+
+    so evaluating a 129-point grid pins the quantile between two
+    adjacent grid points; each round re-grids inside the surviving
+    gap. The returned ``(vlo, vhi)`` ALWAYS contains the true
+    quantile (ties included) — a proof, never an estimate. An
+    integer gap that closes to width 1 is returned exact.
+
+    Cost: one :func:`agg_encoded` pass for the domain + one
+    full-domain exactness probe + up to ``rounds`` grid passes
+    (stopping early when the gap stops shrinking; 12 rounds cover
+    the full int64 domain, 128x gap reduction each) — each a
+    ``mapInArrow`` over the payload-free stats projection (cached
+    across rounds) with the grid carried in the closure; per-chunk
+    work is O(grid x 16) and the shuffle is grid-sized partial sums.
+    No per-chunk state ever reaches the driver.
+
+    ``q`` in (0, 1]; returned values are lane units (days for date,
+    epoch micros for timestamp, unscaled ints for decimal). Raises
+    like :func:`hist_encoded` when the column has no histogram lane
+    (the rank bound needs every chunk accounted for)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from .encode import _int_kind
+
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"quantile_encoded: q={q} not in (0, 1]")
+    kinds = dict(manifest_specs(encoded))
+    _check_stats_column(encoded, column, "quantile_encoded")
+    kind = kinds[column]
+    if kind == "float":
+        is_float = True
+    elif _int_kind(kind) and kind != "int_list":
+        is_float = False
+    else:
+        raise ValueError(
+            f"quantile_encoded: column {column!r} has kind {kind!r} "
+            "— histograms cover scalar int-backed and float lanes "
+            "only")
+    agg = agg_encoded(encoded, column).first()
+    vmin = agg["fmin"] if is_float else agg["vmin"]
+    vmax = agg["fmax"] if is_float else agg["vmax"]
+    if vmin is None:
+        raise ValueError(
+            f"quantile_encoded: column {column!r} has no non-null "
+            "values (or no finite values) — no quantile exists")
+    # n over the SAME population the histograms cover (non-null for
+    # int lanes, NaN-free for float): the full-domain band is exact,
+    # and this call also enforces hist_encoded's no-missing-hist rule
+    n, n_hi = hist_encoded(encoded, column, vmin, vmax)
+    if n != n_hi:
+        raise ValueError(
+            "quantile_encoded: full-domain bracket not exact — "
+            "manifest histograms are inconsistent")
+    # IEEE semantics on purpose: ceil(q*n) in double, the same
+    # expression an oracle computes — rank consistency beats
+    # idealized rational arithmetic here
+    k = min(n, max(1, int(math.ceil(q * n))))
+    has_q = _has_qcut(encoded)
+    s = F.element_at(
+        F.filter("column_stats",
+                 lambda c: c["name"] == F.lit(column)), 1)
+    per = encoded.select(
+        s["hist"].alias("hist"),
+        s["vmin"].alias("vmin"), s["vmax"].alias("vmax"),
+        s["fmin"].alias("fmin"), s["fmax"].alias("fmax"),
+        (s["qcut"] if has_q
+         else F.lit(None).cast("array<bigint>")).alias("qcut"),
+        (s["fqcut"] if has_q
+         else F.lit(None).cast("array<double>")).alias("fqcut")
+    ).cache()
+    try:
+        # invariant: quantile in (ex_lo, hi_val]; ex_lo None = -inf
+        ex_lo, hi_val = None, vmax
+        for _ in range(max(1, rounds)):
+            glo = vmin if ex_lo is None else ex_lo
+            if is_float:
+                width = float(hi_val) - float(glo)
+                if width <= 0:
+                    break
+                grid = [float(glo) + width * i / 128
+                        for i in range(128)] + [float(hi_val)]
+            else:
+                span = int(hi_val) - int(glo)
+                if span <= 1:
+                    break
+                step = -(-span // 128)
+                grid = list(range(int(glo), int(hi_val), step)) \
+                    + [int(hi_val)]
+
+            def cdf(batches, g=tuple(grid), is_f=is_float):
+                gl = len(g)
+                lo_s = [0] * gl
+                hi_s = [0] * gl
+                for b in batches:
+                    t = b.to_pydict()
+                    for h, vn, vx, fn, fx, qc, fqc in zip(
+                            t["hist"], t["vmin"], t["vmax"],
+                            t["fmin"], t["fmax"],
+                            t["qcut"], t["fqcut"]):
+                        if not h:
+                            continue
+                        if is_f:
+                            if fn is None:
+                                continue
+                            lo_b, cuts = fn, fqc
+                            bounds_fn = _hist_bounds_float
+                            cmn, cmx = fn, fx
+                        else:
+                            if vn is None:
+                                continue
+                            lo_b, cuts = vn, qc
+                            bounds_fn = _hist_bounds_int
+                            cmn, cmx = vn, vx
+                        nn = sum(h)
+                        for i, x in enumerate(g):
+                            if x < cmn:
+                                continue            # F = 0 here
+                            if x >= cmx:
+                                lo_s[i] += nn       # whole chunk <= x
+                                hi_s[i] += nn
+                                continue
+                            cl, ch = bounds_fn(h, cmn, cmx, cmn, x)
+                            if cuts:
+                                ql, qh = _qcut_bounds(cuts, nn,
+                                                      cmn, x)
+                                cl, ch = max(cl, ql), min(ch, qh)
+                            lo_s[i] += cl
+                            hi_s[i] += ch
+                yield pa.RecordBatch.from_pydict({
+                    "i": pa.array(range(gl), pa.int64()),
+                    "lo": pa.array(lo_s, pa.int64()),
+                    "hi": pa.array(hi_s, pa.int64())})
+
+            rows = (per.mapInArrow(cdf, "i long, lo long, hi long")
+                    .groupBy("i")
+                    .agg(F.sum("lo").alias("lo"),
+                         F.sum("hi").alias("hi"))
+                    .orderBy("i").collect())
+            f_min = [int(r["lo"]) for r in rows]
+            f_max = [int(r["hi"]) for r in rows]
+            # smallest grid point PROVEN >= quantile (may not exist:
+            # F_min underestimates), largest PROVEN < quantile
+            j = next((i for i in range(len(grid))
+                      if f_min[i] >= k), None)
+            i0 = max((i for i in range(len(grid))
+                      if f_max[i] < k), default=None)
+            prev = (ex_lo, hi_val)
+            if j is not None:
+                hi_val = grid[j]
+            if i0 is not None:
+                ex_lo = grid[i0]
+            if (ex_lo, hi_val) == prev:
+                break                   # no proof gained: stop
+        if is_float:
+            return (float(vmin) if ex_lo is None else float(ex_lo),
+                    float(hi_val))
+        lo_out = int(vmin) if ex_lo is None else int(ex_lo) + 1
+        return min(lo_out, int(hi_val)), int(hi_val)
+    finally:
+        per.unpersist()
+
+
 def scan_estimate(encoded: DataFrame,
                   bands: list[tuple] | None = None,
                   specs: list[tuple[str, str]] | None = None,
